@@ -1,0 +1,28 @@
+"""threecrate-tpu: a TPU-native 3D point-cloud & mesh processing framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+rajgandhi1/threecrate (Rust/wgpu): filtering, normal estimation, the ICP
+registration family, NDT, FPFH/SHOT features, global registration,
+segmentation, surface reconstruction, mesh simplification, TSDF fusion,
+broad file I/O, and a Python API — redesigned for dense padded arrays,
+fused matmul neighbor search, batched small linear algebra, and
+device-mesh sharding instead of KD-trees, rayon and compute shaders.
+"""
+
+__version__ = "0.1.0"
+
+from . import core, ops, utils
+from .core import (
+    CameraIntrinsics,
+    OrganizedPointCloud,
+    PointCloud,
+    Transform,
+    TriangleMesh,
+)
+
+__all__ = [
+    "core", "ops", "utils",
+    "PointCloud", "TriangleMesh", "Transform",
+    "OrganizedPointCloud", "CameraIntrinsics",
+    "__version__",
+]

@@ -1,0 +1,211 @@
+"""Nearest-neighbor search, TPU-style.
+
+Replaces the reference's flat array-backed KD-tree
+(threecrate-algorithms/src/nearest_neighbor.rs:8-298) and its SIMD
+brute-force fallback (src/simd_distance.rs). A KD-tree is pointer
+chasing with data-dependent control flow — the worst possible shape for
+a systolic-array machine. The TPU-native formulation:
+
+* the N×M squared-distance matrix is a rank-3 matmul
+  ``‖q‖² + ‖p‖² − 2 q·pᵀ`` that lands on the MXU;
+* it is computed **blockwise** (never materialised) with a running
+  top-k merged per tile — the same blockwise trick as flash attention,
+  applied to distances instead of logits;
+* queries are processed in chunks via ``lax.map`` so VMEM/HBM footprint
+  stays bounded at ``query_chunk × db_tile`` floats.
+
+All results are fixed-shape: ``(Q, k)`` indices + squared distances,
+with invalid slots carrying ``inf`` distance. Like the reference's
+traversal (nearest_neighbor.rs:177-251) we keep *squared* distances
+throughout and sqrt only at the API boundary.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.point_cloud import PointCloud
+from ..utils import padding
+
+
+class KnnResult(NamedTuple):
+    """Fixed-shape kNN result.
+
+    indices: ``(Q, k)`` int32 into the database array (padding-safe: always
+      in range, but only meaningful where ``mask``).
+    distances: ``(Q, k)`` float32 *euclidean* distances, ``inf`` where invalid.
+    mask: ``(Q, k)`` bool — neighbor slot validity.
+    """
+
+    indices: jnp.ndarray
+    distances: jnp.ndarray
+    mask: jnp.ndarray
+
+
+def _chunked(x: jnp.ndarray, chunk: int, fill=0.0) -> jnp.ndarray:
+    """Pad axis 0 to a multiple of ``chunk`` and reshape to (n_chunks, chunk, ...)."""
+    n = x.shape[0]
+    n_pad = padding.round_up(max(n, 1), chunk)
+    if n_pad != n:
+        pad = [(0, n_pad - n)] + [(0, 0)] * (x.ndim - 1)
+        x = jnp.pad(x, pad, constant_values=fill)
+    return x.reshape((n_pad // chunk, chunk) + x.shape[1:])
+
+
+def _knn_chunk_vs_db(q: jnp.ndarray, db: jnp.ndarray, db_valid: jnp.ndarray,
+                     k: int, db_tile: int,
+                     q_self_idx: Optional[jnp.ndarray]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One query chunk against the whole database, scanning db tiles.
+
+    Returns (neg_sq_dists (qc, k), indices (qc, k)) sorted best-first.
+    """
+    qc = q.shape[0]
+    qn = jnp.sum(q * q, axis=-1)  # (qc,)
+
+    db_t = _chunked(db, db_tile)                       # (T, tile, 3)
+    valid_t = _chunked(db_valid, db_tile, fill=False)  # (T, tile)
+    n_tiles = db_t.shape[0]
+
+    init = (jnp.full((qc, k), -jnp.inf, jnp.float32),
+            jnp.zeros((qc, k), jnp.int32))
+
+    def body(carry, inputs):
+        best_neg, best_idx = carry
+        tile_i, pts, valid = inputs
+        # (qc, tile) squared distances via MXU. HIGHEST precision: the
+        # ‖q‖²+‖p‖²−2q·p expansion cancels catastrophically under the
+        # MXU's default bf16 passes (meter-scale errors on LiDAR ranges).
+        pn = jnp.sum(pts * pts, axis=-1)
+        cross = jax.lax.dot_general(
+            q, pts, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        d2 = jnp.maximum(qn[:, None] + pn[None, :] - 2.0 * cross, 0.0)
+        idx = tile_i * db_tile + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        neg = jnp.where(valid[None, :], -d2, -jnp.inf)
+        if q_self_idx is not None:
+            neg = jnp.where(idx == q_self_idx[:, None], -jnp.inf, neg)
+        # merge running best with this tile
+        cand_neg = jnp.concatenate([best_neg, neg], axis=1)
+        cand_idx = jnp.concatenate([best_idx, idx], axis=1)
+        top_neg, top_pos = jax.lax.top_k(cand_neg, k)
+        top_idx = jnp.take_along_axis(cand_idx, top_pos, axis=1)
+        return (top_neg, top_idx), None
+
+    tiles = (jnp.arange(n_tiles, dtype=jnp.int32), db_t, valid_t)
+    (best_neg, best_idx), _ = jax.lax.scan(body, init, tiles)
+    return best_neg, best_idx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "exclude_self", "query_chunk", "db_tile"))
+def knn(db_points: jnp.ndarray, db_mask: jnp.ndarray,
+        queries: jnp.ndarray, query_mask: Optional[jnp.ndarray] = None,
+        k: int = 1, *, exclude_self: bool = False,
+        query_chunk: int = 2048, db_tile: int = 2048) -> KnnResult:
+    """Exact k-nearest-neighbors by blockwise brute force.
+
+    Replaces KdTree::find_k_nearest (nearest_neighbor.rs:177-251). The
+    self point *is* a valid neighbor (distance 0) when the query set is
+    the database, matching the reference; pass ``exclude_self=True`` to
+    drop the i==j pair (only meaningful when queries is db_points).
+    """
+    db_points = db_points.astype(jnp.float32)
+    queries = queries.astype(jnp.float32)
+    nq = queries.shape[0]
+    k = min(k, db_points.shape[0])
+
+    self_idx = None
+    if exclude_self:
+        self_idx = jnp.arange(nq, dtype=jnp.int32)
+        self_idx = _chunked(self_idx, query_chunk, fill=-1)
+
+    q_chunks = _chunked(queries, query_chunk)  # (C, qc, 3)
+
+    def run_chunk(args):
+        i, qch = args
+        sidx = None if self_idx is None else self_idx[i]
+        return _knn_chunk_vs_db(qch, db_points, db_mask, k, db_tile, sidx)
+
+    neg, idx = jax.lax.map(
+        run_chunk, (jnp.arange(q_chunks.shape[0], dtype=jnp.int32), q_chunks))
+    neg = neg.reshape(-1, k)[:nq]
+    idx = idx.reshape(-1, k)[:nq]
+    d2 = -neg
+    valid = jnp.isfinite(d2)
+    if query_mask is not None:
+        valid = valid & query_mask[:, None]
+    idx = jnp.clip(idx, 0, db_points.shape[0] - 1)
+    dist = jnp.sqrt(jnp.where(valid, d2, jnp.inf))
+    return KnnResult(idx, jnp.where(valid, dist, jnp.inf), valid)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_neighbors", "exclude_self", "query_chunk", "db_tile"))
+def radius_neighbors(db_points: jnp.ndarray, db_mask: jnp.ndarray,
+                     queries: jnp.ndarray, query_mask: Optional[jnp.ndarray],
+                     radius: float, max_neighbors: int = 32, *,
+                     exclude_self: bool = False,
+                     query_chunk: int = 2048, db_tile: int = 2048) -> KnnResult:
+    """Fixed-capacity radius search (nearest_neighbor.rs:254-298).
+
+    Returns up to ``max_neighbors`` nearest points within ``radius``;
+    fixed capacity replaces the reference's Vec-growing semantics (XLA
+    needs static shapes). Slots beyond the radius are masked out.
+    """
+    res = knn(db_points, db_mask, queries, query_mask, max_neighbors,
+              exclude_self=exclude_self, query_chunk=query_chunk,
+              db_tile=db_tile)
+    inside = res.mask & (res.distances <= radius)
+    return KnnResult(res.indices,
+                     jnp.where(inside, res.distances, jnp.inf), inside)
+
+
+def nearest_one(db_points: jnp.ndarray, db_mask: jnp.ndarray,
+                queries: jnp.ndarray,
+                max_distance: Optional[float] = None,
+                **kw) -> KnnResult:
+    """Top-1 correspondence search (ICP inner loop, registration.rs:87-107)."""
+    res = knn(db_points, db_mask, queries, None, 1, **kw)
+    if max_distance is not None:
+        inside = res.mask & (res.distances <= max_distance)
+        res = KnnResult(res.indices, jnp.where(inside, res.distances, jnp.inf),
+                        inside)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Object-style wrappers mirroring the reference trait surface
+# ---------------------------------------------------------------------------
+
+class BruteForceSearch:
+    """NearestNeighborSearch impl (traits.rs:541-547) over a PointCloud.
+
+    The name keeps the reference taxonomy (nearest_neighbor.rs:327-387);
+    on TPU the "brute force" path *is* the fast path because it is a
+    matmul.
+    """
+
+    def __init__(self, cloud: PointCloud):
+        self.cloud = cloud
+
+    def find_k_nearest(self, queries, k: int, **kw) -> KnnResult:
+        queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        return knn(self.cloud.points, self.cloud.mask, queries, None, k, **kw)
+
+    def find_radius_neighbors(self, queries, radius: float,
+                              max_neighbors: int = 64, **kw) -> KnnResult:
+        queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        return radius_neighbors(self.cloud.points, self.cloud.mask, queries,
+                                None, radius, max_neighbors, **kw)
+
+
+# The reference exposes `KdTree` as the primary index type; we keep the
+# name as an alias so ported user code works, but the implementation is
+# the blockwise matmul search (there is no tree on a TPU).
+KdTree = BruteForceSearch
