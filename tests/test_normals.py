@@ -1,0 +1,113 @@
+"""Normal estimation tests: planar clouds → ±Z, sphere → radial
+(reference fixtures: normals.rs:398-409, registration.rs:1148-1165)."""
+
+import numpy as np
+
+from threecrate_tpu import PointCloud
+from threecrate_tpu.ops import normals
+
+from conftest import make_sphere_points
+
+
+def plane_cloud(n=10, noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    xs, ys = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n))
+    z = noise * rng.normal(size=xs.shape)
+    return np.stack([xs.ravel(), ys.ravel(), z.ravel()], -1).astype(np.float32)
+
+
+class TestNormals:
+    def test_plane_normals_are_z(self):
+        pts = plane_cloud()
+        pc = PointCloud.from_numpy(pts)
+        out = normals.estimate_normals(pc, k=8)
+        n = out.attr_to_numpy("normals")
+        np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-4)
+        # consistent orientation: viewpoint above → +z for all
+        assert (n[:, 2] > 0).all()
+
+    def test_noisy_plane(self):
+        pts = plane_cloud(noise=0.005)
+        pc = PointCloud.from_numpy(pts)
+        out = normals.estimate_normals(pc, k=10)
+        n = out.attr_to_numpy("normals")
+        assert (np.abs(n[:, 2]) > 0.95).mean() > 0.9
+
+    def test_sphere_normals_radial(self):
+        pts = make_sphere_points(400)
+        pc = PointCloud.from_numpy(pts)
+        cfg = normals.NormalEstimationConfig(
+            k_neighbors=10, viewpoint=(0.0, 0.0, 0.0),
+            consistent_orientation=True)
+        res = normals.estimate_normals_detailed(pc, cfg)
+        n = np.asarray(res.normals)[:400]
+        radial = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+        # oriented toward origin viewpoint → normals ≈ -radial
+        dots = np.sum(n * radial, axis=1)
+        assert (np.abs(dots) > 0.95).mean() > 0.95
+        assert (dots < 0).mean() > 0.95
+
+    def test_unit_length(self, rng):
+        pts = rng.normal(size=(200, 3)).astype(np.float32)
+        pc = PointCloud.from_numpy(pts)
+        res = normals.estimate_normals_detailed(pc)
+        n = np.asarray(res.normals)
+        valid = np.asarray(res.valid)
+        np.testing.assert_allclose(
+            np.linalg.norm(n[valid], axis=1), 1.0, atol=1e-4)
+
+    def test_curvature_flat_vs_corner(self):
+        flat = plane_cloud()
+        pc = PointCloud.from_numpy(flat)
+        res = normals.estimate_normals_detailed(pc)
+        c = np.asarray(res.curvature)[np.asarray(res.valid)]
+        assert c.max() < 1e-4  # flat surface → zero surface variation
+
+    def test_radius_mode_with_fallback(self):
+        pts = plane_cloud()
+        pc = PointCloud.from_numpy(pts)
+        cfg = normals.NormalEstimationConfig(k_neighbors=12, radius=0.3)
+        out = normals.estimate_normals_with_config(pc, cfg)
+        n = out.attr_to_numpy("normals")
+        np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-3)
+
+    def test_too_few_points_invalid(self):
+        pts = np.array([[0, 0, 0], [1, 0, 0]], np.float32)
+        pc = PointCloud.from_numpy(pts)
+        res = normals.estimate_normals_detailed(pc)
+        # 2 points can't define a plane... but k-NN gives both; need >=3
+        assert not bool(res.valid[:2].all())
+
+
+class TestEigh3x3:
+    def test_matches_numpy(self, rng):
+        from threecrate_tpu.ops import linalg
+        import jax.numpy as jnp
+        a = rng.normal(size=(50, 3, 3)).astype(np.float32)
+        sym = (a + a.transpose(0, 2, 1)) / 2
+        vals, vecs = linalg.eigh3x3(jnp.asarray(sym))
+        vals, vecs = np.asarray(vals), np.asarray(vecs)
+        exp_vals = np.linalg.eigvalsh(sym)
+        np.testing.assert_allclose(vals, exp_vals, atol=1e-4)
+        # A v = λ v for every pair
+        for i in range(3):
+            av = np.einsum("nij,nj->ni", sym, vecs[:, :, i])
+            lv = vals[:, i:i+1] * vecs[:, :, i]
+            np.testing.assert_allclose(av, lv, atol=2e-3)
+
+    def test_degenerate_isotropic(self):
+        from threecrate_tpu.ops import linalg
+        import jax.numpy as jnp
+        a = jnp.broadcast_to(2.0 * jnp.eye(3), (4, 3, 3))
+        vals, vecs = linalg.eigh3x3(a)
+        np.testing.assert_allclose(np.asarray(vals), 2.0, atol=1e-5)
+        assert np.isfinite(np.asarray(vecs)).all()
+
+    def test_rank1(self):
+        from threecrate_tpu.ops import linalg
+        import jax.numpy as jnp
+        v = jnp.array([1.0, 2.0, 3.0])
+        a = jnp.outer(v, v)[None]
+        vals, vecs = linalg.eigh3x3(a)
+        np.testing.assert_allclose(float(vals[0, 2]), 14.0, atol=1e-4)
+        np.testing.assert_allclose(np.abs(np.asarray(vals[0, :2])), 0.0, atol=1e-4)

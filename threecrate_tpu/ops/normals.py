@@ -1,0 +1,113 @@
+"""Normal estimation by local PCA — the reference benchmark's weak spot.
+
+TPU-native rework of threecrate-algorithms/src/normals.rs:238-357. The
+reference builds a KD-tree, then rayon-fans per-point: tree traversal →
+3x3 covariance → nalgebra ``symmetric_eigen`` → viewpoint flip. That
+per-point pipeline is why it trails Open3D 0.57× (docs/benchmarks.md).
+
+Here the whole cloud is processed as four fused array ops:
+1. one blockwise-matmul kNN (ops.neighbors) — MXU;
+2. one gather of neighbor coordinates (N, k, 3) — HBM bandwidth;
+3. batched covariance via einsum — MXU;
+4. closed-form smallest-eigenvector (ops.linalg.eigh3x3) — VPU
+   elementwise, a few hundred flops per point, no LAPACK anywhere.
+
+Orientation matches the reference: flip toward a viewpoint, default =
+bbox center raised by the z-extent (normals.rs:275-303, :208-222).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.point_cloud import PointCloud
+from . import linalg, neighbors
+
+
+@dataclasses.dataclass(frozen=True)
+class NormalEstimationConfig:
+    """Mirrors NormalEstimationConfig (normals.rs:17-37)."""
+
+    k_neighbors: int = 10
+    radius: Optional[float] = None     # when set: radius search, k-NN capacity
+    consistent_orientation: bool = True
+    viewpoint: Optional[Tuple[float, float, float]] = None
+
+
+class NormalResult(NamedTuple):
+    normals: jnp.ndarray     # (N, 3) unit normals (0 where invalid)
+    curvature: jnp.ndarray   # (N,) surface variation λ0/(λ0+λ1+λ2)
+    valid: jnp.ndarray       # (N,) bool: enough neighbors for a plane fit
+
+
+@functools.partial(jax.jit, static_argnames=("k", "use_radius", "orient"))
+def _estimate(points, mask, k, use_radius, radius, viewpoint, orient):
+    # One kNN pass serves both modes: radius mode masks slots beyond the
+    # radius, and falls back to plain k-NN per point when fewer than 3
+    # neighbors fall inside (normals.rs:314-336's fallback chain).
+    knn_res = neighbors.knn(points, mask, points, mask, k)
+    nbr_idx = knn_res.indices
+    if use_radius:
+        in_r = knn_res.mask & (knn_res.distances <= radius)
+        enough = jnp.sum(in_r, axis=1) >= 3
+        nbr_ok = jnp.where(enough[:, None], in_r, knn_res.mask)
+    else:
+        nbr_ok = knn_res.mask
+
+    nbr_pts = points[nbr_idx]                        # (N, k, 3) gather
+    w = nbr_ok.astype(jnp.float32)
+    _, cov = linalg.weighted_covariance(nbr_pts, w)  # batched einsum → MXU
+    normal, lam0 = linalg.smallest_eigenvector_sym3x3(cov)
+
+    vals = linalg.eigvals_sym3x3(cov)
+    tot = jnp.maximum(jnp.sum(vals, axis=-1), 1e-12)
+    curvature = jnp.maximum(vals[..., 0], 0.0) / tot
+
+    valid = mask & (jnp.sum(nbr_ok, axis=1) >= 3)
+
+    if orient:
+        to_vp = viewpoint[None, :] - points
+        flip = jnp.sum(normal * to_vp, axis=-1) < 0
+        normal = jnp.where(flip[:, None], -normal, normal)
+
+    normal = jnp.where(valid[:, None], normal, 0.0)
+    return normal, jnp.where(valid, curvature, 0.0), valid
+
+
+def default_viewpoint(cloud: PointCloud) -> jnp.ndarray:
+    """bbox center lifted by the z extent (normals.rs:275-303)."""
+    mn, mx = cloud.bounding_box()
+    center = (mn + mx) * 0.5
+    extent_z = mx[2] - mn[2]
+    return center + jnp.array([0.0, 0.0, 1.0]) * jnp.maximum(extent_z, 1.0)
+
+
+def estimate_normals_detailed(cloud: PointCloud,
+                              config: NormalEstimationConfig = NormalEstimationConfig()
+                              ) -> NormalResult:
+    vp = (jnp.asarray(config.viewpoint, jnp.float32)
+          if config.viewpoint is not None else default_viewpoint(cloud))
+    normal, curv, valid = _estimate(
+        cloud.points, cloud.mask, config.k_neighbors,
+        config.radius is not None,
+        jnp.float32(config.radius if config.radius is not None else 0.0),
+        vp, config.consistent_orientation)
+    return NormalResult(normal, curv, valid)
+
+
+def estimate_normals(cloud: PointCloud, k: int = 10, **kw) -> PointCloud:
+    """Convenience entry matching estimate_normals (normals.rs:238-247):
+    returns the cloud with a ``normals`` attribute attached."""
+    cfg = NormalEstimationConfig(k_neighbors=k, **kw)
+    res = estimate_normals_detailed(cloud, cfg)
+    return cloud.with_normals(res.normals)
+
+
+def estimate_normals_with_config(cloud: PointCloud,
+                                 config: NormalEstimationConfig) -> PointCloud:
+    return cloud.with_normals(estimate_normals_detailed(cloud, config).normals)
