@@ -1,0 +1,77 @@
+"""File I/O with extension auto-detection.
+
+TPU-native counterpart of threecrate-io: PLY, OBJ(+MTL), PCD, STL,
+XYZ/CSV/TXT and KITTI .bin readers/writers, Velodyne/Ouster PCAP and
+Livox LVX decoders, a format registry with extension dispatch
+(threecrate-io/src/lib.rs:95-203) and streaming chunk iterators
+(lib.rs:233-320). All host-side NumPy; device arrays only materialise
+when an algorithm consumes the cloud.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from ..core.mesh import TriangleMesh
+from ..core.point_cloud import PointCloud
+from . import lidar, obj, pcd, ply, stl, xyz_csv
+from .registry import REGISTRY, IoRegistry
+
+# -- wire the default registry (lib.rs:95-158 lazy_static block) ----------
+REGISTRY.register("ply", cloud_reader=ply.read_point_cloud,
+                  cloud_writer=ply.write_point_cloud,
+                  mesh_reader=ply.read_mesh, mesh_writer=ply.write_mesh,
+                  cloud_stream_reader=ply.read_point_cloud_stream)
+REGISTRY.register("obj", cloud_reader=obj.read_point_cloud,
+                  cloud_writer=obj.write_point_cloud,
+                  mesh_reader=obj.read_mesh, mesh_writer=obj.write_mesh)
+REGISTRY.register("pcd", cloud_reader=pcd.read_point_cloud,
+                  cloud_writer=pcd.write_point_cloud)
+REGISTRY.register("stl", mesh_reader=stl.read_mesh, mesh_writer=stl.write_mesh)
+for _ext in ("xyz", "csv", "txt"):
+    REGISTRY.register(_ext, cloud_reader=xyz_csv.read_point_cloud,
+                      cloud_writer=xyz_csv.write_point_cloud,
+                      cloud_stream_reader=xyz_csv.read_point_cloud_stream)
+REGISTRY.register("bin", cloud_reader=lidar.read_kitti_bin,
+                  cloud_writer=lidar.write_kitti_bin)
+REGISTRY.register("pcap", cloud_reader=lidar.read_velodyne_pcap)
+REGISTRY.register("lvx", cloud_reader=lidar.read_livox_lvx)
+
+
+# -- top-level convenience API (lib.rs:159-203) ----------------------------
+
+def read_point_cloud(path, **kw) -> PointCloud:
+    """Read any supported point-cloud format by extension."""
+    return REGISTRY.read_point_cloud(path, **kw)
+
+
+def write_point_cloud(path, cloud: PointCloud, **kw) -> None:
+    REGISTRY.write_point_cloud(path, cloud, **kw)
+
+
+def read_mesh(path, **kw) -> TriangleMesh:
+    return REGISTRY.read_mesh(path, **kw)
+
+
+def write_mesh(path, mesh: TriangleMesh, **kw) -> None:
+    REGISTRY.write_mesh(path, mesh, **kw)
+
+
+def read_point_cloud_iter(path, chunk_size: int = 65536, **kw
+                          ) -> Iterator[np.ndarray]:
+    """Streaming chunked read (lib.rs:233-260): host (n, 3) arrays."""
+    return REGISTRY.read_point_cloud_iter(path, chunk_size=chunk_size, **kw)
+
+
+def supported_extensions():
+    return REGISTRY.supported_extensions()
+
+
+__all__ = [
+    "read_point_cloud", "write_point_cloud", "read_mesh", "write_mesh",
+    "read_point_cloud_iter", "supported_extensions",
+    "REGISTRY", "IoRegistry",
+    "ply", "obj", "pcd", "stl", "xyz_csv", "lidar",
+]
