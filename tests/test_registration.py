@@ -1,0 +1,256 @@
+"""Registration tests: identity / known translation / known rotation /
+noise, convergence flags and transform recovery — mirroring the
+reference's fixtures (registration.rs:797-1141, gicp/kiss_icp/ndt test
+modules)."""
+
+import numpy as np
+import pytest
+
+from threecrate_tpu import PointCloud, Transform
+from threecrate_tpu.ops import gicp as gicp_mod
+from threecrate_tpu.ops import kiss_icp as kiss_mod
+from threecrate_tpu.ops import ndt as ndt_mod
+from threecrate_tpu.ops import normals, registration
+
+from conftest import make_sphere_points
+
+
+def box_cloud(n=400, seed=0, scale=2.0):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-scale, scale, (n, 3)).astype(np.float32)
+    return pts
+
+
+def surface_cloud(n=600, seed=0):
+    """Wavy surface — well-constrained for p2p and p2plane."""
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(-2, 2, (n, 2)).astype(np.float32)
+    z = 0.4 * np.sin(xy[:, 0] * 2.0) + 0.3 * np.cos(xy[:, 1] * 1.7)
+    return np.stack([xy[:, 0], xy[:, 1], z], -1).astype(np.float32)
+
+
+def apply_np(mat, pts):
+    return pts @ np.asarray(mat)[:3, :3].T + np.asarray(mat)[:3, 3]
+
+
+class TestIcpP2P:
+    def test_identity(self):
+        pts = box_cloud()
+        pc = PointCloud.from_numpy(pts)
+        res = registration.icp(pc, pc, max_iterations=10)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.transformation),
+                                   np.eye(4), atol=1e-4)
+        assert float(res.mse) < 1e-6
+
+    def test_known_translation(self):
+        pts = surface_cloud()
+        t_true = Transform.from_translation([0.05, -0.02, 0.01])
+        src = PointCloud.from_numpy(pts)
+        tgt = PointCloud.from_numpy(apply_np(t_true.matrix, pts))
+        res = registration.icp_point_to_point(src, tgt, max_iterations=50)
+        assert bool(res.converged)
+        got = np.asarray(res.transformation)
+        np.testing.assert_allclose(got, np.asarray(t_true.matrix), atol=2e-3)
+        assert float(res.mse) < 1e-5
+
+    def test_known_rotation(self):
+        pts = surface_cloud()
+        t_true = Transform.from_axis_angle([0, 0, 1.0], 0.02)
+        src = PointCloud.from_numpy(pts)
+        tgt = PointCloud.from_numpy(apply_np(t_true.matrix, pts))
+        res = registration.icp_point_to_point(src, tgt, max_iterations=50)
+        got = np.asarray(res.transformation)
+        np.testing.assert_allclose(got, np.asarray(t_true.matrix), atol=2e-3)
+
+    def test_with_noise(self):
+        rng = np.random.default_rng(3)
+        pts = surface_cloud()
+        t_true = Transform.from_translation([0.03, 0.01, -0.02])
+        noisy = apply_np(t_true.matrix, pts) + \
+            rng.normal(0, 0.002, pts.shape).astype(np.float32)
+        res = registration.icp_point_to_point(
+            PointCloud.from_numpy(pts), PointCloud.from_numpy(noisy),
+            max_iterations=50)
+        trans = np.asarray(res.transformation)[:3, 3]
+        np.testing.assert_allclose(trans, [0.03, 0.01, -0.02], atol=0.01)
+
+    def test_max_correspondence_distance(self):
+        pts = surface_cloud()
+        # add a far blob to the target only; gating must ignore it
+        blob = np.array([[50, 50, 50]] * 5, np.float32)
+        src = PointCloud.from_numpy(pts)
+        tgt = PointCloud.from_numpy(np.concatenate([pts, blob]))
+        res = registration.icp_point_to_point(
+            src, tgt, max_iterations=20, max_correspondence_distance=0.5)
+        np.testing.assert_allclose(np.asarray(res.transformation),
+                                   np.eye(4), atol=1e-3)
+
+    def test_empty_rejected(self):
+        from threecrate_tpu.core.errors import InvalidDataError
+        import jax.numpy as jnp
+        empty = PointCloud(jnp.zeros((0, 3)), jnp.zeros((0,), bool), {})
+        pc = PointCloud.from_numpy(box_cloud(10))
+        with pytest.raises(InvalidDataError):
+            registration.icp(empty, pc)
+
+    def test_init_transform_used(self):
+        pts = surface_cloud()
+        t_true = Transform.from_translation([1.0, 0.0, 0.0])
+        src = PointCloud.from_numpy(pts)
+        tgt = PointCloud.from_numpy(apply_np(t_true.matrix, pts))
+        # big offset: without init it may stall, with exact init converges at once
+        res = registration.icp_point_to_point(
+            src, tgt, max_iterations=5, init=t_true)
+        np.testing.assert_allclose(np.asarray(res.transformation),
+                                   np.asarray(t_true.matrix), atol=1e-3)
+
+
+class TestIcpP2Plane:
+    def test_requires_normals(self):
+        from threecrate_tpu.core.errors import InvalidDataError
+        pts = surface_cloud(100)
+        pc = PointCloud.from_numpy(pts)
+        with pytest.raises(InvalidDataError):
+            registration.icp_point_to_plane(pc, pc)
+
+    def test_recovers_small_transform(self):
+        pts = surface_cloud(800)
+        t_true = Transform.from_axis_angle([0, 0, 1.0], 0.01) @ \
+            Transform.from_translation([0.02, -0.01, 0.015])
+        src = PointCloud.from_numpy(pts)
+        tgt = normals.estimate_normals(
+            PointCloud.from_numpy(apply_np(t_true.matrix, pts)), k=10)
+        res = registration.icp_point_to_plane(src, tgt, max_iterations=30)
+        np.testing.assert_allclose(np.asarray(res.transformation),
+                                   np.asarray(t_true.matrix), atol=5e-3)
+
+
+class TestMultiscale:
+    def test_larger_offset(self):
+        pts = surface_cloud(1500, seed=7)
+        t_true = Transform.from_axis_angle([0, 0, 1.0], 0.05) @ \
+            Transform.from_translation([0.15, -0.1, 0.05])
+        src = PointCloud.from_numpy(pts)
+        tgt = PointCloud.from_numpy(apply_np(t_true.matrix, pts))
+        cfg = registration.MultiscaleConfig(voxel_levels=(0.4, 0.2, 0.1))
+        res = registration.multiscale_icp_point_to_point(src, tgt, cfg)
+        np.testing.assert_allclose(np.asarray(res.transformation),
+                                   np.asarray(t_true.matrix), atol=0.02)
+
+
+class TestGicp:
+    def test_recovers_transform(self):
+        pts = surface_cloud(600)
+        t_true = Transform.from_translation([0.04, -0.02, 0.01])
+        src = PointCloud.from_numpy(pts)
+        tgt = PointCloud.from_numpy(apply_np(t_true.matrix, pts))
+        res = gicp_mod.gicp(src, tgt)
+        np.testing.assert_allclose(np.asarray(res.transformation),
+                                   np.asarray(t_true.matrix), atol=5e-3)
+
+    def test_degenerate_rejected(self):
+        from threecrate_tpu.core.errors import AlgorithmError
+        line = np.stack([np.linspace(0, 1, 50),
+                         np.zeros(50), np.zeros(50)], -1).astype(np.float32)
+        pc = PointCloud.from_numpy(line)
+        with pytest.raises(AlgorithmError):
+            gicp_mod.gicp(pc, pc)
+
+
+class TestKissIcp:
+    def test_adaptive_threshold_clamps(self):
+        cfg = kiss_mod.KissIcpConfig(voxel_size=1.0)
+        assert kiss_mod.adaptive_threshold(cfg, None) == 3.0
+        big = Transform.from_translation([10.0, 0, 0])
+        assert kiss_mod.adaptive_threshold(cfg, big) == 10.0
+
+    def test_registers_lidar_like_scan(self):
+        rng = np.random.default_rng(11)
+        # ring-structured scan with ground + walls
+        ang = rng.uniform(0, 2 * np.pi, 3000)
+        r = rng.uniform(2, 40, 3000)
+        z = rng.uniform(-1.5, 2.0, 3000)
+        pts = np.stack([r * np.cos(ang), r * np.sin(ang), z], -1
+                       ).astype(np.float32)
+        t_true = Transform.from_axis_angle([0, 0, 1.0], 0.01) @ \
+            Transform.from_translation([0.5, 0.2, 0.0])
+        src = PointCloud.from_numpy(pts)
+        tgt = PointCloud.from_numpy(apply_np(t_true.matrix, pts))
+        cfg = kiss_mod.KissIcpConfig(voxel_size=0.8, max_range=50.0)
+        res = kiss_mod.kiss_icp(src, tgt, cfg)
+        np.testing.assert_allclose(np.asarray(res.transformation)[:3, 3],
+                                   np.asarray(t_true.matrix)[:3, 3], atol=0.1)
+
+    def test_odometry_pipeline(self):
+        rng = np.random.default_rng(5)
+        pts = rng.uniform(-20, 20, (2000, 3)).astype(np.float32)
+        pts[:, 2] = np.abs(pts[:, 2]) * 0.1
+        odo = kiss_mod.KissIcpOdometry(kiss_mod.KissIcpConfig(voxel_size=1.0))
+        p0 = odo.register_frame(PointCloud.from_numpy(pts))
+        np.testing.assert_allclose(np.asarray(p0.matrix), np.eye(4))
+        shift = np.array([0.3, 0.0, 0.0], np.float32)
+        # moving sensor: world points appear shifted by -shift in frame 2
+        p1 = odo.register_frame(PointCloud.from_numpy(pts - shift))
+        est = np.asarray(p1.matrix)[:3, 3]
+        np.testing.assert_allclose(est, shift, atol=0.15)
+
+
+class TestNdt:
+    def test_gaussians_built(self):
+        pts = box_cloud(2000, scale=4.0)
+        pc = PointCloud.from_numpy(pts)
+        import jax.numpy as jnp
+        g = ndt_mod.build_gaussians(pc.points, pc.mask, jnp.float32(2.0), 5)
+        nv = int(np.asarray(g.grid.n_cells))
+        assert nv > 4
+        valid = np.asarray(g.valid)
+        assert valid.sum() > 0
+        mus = np.asarray(g.means)[valid]
+        assert np.isfinite(mus).all()
+
+    def test_recovers_small_transform(self):
+        pts = surface_cloud(2000, seed=2) * 2.0
+        t_true = Transform.from_translation([0.08, -0.05, 0.02])
+        src = PointCloud.from_numpy(pts)
+        tgt = PointCloud.from_numpy(apply_np(t_true.matrix, pts))
+        cfg = ndt_mod.NdtConfig(resolution=1.0, max_iterations=40,
+                                step_size=0.2)
+        res = ndt_mod.ndt_registration(src, tgt, cfg)
+        np.testing.assert_allclose(np.asarray(res.transformation)[:3, 3],
+                                   [0.08, -0.05, 0.02], atol=0.04)
+        assert float(res.score) > 0
+
+
+class TestVoxelHash:
+    def test_lookup_roundtrip(self, rng):
+        from threecrate_tpu.ops import voxel_hash
+        import jax.numpy as jnp
+        pts = rng.uniform(0, 4, (200, 3)).astype(np.float32)
+        pc = PointCloud.from_numpy(pts)
+        grid = voxel_hash.build_voxel_grid(pc.points, pc.mask,
+                                           jnp.float32(1.0))
+        keys = grid.key_of(pc.points)
+        cell, found = grid.lookup(keys)
+        fm = np.asarray(found) & np.asarray(pc.mask)
+        assert fm[:200].all()
+        # every point's own key must be found at a matching unique row
+        uk = np.asarray(grid.unique_keys)
+        np.testing.assert_array_equal(uk[np.asarray(cell)[fm]],
+                                      np.asarray(keys)[fm])
+
+    def test_gather_neighbors_covers_radius(self, rng):
+        from threecrate_tpu.ops import voxel_hash
+        import jax.numpy as jnp
+        pts = rng.uniform(0, 3, (150, 3)).astype(np.float32)
+        pc = PointCloud.from_numpy(pts)
+        cell = 0.5
+        grid = voxel_hash.build_voxel_grid(pc.points, pc.mask,
+                                           jnp.float32(cell))
+        idx, valid = grid.gather_neighbors(pc.points, cap_per_cell=32)
+        idx, valid = np.asarray(idx), np.asarray(valid)
+        d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+        for q in range(0, 150, 17):
+            within = set(np.nonzero(d2[q] <= cell ** 2)[0])
+            got = set(idx[q][valid[q]])
+            assert within <= got, f"query {q} missing {within - got}"

@@ -1,0 +1,223 @@
+"""ICP registration family: point-to-point, point-to-plane, multiscale.
+
+TPU-native rework of threecrate-algorithms/src/registration.rs. The
+reference's skeleton (registration.rs:258-370) — transform source →
+KD-tree correspondences → Kabsch SVD → compose → MSE convergence — maps
+onto one jitted ``lax.while_loop``:
+
+* correspondences are a blockwise distance-matmul top-1
+  (ops.neighbors.nearest_one) instead of a tree walk;
+* the rigid fit is a masked, weighted Kabsch over the full fixed-shape
+  correspondence set (ops.linalg.kabsch);
+* the loop carries (T, mse, prev_mse, converged) and exits early on
+  |ΔMSE| < threshold, mirroring the reference's convergence test
+  (registration.rs:324-339) — but the whole loop lives on device, so
+  there is no per-iteration host sync (the reference's GPU ICP pays two
+  readbacks per iteration; we pay zero).
+
+Point-to-plane is the Chen & Medioni linearisation
+(registration.rs:395-450): per-point residual n·(Ts − t), 6×6 normal
+equations accumulated as one einsum, solved by damped Cholesky, update
+through the exact se(3) exponential.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.errors import InvalidDataError
+from ..core.point_cloud import PointCloud
+from ..core.transform import Transform, se3_exp, skew
+from . import filtering, linalg, neighbors
+
+
+class ICPResult(NamedTuple):
+    """Mirrors ICPResult (registration.rs:13-24)."""
+
+    transformation: jnp.ndarray   # (4, 4)
+    mse: jnp.ndarray              # scalar f32 (mean squared correspondence dist)
+    iterations: jnp.ndarray       # scalar int32
+    converged: jnp.ndarray        # scalar bool
+    correspondences: jnp.ndarray  # scalar int32 (valid pairs at final iter)
+
+    def as_transform(self) -> Transform:
+        return Transform(self.transformation)
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    max_iterations: int = 50
+    convergence_threshold: float = 1e-6
+    max_correspondence_distance: Optional[float] = None
+
+
+def _prep(source: PointCloud, target: PointCloud):
+    if source.capacity == 0 or target.capacity == 0:
+        raise InvalidDataError("ICP requires non-empty clouds")
+    return (source.points, source.mask, target.points, target.mask)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def _icp_p2p(src, src_mask, tgt, tgt_mask, init, max_iterations,
+             conv_thresh, max_corr_dist):
+    n = src.shape[0]
+
+    def corr_and_fit(t_mat):
+        moved = linalg.transform_points(t_mat, src)
+        res = neighbors.knn(tgt, tgt_mask, moved, src_mask, 1)
+        idx = res.indices[:, 0]
+        dist = res.distances[:, 0]
+        ok = res.mask[:, 0] & src_mask
+        ok = ok & (dist <= max_corr_dist)
+        w = ok.astype(jnp.float32)
+        delta = linalg.kabsch(moved, tgt[idx], w)
+        d2 = jnp.where(ok, dist * dist, 0.0)
+        n_ok = jnp.maximum(jnp.sum(w), 1.0)
+        mse = jnp.sum(d2) / n_ok
+        return delta, mse, jnp.sum(ok).astype(jnp.int32)
+
+    def cond(state):
+        t_mat, prev_mse, mse, it, conv, n_corr = state
+        return (it < max_iterations) & (~conv)
+
+    def body(state):
+        t_mat, prev_mse, mse, it, conv, _ = state
+        delta, new_mse, n_corr = corr_and_fit(t_mat)
+        new_t = delta @ t_mat
+        converged = jnp.abs(new_mse - mse) < conv_thresh
+        return (new_t, mse, new_mse, it + 1, converged, n_corr)
+
+    init_state = (init, jnp.float32(jnp.inf), jnp.float32(jnp.inf),
+                  jnp.int32(0), jnp.bool_(False), jnp.int32(0))
+    t_mat, _, mse, it, conv, n_corr = jax.lax.while_loop(
+        cond, body, init_state)
+    return t_mat, mse, it, conv, n_corr
+
+
+def icp_point_to_point(source: PointCloud, target: PointCloud,
+                       max_iterations: int = 50,
+                       convergence_threshold: float = 1e-6,
+                       max_correspondence_distance: Optional[float] = None,
+                       init: Optional[Transform] = None) -> ICPResult:
+    """icp_detailed (registration.rs:258-370), fully on-device."""
+    src, sm, tgt, tm = _prep(source, target)
+    init_m = init.matrix if init is not None else jnp.eye(4, dtype=jnp.float32)
+    mcd = jnp.float32(max_correspondence_distance
+                      if max_correspondence_distance is not None else jnp.inf)
+    t, mse, it, conv, n_corr = _icp_p2p(
+        src, sm, tgt, tm, init_m, max_iterations,
+        jnp.float32(convergence_threshold), mcd)
+    return ICPResult(t, mse, it, conv, n_corr)
+
+
+def icp(source: PointCloud, target: PointCloud,
+        max_iterations: int = 50, **kw) -> ICPResult:
+    """Convenience entry matching icp() (registration.rs:232-242)."""
+    return icp_point_to_point(source, target, max_iterations, **kw)
+
+
+# ---------------------------------------------------------------------------
+# point-to-plane
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def _icp_p2plane(src, src_mask, tgt, tgt_mask, tgt_normals, init,
+                 max_iterations, conv_thresh, max_corr_dist):
+    def step(t_mat):
+        moved = linalg.transform_points(t_mat, src)
+        res = neighbors.knn(tgt, tgt_mask, moved, src_mask, 1)
+        idx = res.indices[:, 0]
+        dist = res.distances[:, 0]
+        ok = res.mask[:, 0] & src_mask & (dist <= max_corr_dist)
+        w = ok.astype(jnp.float32)
+        q = tgt[idx]
+        nrm = tgt_normals[idx]
+        r = jnp.sum((moved - q) * nrm, axis=1)           # signed plane dist
+        a = jnp.concatenate([jnp.cross(moved, nrm), nrm], axis=1)  # (N, 6)
+        aw = a * w[:, None]
+        h = aw.T @ a                                      # 6x6 (one matmul)
+        g = -(aw.T @ r)
+        xi = linalg.solve_psd(h, g, damping=1e-6)
+        delta = se3_exp(xi)
+        n_ok = jnp.maximum(jnp.sum(w), 1.0)
+        mse = jnp.sum(jnp.where(ok, r * r, 0.0)) / n_ok
+        return delta, mse, jnp.sum(ok).astype(jnp.int32)
+
+    def cond(state):
+        _, _, _, it, conv, _ = state
+        return (it < max_iterations) & (~conv)
+
+    def body(state):
+        t_mat, prev, mse, it, conv, _ = state
+        delta, new_mse, n_corr = step(t_mat)
+        converged = jnp.abs(new_mse - mse) < conv_thresh
+        return (delta @ t_mat, mse, new_mse, it + 1, converged, n_corr)
+
+    state0 = (init, jnp.float32(jnp.inf), jnp.float32(jnp.inf),
+              jnp.int32(0), jnp.bool_(False), jnp.int32(0))
+    t_mat, _, mse, it, conv, n_corr = jax.lax.while_loop(cond, body, state0)
+    return t_mat, mse, it, conv, n_corr
+
+
+def icp_point_to_plane(source: PointCloud, target: PointCloud,
+                       max_iterations: int = 50,
+                       convergence_threshold: float = 1e-6,
+                       max_correspondence_distance: Optional[float] = None,
+                       init: Optional[Transform] = None) -> ICPResult:
+    """Chen & Medioni point-to-plane ICP (registration.rs:395-450,
+    loop :508-602). Target must carry normals (estimate_normals first)."""
+    if target.normals is None:
+        raise InvalidDataError(
+            "point-to-plane ICP requires target normals; run "
+            "ops.normals.estimate_normals(target) first")
+    src, sm, tgt, tm = _prep(source, target)
+    init_m = init.matrix if init is not None else jnp.eye(4, dtype=jnp.float32)
+    mcd = jnp.float32(max_correspondence_distance
+                      if max_correspondence_distance is not None else jnp.inf)
+    t, mse, it, conv, n_corr = _icp_p2plane(
+        src, sm, tgt, tm, target.normals, init_m, max_iterations,
+        jnp.float32(convergence_threshold), mcd)
+    return ICPResult(t, mse, it, conv, n_corr)
+
+
+# ---------------------------------------------------------------------------
+# multiscale (coarse-to-fine voxel pyramid)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class MultiscaleConfig:
+    """Mirrors the coarse-to-fine defaults (registration.rs:28-71)."""
+
+    voxel_levels: Sequence[float] = (0.20, 0.10, 0.05)
+    iterations_per_level: int = 20
+    final_full_res_iterations: int = 15
+    convergence_threshold: float = 1e-6
+
+
+def multiscale_icp_point_to_point(source: PointCloud, target: PointCloud,
+                                  config: MultiscaleConfig = MultiscaleConfig(),
+                                  init: Optional[Transform] = None
+                                  ) -> ICPResult:
+    """multiscale_icp_point_to_point (registration.rs:704-789): run ICP
+    on a voxel pyramid coarse→fine, then refine at full resolution.
+    The per-level ICPs are jitted; the pyramid loop is host-side (it is
+    O(levels) jit dispatches, nothing per-point)."""
+    current = init if init is not None else Transform.identity()
+    result = None
+    for voxel in config.voxel_levels:
+        src_d = filtering.voxel_grid_filter(source, voxel)
+        tgt_d = filtering.voxel_grid_filter(target, voxel)
+        result = icp_point_to_point(
+            src_d, tgt_d, config.iterations_per_level,
+            config.convergence_threshold,
+            max_correspondence_distance=voxel * 5.0, init=current)
+        current = Transform(result.transformation)
+    final = icp_point_to_point(
+        source, target, config.final_full_res_iterations,
+        config.convergence_threshold, init=current)
+    return final
