@@ -1,0 +1,147 @@
+"""Feature descriptor + global registration tests.
+
+Reference patterns: synthetic plane clouds for FPFH (benches/fpfh.rs
+fixtures), descriptor-similarity assertions, full-pipeline transform
+recovery."""
+
+import numpy as np
+import pytest
+
+from threecrate_tpu import PointCloud, Transform
+from threecrate_tpu.ops import features, global_registration, normals
+
+
+def bumpy_surface(n=800, seed=0):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(-2, 2, (n, 2)).astype(np.float32)
+    z = 0.5 * np.sin(xy[:, 0] * 2.5) * np.cos(xy[:, 1] * 1.5)
+    return np.stack([xy[:, 0], xy[:, 1], z], -1).astype(np.float32)
+
+
+def with_normals(pts, k=10):
+    pc = PointCloud.from_numpy(pts)
+    return normals.estimate_normals(pc, k=k)
+
+
+class TestFpfh:
+    def test_shape_and_normalisation(self):
+        pc = with_normals(bumpy_surface())
+        res = features.extract_fpfh_features_with_normals(
+            pc, features.FpfhConfig(radius=0.5))
+        d = np.asarray(res.descriptors)
+        v = np.asarray(res.valid)
+        assert d.shape[1] == features.FPFH_DIM
+        assert v.sum() > 700
+        # each 11-bin block sums to ~100
+        for b in range(3):
+            block = d[v][:, b * 11:(b + 1) * 11].sum(1)
+            np.testing.assert_allclose(block, 100.0, atol=1e-2)
+
+    def test_requires_normals(self):
+        from threecrate_tpu.core.errors import InvalidDataError
+        pc = PointCloud.from_numpy(bumpy_surface(100))
+        with pytest.raises(InvalidDataError):
+            features.extract_fpfh_features_with_normals(pc)
+
+    def test_rotation_invariance(self):
+        """FPFH is built on a Darboux frame → invariant to rigid motion."""
+        pts = bumpy_surface(600, seed=1)
+        t = Transform.from_axis_angle([0.2, 0.5, 1.0], 0.8) @ \
+            Transform.from_translation([3.0, -2.0, 1.0])
+        pts2 = pts @ np.asarray(t.matrix)[:3, :3].T + np.asarray(t.matrix)[:3, 3]
+        r1 = features.extract_fpfh_features(
+            PointCloud.from_numpy(pts), features.FpfhConfig(radius=0.5))
+        r2 = features.extract_fpfh_features(
+            PointCloud.from_numpy(pts2.astype(np.float32)),
+            features.FpfhConfig(radius=0.5))
+        d1, d2 = np.asarray(r1.descriptors), np.asarray(r2.descriptors)
+        v = np.asarray(r1.valid) & np.asarray(r2.valid)
+        err = np.abs(d1[v] - d2[v]).mean()
+        assert err < 5.0  # small numerical drift only
+
+    def test_flat_plane_concentrated_bins(self):
+        """On a perfect plane all pair angles are identical → histograms
+        concentrate (high max bin)."""
+        xs, ys = np.meshgrid(np.linspace(0, 1, 20), np.linspace(0, 1, 20))
+        pts = np.stack([xs.ravel(), ys.ravel(), np.zeros(400)], -1
+                       ).astype(np.float32)
+        pc = with_normals(pts)
+        res = features.extract_fpfh_features_with_normals(
+            pc, features.FpfhConfig(radius=0.2))
+        d = np.asarray(res.descriptors)[np.asarray(res.valid)]
+        # α and φ blocks should be highly peaked on a plane
+        assert d[:, 11:22].max(1).mean() > 60
+        assert d[:, 22:33].max(1).mean() > 60
+
+
+class TestShot:
+    def test_shape_and_unit_norm(self):
+        pc = with_normals(bumpy_surface())
+        res = features.extract_shot_features(
+            pc, features.ShotConfig(radius=0.6))
+        d = np.asarray(res.descriptors)
+        v = np.asarray(res.valid)
+        assert d.shape[1] == features.SHOT_DIM
+        np.testing.assert_allclose(np.linalg.norm(d[v], axis=1), 1.0,
+                                   atol=1e-4)
+
+    def test_usc_shape(self):
+        pc = PointCloud.from_numpy(bumpy_surface())
+        res = features.extract_usc_features(
+            pc, features.ShotConfig(radius=0.6))
+        d = np.asarray(res.descriptors)
+        assert d.shape[1] == features.USC_DIM
+        assert np.asarray(res.valid).sum() > 700
+
+    def test_shot_discriminates(self):
+        """Points from flat vs curved regions get different descriptors."""
+        pc = with_normals(bumpy_surface(1000, seed=2))
+        res = features.extract_shot_features(
+            pc, features.ShotConfig(radius=0.6))
+        d = np.asarray(res.descriptors)[np.asarray(res.valid)]
+        assert d.std(0).sum() > 0.1
+
+
+class TestMatching:
+    def test_identity_match(self):
+        pc = with_normals(bumpy_surface(400))
+        res = features.extract_fpfh_features_with_normals(
+            pc, features.FpfhConfig(radius=0.5))
+        j, dist, ok = features.match_descriptors(
+            res.descriptors, res.valid, res.descriptors, res.valid)
+        jj = np.asarray(j)[np.asarray(ok)]
+        expect = np.arange(pc.capacity)[np.asarray(ok)]
+        assert (jj == expect).mean() > 0.95
+
+
+class TestGlobalRegistration:
+    def test_recovers_large_transform(self):
+        pts = bumpy_surface(700, seed=4)
+        t_true = Transform.from_axis_angle([0, 0, 1.0], 0.6) @ \
+            Transform.from_translation([1.5, -0.8, 0.4])
+        tgt = pts @ np.asarray(t_true.matrix)[:3, :3].T \
+            + np.asarray(t_true.matrix)[:3, 3]
+        cfg = global_registration.GlobalRegistrationConfig(
+            ransac_iterations=8192, fpfh_radius=0.5,
+            distance_threshold=0.05, refine_with_icp=True)
+        res = global_registration.global_registration(
+            PointCloud.from_numpy(pts),
+            PointCloud.from_numpy(tgt.astype(np.float32)), cfg)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.transformation),
+                                   np.asarray(t_true.matrix), atol=0.05)
+
+    def test_too_few_correspondences_rejected(self):
+        from threecrate_tpu.core.errors import InvalidDataError
+        pts = bumpy_surface(20)
+        pc1 = with_normals(pts, k=5)
+        import jax.numpy as jnp
+        # invalidate all target descriptors
+        res = features.extract_fpfh_features_with_normals(
+            pc1, features.FpfhConfig(radius=0.5))
+        cfg = global_registration.GlobalRegistrationConfig(
+            ransac_iterations=64)
+        with pytest.raises(InvalidDataError):
+            global_registration.global_registration_with_features(
+                pc1, pc1, res.descriptors, res.valid,
+                res.descriptors, jnp.zeros_like(res.valid), cfg)

@@ -1,0 +1,80 @@
+"""Sharded-kernel tests on the virtual 8-device CPU mesh.
+
+No reference precedent (the reference is single-process); oracle =
+our own single-device kernels, per SURVEY §4's guidance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from threecrate_tpu import PointCloud, Transform
+from threecrate_tpu.ops import neighbors, registration
+from threecrate_tpu.parallel import (
+    make_mesh, make_sharded_icp, make_sharded_knn, put_sharded)
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def surface_cloud(n=1024, seed=0):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(-2, 2, (n, 2)).astype(np.float32)
+    z = 0.4 * np.sin(xy[:, 0] * 2.0) + 0.3 * np.cos(xy[:, 1] * 1.7)
+    return np.stack([xy[:, 0], xy[:, 1], z], -1).astype(np.float32)
+
+
+class TestRingKnn:
+    def test_matches_local_knn(self):
+        mesh = make_mesh(8)
+        pts = surface_cloud(1024)
+        q = surface_cloud(512, seed=3)
+        knn_fn = make_sharded_knn(mesh, k=4)
+        db = put_sharded(jnp.asarray(pts), mesh)
+        dbm = put_sharded(jnp.ones(1024, bool), mesh)
+        qs = put_sharded(jnp.asarray(q), mesh)
+        dist, idx = knn_fn(qs, db, dbm)
+        ref = neighbors.knn(jnp.asarray(pts), jnp.ones(1024, bool),
+                            jnp.asarray(q), None, 4)
+        np.testing.assert_allclose(np.asarray(dist),
+                                   np.asarray(ref.distances), atol=1e-4)
+        # indices agree wherever distances are unambiguous
+        gap = np.diff(np.asarray(ref.distances), axis=1) > 1e-5
+        ii, ri = np.asarray(idx), np.asarray(ref.indices)
+        agree = (ii == ri)
+        assert agree[:, 0][gap[:, 0]].mean() > 0.99
+
+
+class TestShardedIcp:
+    def test_matches_single_device(self):
+        mesh = make_mesh(8)
+        pts = surface_cloud(2048)
+        t_true = Transform.from_translation([0.05, -0.02, 0.01])
+        tgt = pts @ np.asarray(t_true.matrix)[:3, :3].T \
+            + np.asarray(t_true.matrix)[:3, 3]
+        icp_fn = make_sharded_icp(mesh, max_iterations=30)
+        src_s = put_sharded(jnp.asarray(pts), mesh)
+        sm = put_sharded(jnp.ones(2048, bool), mesh)
+        tgt_s = put_sharded(jnp.asarray(tgt.astype(np.float32)), mesh)
+        tm = put_sharded(jnp.ones(2048, bool), mesh)
+        t, mse, it, conv = icp_fn(src_s, sm, tgt_s, tm)
+        np.testing.assert_allclose(np.asarray(t),
+                                   np.asarray(t_true.matrix), atol=3e-3)
+        assert float(mse) < 1e-4
+
+    def test_masked_padding_ignored(self):
+        mesh = make_mesh(8)
+        pts = surface_cloud(1024)
+        mask = np.ones(1024, bool)
+        mask[900:] = False  # padded garbage region
+        pts_bad = pts.copy()
+        pts_bad[900:] = 1e3
+        icp_fn = make_sharded_icp(mesh, max_iterations=10)
+        t, mse, it, conv = icp_fn(
+            put_sharded(jnp.asarray(pts_bad), mesh),
+            put_sharded(jnp.asarray(mask), mesh),
+            put_sharded(jnp.asarray(pts_bad), mesh),
+            put_sharded(jnp.asarray(mask), mesh))
+        np.testing.assert_allclose(np.asarray(t), np.eye(4), atol=1e-3)

@@ -1,0 +1,28 @@
+"""Sharding / distributed layer: device meshes, ring collectives, and
+the out-of-core streaming pipeline."""
+
+from .mesh import (
+    POINTS_AXIS,
+    make_mesh,
+    put_replicated,
+    put_sharded,
+    replicated_spec,
+    shard_cloud_spec,
+)
+from .sharded import (
+    global_stats_local,
+    icp_sharded_loop,
+    icp_sharded_step,
+    make_sharded_icp,
+    make_sharded_knn,
+    make_sharded_outlier_stats,
+    ring_knn_local,
+)
+
+__all__ = [
+    "POINTS_AXIS", "make_mesh", "put_replicated", "put_sharded",
+    "replicated_spec", "shard_cloud_spec",
+    "global_stats_local", "icp_sharded_loop", "icp_sharded_step",
+    "make_sharded_icp", "make_sharded_knn", "make_sharded_outlier_stats",
+    "ring_knn_local",
+]

@@ -1,0 +1,245 @@
+"""Mesh-sharded kernels: ring kNN correspondence and distributed ICP.
+
+The scaling layer the reference never had (SURVEY §2.10/§5): giant
+clouds shard over the N-points axis of a 1-D device mesh. Neighbor
+search against a sharded database is a **ring pass**: each device keeps
+its query shard resident and rotates database shards around the ring
+with ``ppermute``, merging a running top-k — structurally identical to
+ring attention, with distance tiles in place of logits. Global
+reductions (Kabsch cross-covariance, MSE, outlier statistics) are
+``psum`` over the same axis, riding ICI.
+
+Everything here is written *inside* ``shard_map`` bodies, jitted over a
+``Mesh`` from ``parallel.mesh``. On one device it degrades to the local
+kernels (the ring has a single link).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..core.transform import se3_exp
+from ..ops import linalg
+from .mesh import POINTS_AXIS
+
+
+# ---------------------------------------------------------------------------
+# in-shard_map building blocks
+# ---------------------------------------------------------------------------
+
+def _local_topk_merge(best_neg, best_pts, best_idx, q, db, db_mask,
+                      idx_offset, k):
+    """Merge (query-shard × db-shard) distances into the running top-k.
+
+    Carries the best candidate *coordinates* alongside indices so the
+    ring never needs a second gather pass to fetch matched points.
+    """
+    qn = jnp.sum(q * q, axis=-1)
+    pn = jnp.sum(db * db, axis=-1)
+    cross = jax.lax.dot_general(
+        q, db, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    d2 = jnp.maximum(qn[:, None] + pn[None, :] - 2.0 * cross, 0.0)
+    neg = jnp.where(db_mask[None, :], -d2, -jnp.inf)
+    idx = idx_offset + jax.lax.broadcasted_iota(jnp.int32, neg.shape, 1)
+
+    cand_neg = jnp.concatenate([best_neg, neg], axis=1)
+    top_neg, pos = jax.lax.top_k(cand_neg, k)
+    # gather merged candidate points/indices
+    m = best_neg.shape[1]
+    from_old = pos < m
+    old_pos = jnp.minimum(pos, m - 1)
+    new_pos = jnp.clip(pos - m, 0, neg.shape[1] - 1)
+    pts_new = db[new_pos]                       # (Q, k, 3)
+    pts_old = jnp.take_along_axis(best_pts, old_pos[..., None], axis=1)
+    idx_new = jnp.take_along_axis(idx, new_pos, axis=1)
+    idx_old = jnp.take_along_axis(best_idx, old_pos, axis=1)
+    out_pts = jnp.where(from_old[..., None], pts_old, pts_new)
+    out_idx = jnp.where(from_old, idx_old, idx_new)
+    return top_neg, out_pts, out_idx
+
+
+def ring_knn_local(q, db_shard, db_mask_shard, k, axis_name=POINTS_AXIS):
+    """Ring all-shards kNN; call inside shard_map.
+
+    q: (Qs, 3) local query shard. db_shard: (Ns, 3) local database
+    shard. Returns (neg_sq_dist (Qs,k), matched points (Qs,k,3), global
+    indices (Qs,k)).
+    """
+    nd = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    shard_size = db_shard.shape[0]
+    nq = q.shape[0]
+
+    init = (jnp.full((nq, k), -jnp.inf, jnp.float32),
+            jnp.zeros((nq, k, 3), jnp.float32),
+            jnp.zeros((nq, k), jnp.int32),
+            db_shard, db_mask_shard)
+    perm = [(i, (i + 1) % nd) for i in range(nd)]
+
+    def body(step, carry):
+        best_neg, best_pts, best_idx, cur_db, cur_mask = carry
+        src_dev = (me - step) % nd           # owner of the shard we hold
+        best_neg, best_pts, best_idx = _local_topk_merge(
+            best_neg, best_pts, best_idx, q, cur_db, cur_mask,
+            src_dev * shard_size, k)
+        cur_db = jax.lax.ppermute(cur_db, axis_name, perm)
+        cur_mask = jax.lax.ppermute(cur_mask, axis_name, perm)
+        return (best_neg, best_pts, best_idx, cur_db, cur_mask)
+
+    best_neg, best_pts, best_idx, _, _ = jax.lax.fori_loop(
+        0, nd, body, init)
+    return best_neg, best_pts, best_idx
+
+
+def _distributed_kabsch(moved, matched, w, axis_name):
+    """Weighted Kabsch with psum-reduced moments (two-pass, stable)."""
+    wsum = jax.lax.psum(jnp.sum(w), axis_name)
+    wsum = jnp.maximum(wsum, 1e-12)
+    mu_s = jax.lax.psum(jnp.sum(moved * w[:, None], 0), axis_name) / wsum
+    mu_t = jax.lax.psum(jnp.sum(matched * w[:, None], 0), axis_name) / wsum
+    ds = moved - mu_s
+    dt = matched - mu_t
+    h_local = jnp.einsum("ni,nj,n->ij", ds, dt, w,
+                         precision=jax.lax.Precision.HIGHEST)
+    h = jax.lax.psum(h_local, axis_name)
+    u, _, vt = jnp.linalg.svd(h)
+    d = jnp.sign(jnp.linalg.det(vt.T @ u.T))
+    diag = jnp.diag(jnp.array([1.0, 1.0, 1.0], moved.dtype)).at[2, 2].set(d)
+    r = vt.T @ diag @ u.T
+    t = mu_t - r @ mu_s
+    m = jnp.eye(4, dtype=moved.dtype)
+    m = m.at[:3, :3].set(r)
+    m = m.at[:3, 3].set(t)
+    return m, wsum
+
+
+def icp_sharded_step(src, src_mask, tgt, tgt_mask, t_mat, max_corr_dist,
+                     axis_name=POINTS_AXIS):
+    """One distributed ICP iteration (call inside shard_map):
+    ring top-1 correspondence + psum Kabsch. Returns (delta, mse, n_corr)."""
+    moved = linalg.transform_points(t_mat, src)
+    neg, pts, _ = ring_knn_local(moved, tgt, tgt_mask, 1, axis_name)
+    dist = jnp.sqrt(jnp.maximum(-neg[:, 0], 0.0))
+    ok = jnp.isfinite(dist) & src_mask & (dist <= max_corr_dist)
+    w = ok.astype(jnp.float32)
+    matched = pts[:, 0]
+    delta, wsum = _distributed_kabsch(moved, matched, w, axis_name)
+    sq = jnp.where(ok, dist * dist, 0.0)
+    mse = jax.lax.psum(jnp.sum(sq), axis_name) / wsum
+    n_corr = jax.lax.psum(jnp.sum(ok.astype(jnp.int32)), axis_name)
+    return delta, mse, n_corr
+
+
+def icp_sharded_loop(src, src_mask, tgt, tgt_mask, init, max_iterations,
+                     conv_thresh, max_corr_dist, axis_name=POINTS_AXIS):
+    """Full distributed ICP fixed-point loop (inside shard_map)."""
+    def cond(state):
+        _, _, _, it, conv = state
+        return (it < max_iterations) & (~conv)
+
+    def body(state):
+        t_mat, _, mse, it, conv = state
+        delta, new_mse, _ = icp_sharded_step(
+            src, src_mask, tgt, tgt_mask, t_mat, max_corr_dist, axis_name)
+        converged = jnp.abs(new_mse - mse) < conv_thresh
+        return (delta @ t_mat, mse, new_mse, it + 1, converged)
+
+    state0 = (init, jnp.float32(jnp.inf), jnp.float32(jnp.inf),
+              jnp.int32(0), jnp.bool_(False))
+    t_mat, _, mse, it, conv = jax.lax.while_loop(cond, body, state0)
+    return t_mat, mse, it, conv
+
+
+def global_stats_local(values, mask, axis_name=POINTS_AXIS):
+    """Distributed mean/σ of a masked per-point quantity — the sharded
+    form of statistical_outlier_removal's global statistics
+    (filtering.rs:299-309 → one psum)."""
+    cnt = jax.lax.psum(jnp.sum(mask.astype(jnp.float32)), axis_name)
+    cnt = jnp.maximum(cnt, 1.0)
+    mu = jax.lax.psum(jnp.sum(jnp.where(mask, values, 0.0)), axis_name) / cnt
+    var = jax.lax.psum(
+        jnp.sum(jnp.where(mask, (values - mu) ** 2, 0.0)), axis_name) / cnt
+    return mu, jnp.sqrt(var)
+
+
+# ---------------------------------------------------------------------------
+# public jitted entry points over a Mesh
+# ---------------------------------------------------------------------------
+
+def make_sharded_icp(mesh: Mesh, max_iterations: int = 20,
+                     convergence_threshold: float = 1e-6,
+                     max_correspondence_distance: float = jnp.inf,
+                     axis_name: str = POINTS_AXIS):
+    """Build a jitted distributed-ICP callable over ``mesh``.
+
+    Inputs: src/tgt point arrays sharded on axis 0 (+masks); returns
+    (transform (4,4) replicated, mse, iterations, converged).
+    """
+    spec_pts = P(axis_name)
+    spec_rep = P()
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec_pts, spec_pts, spec_pts, spec_pts),
+        out_specs=(spec_rep, spec_rep, spec_rep, spec_rep),
+        check_vma=False)
+    def _run(src, src_mask, tgt, tgt_mask):
+        t, mse, it, conv = icp_sharded_loop(
+            src, src_mask, tgt, tgt_mask,
+            jnp.eye(4, dtype=jnp.float32), max_iterations,
+            jnp.float32(convergence_threshold),
+            jnp.float32(max_correspondence_distance), axis_name)
+        return t, mse, it, conv
+
+    return jax.jit(_run)
+
+
+def make_sharded_knn(mesh: Mesh, k: int, axis_name: str = POINTS_AXIS):
+    """Jitted ring kNN: queries & database both sharded over the mesh.
+    Returns (distances (Q,k), global indices (Q,k)) sharded like the
+    queries."""
+    spec_pts = P(axis_name)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec_pts, spec_pts, spec_pts),
+        out_specs=(spec_pts, spec_pts),
+        check_vma=False)
+    def _run(q, db, db_mask):
+        neg, _, idx = ring_knn_local(q, db, db_mask, k, axis_name)
+        return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx
+
+    return jax.jit(_run)
+
+
+def make_sharded_outlier_stats(mesh: Mesh, k: int,
+                               axis_name: str = POINTS_AXIS):
+    """Jitted distributed statistical-outlier pass: per-point mean kNN
+    distance against the sharded cloud itself, global mean/σ via psum,
+    returns the inlier mask (sharded)."""
+    spec_pts = P(axis_name)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec_pts, spec_pts, spec_rep_f32 := P()),
+        out_specs=spec_pts,
+        check_vma=False)
+    def _run(pts, mask, std_multiplier):
+        neg, _, idx = ring_knn_local(pts, pts, mask, k + 1, axis_name)
+        d = jnp.sqrt(jnp.maximum(-neg, 0.0))
+        # drop the self-match (distance 0 column)
+        nd = jnp.where(jnp.isfinite(d), d, 0.0)
+        cnt = jnp.sum(jnp.isfinite(d), axis=1) - 1
+        mean_d = (jnp.sum(nd, axis=1)) / jnp.maximum(cnt, 1)
+        mu, sigma = global_stats_local(mean_d, mask, axis_name)
+        return mask & (mean_d <= mu + std_multiplier * sigma)
+
+    return jax.jit(_run)
