@@ -302,6 +302,118 @@ def knn_grid(db_points: jnp.ndarray, db_mask: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Morton sliding-window kNN: the speed-of-light self-kNN path
+# ---------------------------------------------------------------------------
+
+def _dedup_rows(neg: jnp.ndarray, idx: jnp.ndarray, k: int):
+    """Row-wise duplicate-index removal then top-k (rows are ~2-4k wide)."""
+    order = jnp.argsort(idx, axis=1)
+    sidx = jnp.take_along_axis(idx, order, axis=1)
+    sneg = jnp.take_along_axis(neg, order, axis=1)
+    dup = jnp.concatenate([jnp.zeros_like(sidx[:, :1], bool),
+                           sidx[:, 1:] == sidx[:, :-1]], axis=1)
+    sneg = jnp.where(dup, -jnp.inf, sneg)
+    top_neg, pos = jax.lax.top_k(sneg, k)
+    return top_neg, jnp.take_along_axis(sidx, pos, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile", "n_passes", "recall_target",
+                              "exclude_self", "window"))
+def knn_window(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
+               tile: int = 256, n_passes: int = 2, window: int = 1,
+               recall_target: float = 0.95,
+               exclude_self: bool = False) -> KnnResult:
+    """Approximate self-kNN via Morton-order sliding windows.
+
+    The TPU-native large-N design (no tree, no hash, no random gather):
+    1. sort points along a Z-order curve (one device sort);
+    2. tile the sorted array; each tile's candidate set is itself plus
+       its left/right neighbor tiles — **dense shifted views**, so the
+       distance computation is one batched (tile × 3·tile) matmul on
+       the MXU per tile, all tiles in parallel;
+    3. repeat with a shifted/axis-rolled curve per pass and merge with
+       row dedup — points split across a curve discontinuity in one
+       pass are contiguous in another.
+
+    Recall is typically >95% at k≈10 with 2 passes on scan-like data
+    (exactness tests use ``knn``; this is the bench/normals fast path,
+    mirroring how the reference pairs its KD-tree with SIMD brute force).
+    """
+    from . import morton
+
+    n = points.shape[0]
+    points = points.astype(jnp.float32)
+    best_neg = jnp.full((n, k), -jnp.inf, jnp.float32)
+    best_idx = jnp.zeros((n, k), jnp.int32)
+
+    for p in range(n_passes):
+        keys = morton.morton_keys(points, mask, pass_index=p)
+        _, perm = jax.lax.sort(
+            (keys, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+        sp = points[perm]
+        sv = mask[perm]
+
+        n_pad = padding.round_up(n, tile)
+        if n_pad != n:
+            sp = jnp.pad(sp, ((0, n_pad - n), (0, 0)))
+            sv = jnp.pad(sv, (0, n_pad - n))
+            perm_p = jnp.pad(perm, (0, n_pad - n))
+        else:
+            perm_p = perm
+        t = n_pad // tile
+        sp_t = sp.reshape(t, tile, 3)
+        sv_t = sv.reshape(t, tile)
+        perm_t = perm_p.reshape(t, tile)
+
+        shifts = list(range(window, 0, -1)) + [0] + \
+            [-s for s in range(1, window + 1)]
+        cand = jnp.concatenate([jnp.roll(sp_t, s, 0) for s in shifts], axis=1)
+        cand_v = jnp.concatenate([jnp.roll(sv_t, s, 0) for s in shifts],
+                                 axis=1)
+        cand_i = jnp.concatenate([jnp.roll(perm_t, s, 0) for s in shifts],
+                                 axis=1)
+
+        qn = jnp.sum(sp_t * sp_t, axis=-1)            # (t, tile)
+        pn = jnp.sum(cand * cand, axis=-1)            # (t, 3·tile)
+        cross = jnp.einsum("tqc,tpc->tqp", sp_t, cand,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        d2 = jnp.maximum(qn[..., None] + pn[:, None, :] - 2.0 * cross, 0.0)
+        neg = jnp.where(cand_v[:, None, :], -d2, -jnp.inf)
+        if exclude_self:
+            neg = jnp.where(cand_i[:, None, :] == perm_t[:, :, None],
+                            -jnp.inf, neg)
+
+        kk = min(k, neg.shape[-1])
+        if recall_target < 1.0:
+            top_neg, pos = jax.lax.approx_max_k(neg, kk,
+                                                recall_target=recall_target)
+        else:
+            top_neg, pos = jax.lax.top_k(neg, kk)
+        top_idx = jnp.take_along_axis(cand_i[:, None, :].repeat(tile, 1),
+                                      pos, axis=2)
+        pass_neg = top_neg.reshape(n_pad, kk)[:n]
+        pass_idx = top_idx.reshape(n_pad, kk)[:n]
+        # back to original point order
+        orig_neg = jnp.zeros((n, kk), jnp.float32).at[perm].set(pass_neg)
+        orig_idx = jnp.zeros((n, kk), jnp.int32).at[perm].set(pass_idx)
+
+        if p == 0 and kk == k:
+            best_neg, best_idx = orig_neg, orig_idx
+        else:
+            best_neg, best_idx = _dedup_rows(
+                jnp.concatenate([best_neg, orig_neg], axis=1),
+                jnp.concatenate([best_idx, orig_idx], axis=1), k)
+
+    d2 = -best_neg
+    valid = jnp.isfinite(d2) & mask[:, None]
+    dist = jnp.sqrt(jnp.where(valid, d2, jnp.inf))
+    return KnnResult(jnp.clip(best_idx, 0, n - 1),
+                     jnp.where(valid, dist, jnp.inf), valid)
+
+
+# ---------------------------------------------------------------------------
 # Object-style wrappers mirroring the reference trait surface
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,209 @@
+"""TSDF fusion: projective truncated-signed-distance integration.
+
+TPU-native rework of threecrate-gpu/src/tsdf.rs + its WGSL kernels:
+``TsdfVolume{voxel_size, truncation_distance, resolution, origin}``
+(tsdf.rs:24-29), per-voxel projective update (voxel→world→camera→pixel,
+truncated SDF + weighted running average —
+shaders/tsdf_integration.wgsl:34-60) and zero-crossing surface
+extraction (shaders/surface_extraction.wgsl:33-50).
+
+The wgpu version uploads the depth image, dispatches one thread per
+voxel, and *reads the whole volume back every call*. Here the volume
+is a resident device array; ``integrate`` is a pure (volume, frame) →
+volume function — XLA fuses the entire projective update into one
+elementwise pass over the grid, and a depth-sequence fuses via
+``lax.scan`` with zero host round-trips (the README-conceded blocking
+-readback bottleneck simply doesn't exist).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.organized import CameraIntrinsics
+from ..core.point_cloud import PointCloud
+
+
+class TsdfVolume(NamedTuple):
+    """Volume state: pure pytree, update = functional replace."""
+
+    tsdf: jnp.ndarray      # (nx, ny, nz) f32 in [-1, 1]
+    weight: jnp.ndarray    # (nx, ny, nz) f32
+    color: Optional[jnp.ndarray]  # (nx, ny, nz, 3) f32 or None
+    origin: jnp.ndarray    # (3,)
+    voxel_size: jnp.ndarray       # scalar
+    truncation: jnp.ndarray       # scalar
+
+    @property
+    def resolution(self) -> Tuple[int, int, int]:
+        return self.tsdf.shape
+
+
+def create_volume(resolution: Tuple[int, int, int], voxel_size: float,
+                  origin=(0.0, 0.0, 0.0), truncation: Optional[float] = None,
+                  with_color: bool = False) -> TsdfVolume:
+    """Fresh volume (TsdfVolumeGpu::new, tsdf.rs:551-600). Truncation
+    defaults to 4 voxels like the reference."""
+    nx, ny, nz = resolution
+    trunc = truncation if truncation is not None else 4.0 * voxel_size
+    return TsdfVolume(
+        tsdf=jnp.ones((nx, ny, nz), jnp.float32),
+        weight=jnp.zeros((nx, ny, nz), jnp.float32),
+        color=jnp.zeros((nx, ny, nz, 3), jnp.float32) if with_color else None,
+        origin=jnp.asarray(origin, jnp.float32),
+        voxel_size=jnp.float32(voxel_size),
+        truncation=jnp.float32(trunc))
+
+
+def _voxel_centers(vol: TsdfVolume) -> jnp.ndarray:
+    nx, ny, nz = vol.resolution
+    ix = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 0)
+    iy = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 1)
+    iz = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 2)
+    grid = jnp.stack([ix, iy, iz], axis=-1) + 0.5
+    return vol.origin + grid * vol.voxel_size
+
+
+@functools.partial(jax.jit, static_argnames=("max_weight",))
+def integrate(vol: TsdfVolume, depth: jnp.ndarray, intr: jnp.ndarray,
+              cam_to_world: jnp.ndarray,
+              rgb: Optional[jnp.ndarray] = None,
+              depth_scale: float = 1.0,
+              max_weight: float = 64.0) -> TsdfVolume:
+    """Fuse one depth frame (tsdf_integration.wgsl:34-60 semantics).
+
+    depth: (H, W) in meters·depth_scale (0 = invalid). intr: (4,) array
+    [fx, fy, cx, cy]. cam_to_world: (4, 4) camera pose; the inverse
+    (world→camera) is computed on device (the reference inverts on CPU,
+    tsdf.rs:155-160).
+    """
+    h, w = depth.shape
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+
+    r = cam_to_world[:3, :3]
+    t = cam_to_world[:3, 3]
+    rt = r.T
+    world = _voxel_centers(vol)                     # (nx, ny, nz, 3)
+    cam = jnp.einsum("ij,xyzj->xyzi", rt, world - t)
+
+    z = cam[..., 2]
+    u = cam[..., 0] / jnp.maximum(z, 1e-9) * fx + cx
+    v = cam[..., 1] / jnp.maximum(z, 1e-9) * fy + cy
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    in_img = (z > 1e-6) & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+    ui = jnp.clip(ui, 0, w - 1)
+    vi = jnp.clip(vi, 0, h - 1)
+
+    d = depth[vi, ui].astype(jnp.float32) / depth_scale
+    valid = in_img & (d > 1e-6)
+    sdf = d - z
+    update = valid & (sdf > -vol.truncation)
+    tsdf_new = jnp.clip(sdf / vol.truncation, -1.0, 1.0)
+
+    w_old = vol.weight
+    w_add = update.astype(jnp.float32)
+    w_new = jnp.minimum(w_old + w_add, max_weight)
+    denom = jnp.maximum(w_old + w_add, 1e-9)
+    fused = (vol.tsdf * w_old + tsdf_new * w_add) / denom
+    fused = jnp.where(update, fused, vol.tsdf)
+
+    color = vol.color
+    if color is not None and rgb is not None:
+        c = rgb[vi, ui].astype(jnp.float32)
+        cf = (color * w_old[..., None] + c * w_add[..., None]) \
+            / denom[..., None]
+        color = jnp.where(update[..., None], cf, color)
+
+    return TsdfVolume(fused, w_new, color, vol.origin, vol.voxel_size,
+                      vol.truncation)
+
+
+def integrate_sequence(vol: TsdfVolume, depths: jnp.ndarray,
+                       intr: jnp.ndarray, poses: jnp.ndarray,
+                       depth_scale: float = 1.0) -> TsdfVolume:
+    """Fuse a whole (T, H, W) depth sequence via lax.scan — the batched
+    analog of the reference's per-frame dispatch loop."""
+    def step(v, frame):
+        depth, pose = frame
+        return integrate(v, depth, intr, pose,
+                         depth_scale=depth_scale), None
+    out, _ = jax.lax.scan(step, vol, (depths, poses))
+    return out
+
+
+class SurfacePoints(NamedTuple):
+    cloud: PointCloud
+    count: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("min_weight",))
+def extract_surface(vol: TsdfVolume, min_weight: float = 1.0
+                    ) -> SurfacePoints:
+    """Zero-crossing point extraction (surface_extraction.wgsl:33-50).
+
+    For each voxel whose TSDF changes sign against its +x/+y/+z
+    neighbor, emit the linearly interpolated crossing point. Fixed
+    capacity = 3·grid (mask-compacted); the wgpu version's atomic
+    append-counter becomes a prefix-sum compaction.
+    """
+    tsdf, weight = vol.tsdf, vol.weight
+    centers = _voxel_centers(vol)
+    pts_list, ok_list = [], []
+    for axis in range(3):
+        shift = jnp.roll(tsdf, -1, axis=axis)
+        wshift = jnp.roll(weight, -1, axis=axis)
+        # exclude wraparound face
+        idx = jax.lax.broadcasted_iota(jnp.int32, tsdf.shape, axis)
+        interior = idx < (tsdf.shape[axis] - 1)
+        cross = (jnp.sign(tsdf) != jnp.sign(shift)) & interior \
+            & (weight >= min_weight) & (wshift >= min_weight) \
+            & (jnp.abs(tsdf - shift) > 1e-12)
+        frac = tsdf / jnp.where(jnp.abs(tsdf - shift) > 1e-12,
+                                tsdf - shift, 1.0)
+        offset = jnp.zeros((3,), jnp.float32).at[axis].set(1.0) \
+            * vol.voxel_size
+        p = centers + frac[..., None] * offset
+        pts_list.append(p.reshape(-1, 3))
+        ok_list.append(cross.reshape(-1))
+    pts = jnp.concatenate(pts_list, axis=0)
+    ok = jnp.concatenate(ok_list, axis=0)
+    # compact valid points to the front (stable prefix-sum scatter)
+    order = jnp.argsort(~ok)                  # valid first, stable
+    pts_sorted = pts[order]
+    ok_sorted = ok[order]
+    cloud = PointCloud(pts_sorted, ok_sorted, {})
+    return SurfacePoints(cloud, jnp.sum(ok).astype(jnp.int32))
+
+
+def integrate_cloud(vol: TsdfVolume, cloud: PointCloud,
+                    sensor_origin=(0.0, 0.0, 0.0)) -> TsdfVolume:
+    """Point-cloud carving variant: splat each point's truncated band
+    along the sensor ray. Projective approximation using the nearest
+    -point distance field on the grid (for LiDAR clouds without a depth
+    image)."""
+    centers = _voxel_centers(vol)
+    flat = centers.reshape(-1, 3)
+    from . import neighbors
+    res = neighbors.knn(cloud.points, cloud.mask, flat, None, 1,
+                        query_chunk=16384)
+    d = res.distances[:, 0].reshape(vol.resolution)
+    origin = jnp.asarray(sensor_origin, jnp.float32)
+    voxel_r = jnp.linalg.norm(centers - origin, axis=-1)
+    nearest = cloud.points[res.indices[:, 0]].reshape(*vol.resolution, 3)
+    point_r = jnp.linalg.norm(nearest - origin, axis=-1)
+    sdf = jnp.where(voxel_r <= point_r, d, -d)   # inside/outside by range
+    update = jnp.isfinite(d) & (sdf > -vol.truncation)
+    tsdf_new = jnp.clip(sdf / vol.truncation, -1.0, 1.0)
+    w_add = update.astype(jnp.float32)
+    denom = jnp.maximum(vol.weight + w_add, 1e-9)
+    fused = jnp.where(update,
+                      (vol.tsdf * vol.weight + tsdf_new * w_add) / denom,
+                      vol.tsdf)
+    return TsdfVolume(fused, vol.weight + w_add, vol.color, vol.origin,
+                      vol.voxel_size, vol.truncation)
