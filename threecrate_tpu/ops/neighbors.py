@@ -371,19 +371,20 @@ def knn_window(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
         cand = jnp.concatenate([jnp.roll(sp_t, s, 0) for s in shifts], axis=1)
         cand_v = jnp.concatenate([jnp.roll(sv_t, s, 0) for s in shifts],
                                  axis=1)
-        cand_i = jnp.concatenate([jnp.roll(perm_t, s, 0) for s in shifts],
-                                 axis=1)
 
         qn = jnp.sum(sp_t * sp_t, axis=-1)            # (t, tile)
-        pn = jnp.sum(cand * cand, axis=-1)            # (t, 3·tile)
+        pn = jnp.sum(cand * cand, axis=-1)            # (t, W·tile)
         cross = jnp.einsum("tqc,tpc->tqp", sp_t, cand,
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
         d2 = jnp.maximum(qn[..., None] + pn[:, None, :] - 2.0 * cross, 0.0)
         neg = jnp.where(cand_v[:, None, :], -d2, -jnp.inf)
         if exclude_self:
-            neg = jnp.where(cand_i[:, None, :] == perm_t[:, :, None],
-                            -jnp.inf, neg)
+            # self sits at window-offset `window·tile + row` in its own tile
+            row = jax.lax.broadcasted_iota(jnp.int32, (t, tile), 1)
+            self_pos = window * tile + row
+            col = jax.lax.broadcasted_iota(jnp.int32, neg.shape, 2)
+            neg = jnp.where(col == self_pos[..., None], -jnp.inf, neg)
 
         kk = min(k, neg.shape[-1])
         if recall_target < 1.0:
@@ -391,8 +392,12 @@ def knn_window(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
                                                 recall_target=recall_target)
         else:
             top_neg, pos = jax.lax.top_k(neg, kk)
-        top_idx = jnp.take_along_axis(cand_i[:, None, :].repeat(tile, 1),
-                                      pos, axis=2)
+        # map window position → sorted-array position → original index,
+        # via modular arithmetic + one (N, k) gather (NOT a (t, tile,
+        # W·tile) index tensor, which would dwarf the distance matrix)
+        tile_id = jax.lax.broadcasted_iota(jnp.int32, pos.shape, 0)
+        sorted_pos = (tile_id * tile - window * tile + pos) % n_pad
+        top_idx = perm_p[sorted_pos]
         pass_neg = top_neg.reshape(n_pad, kk)[:n]
         pass_idx = top_idx.reshape(n_pad, kk)[:n]
         # back to original point order

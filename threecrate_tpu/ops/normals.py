@@ -31,12 +31,21 @@ from . import linalg, neighbors
 
 @dataclasses.dataclass(frozen=True)
 class NormalEstimationConfig:
-    """Mirrors NormalEstimationConfig (normals.rs:17-37)."""
+    """Mirrors NormalEstimationConfig (normals.rs:17-37).
+
+    ``method``: "exact" = blockwise brute-force kNN; "window" = Morton
+    sliding-window approximate kNN (>99% recall, the large-N fast path);
+    "auto" picks window above ``AUTO_WINDOW_THRESHOLD`` points.
+    """
 
     k_neighbors: int = 10
     radius: Optional[float] = None     # when set: radius search, k-NN capacity
     consistent_orientation: bool = True
     viewpoint: Optional[Tuple[float, float, float]] = None
+    method: str = "auto"
+
+
+AUTO_WINDOW_THRESHOLD = 65536
 
 
 class NormalResult(NamedTuple):
@@ -45,12 +54,18 @@ class NormalResult(NamedTuple):
     valid: jnp.ndarray       # (N,) bool: enough neighbors for a plane fit
 
 
-@functools.partial(jax.jit, static_argnames=("k", "use_radius", "orient"))
-def _estimate(points, mask, k, use_radius, radius, viewpoint, orient):
+@functools.partial(jax.jit, static_argnames=("k", "use_radius", "orient",
+                                             "window"))
+def _estimate(points, mask, k, use_radius, radius, viewpoint, orient,
+              window=False):
     # One kNN pass serves both modes: radius mode masks slots beyond the
     # radius, and falls back to plain k-NN per point when fewer than 3
     # neighbors fall inside (normals.rs:314-336's fallback chain).
-    knn_res = neighbors.knn(points, mask, points, mask, k)
+    if window:
+        knn_res = neighbors.knn_window(points, mask, k, n_passes=2,
+                                       recall_target=0.95)
+    else:
+        knn_res = neighbors.knn(points, mask, points, mask, k)
     nbr_idx = knn_res.indices
     if use_radius:
         in_r = knn_res.mask & (knn_res.distances <= radius)
@@ -92,11 +107,15 @@ def estimate_normals_detailed(cloud: PointCloud,
                               ) -> NormalResult:
     vp = (jnp.asarray(config.viewpoint, jnp.float32)
           if config.viewpoint is not None else default_viewpoint(cloud))
+    window = (config.method == "window"
+              or (config.method == "auto"
+                  and cloud.capacity >= AUTO_WINDOW_THRESHOLD
+                  and config.radius is None))
     normal, curv, valid = _estimate(
         cloud.points, cloud.mask, config.k_neighbors,
         config.radius is not None,
         jnp.float32(config.radius if config.radius is not None else 0.0),
-        vp, config.consistent_orientation)
+        vp, config.consistent_orientation, window)
     return NormalResult(normal, curv, valid)
 
 

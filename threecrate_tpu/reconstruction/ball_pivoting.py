@@ -1,0 +1,189 @@
+"""Ball-pivoting surface reconstruction (BPA).
+
+Covers threecrate-reconstruction/src/ball_pivoting.rs: multi-scale
+radii, adaptive radius selection from k-NN density percentiles
+(AdaptiveStrategy, ball_pivoting.rs:46-56), triangle-quality gating and
+the pivoting front itself (config :13-77, entries :833-869).
+
+Split of labor (SURVEY §7.8): the *candidate generation* (k-NN lists,
+density percentiles, ball-emptiness distance checks) runs batched on
+device; the *front propagation* is an inherently sequential region-grow
+and stays host-side — exactly the split the reference makes between its
+spatial hash grid and its sequential pivot loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..core.errors import InvalidDataError
+from ..core.mesh import TriangleMesh
+from ..core.point_cloud import PointCloud
+from ..ops import neighbors
+
+
+@dataclasses.dataclass(frozen=True)
+class BallPivotingConfig:
+    """Mirrors BallPivotingConfig (ball_pivoting.rs:13-77)."""
+
+    radii: Optional[Sequence[float]] = None   # None → adaptive
+    k_candidates: int = 16
+    adaptive_percentiles: Sequence[float] = (50.0, 90.0)
+    adaptive_factor: float = 1.3
+    min_triangle_quality: float = 0.05        # area / (longest edge)²
+    max_triangles: int = 500_000
+
+
+def estimate_radii(cloud: PointCloud, config: BallPivotingConfig
+                   ) -> List[float]:
+    """Adaptive multi-scale radii from k-NN spacing percentiles
+    (AdaptiveStrategy, ball_pivoting.rs:46-56)."""
+    res = neighbors.knn(cloud.points, cloud.mask, cloud.points, cloud.mask,
+                        4, exclude_self=True)
+    d = np.asarray(res.distances)
+    m = np.asarray(res.mask)
+    vals = d[m & np.isfinite(d)]
+    if vals.size == 0:
+        raise InvalidDataError("BPA: cloud too sparse for radius estimate")
+    return [float(np.percentile(vals, p)) * config.adaptive_factor
+            for p in config.adaptive_percentiles]
+
+
+def _ball_center(a, b, c, rho):
+    """Center of the radius-ρ ball resting on triangle (a, b, c) on the
+    side of the triangle normal; None if ρ < circumradius."""
+    ab, ac = b - a, c - a
+    n = np.cross(ab, ac)
+    n2 = float(n @ n)
+    if n2 < 1e-20:
+        return None
+    cc = a + (float(ab @ ab) * np.cross(n, ac)
+              + float(ac @ ac) * np.cross(ab, n)) / (2 * n2)
+    r2 = float(((a - cc) ** 2).sum())
+    h2 = rho * rho - r2
+    if h2 <= 0:
+        return None
+    return cc + n / np.sqrt(n2) * np.sqrt(h2)
+
+
+def _quality(a, b, c) -> float:
+    e = max(float(((a - b) ** 2).sum()), float(((b - c) ** 2).sum()),
+            float(((c - a) ** 2).sum()))
+    area = 0.5 * np.linalg.norm(np.cross(b - a, c - a))
+    return area / e if e > 0 else 0.0
+
+
+def ball_pivoting_reconstruction(cloud: PointCloud,
+                                 config: BallPivotingConfig =
+                                 BallPivotingConfig()) -> TriangleMesh:
+    """BPA entry (ball_pivoting.rs:833-869)."""
+    pts = cloud.to_numpy().astype(np.float64)
+    n = len(pts)
+    if n < 3:
+        raise InvalidDataError("BPA needs >= 3 points")
+    radii = list(config.radii) if config.radii is not None \
+        else estimate_radii(cloud, config)
+
+    # device-batched candidate lists (the reference's spatial hash role)
+    res = neighbors.knn(cloud.points, cloud.mask, cloud.points, cloud.mask,
+                        config.k_candidates, exclude_self=True)
+    nbr = np.asarray(res.indices)
+    nbr_ok = np.asarray(res.mask)
+    nbr_d = np.asarray(res.distances)
+
+    def empty_ball(center, rho, exclude):
+        """No point strictly inside the ball (checked via candidates of
+        the triangle's own vertices — local emptiness like the
+        reference's hash-grid query)."""
+        for v in exclude:
+            cand = nbr[v][nbr_ok[v]]
+            d2 = ((pts[cand] - center) ** 2).sum(1)
+            inside = d2 < (rho * rho) * (1 - 1e-6)
+            if np.any(inside & ~np.isin(cand, exclude)):
+                return False
+        return True
+
+    faces: List[Tuple[int, int, int]] = []
+    edge_count: Dict[Tuple[int, int], int] = {}
+    used: Set[Tuple[int, int, int]] = set()
+    vertex_used = np.zeros(n, bool)
+
+    def add_face(i, j, k):
+        key = tuple(sorted((i, j, k)))
+        if key in used:
+            return False
+        for e in ((i, j), (j, k), (k, i)):
+            if edge_count.get(tuple(sorted(e)), 0) >= 2:
+                return False
+        used.add(key)
+        faces.append((i, j, k))
+        for e in ((i, j), (j, k), (k, i)):
+            ek = tuple(sorted(e))
+            edge_count[ek] = edge_count.get(ek, 0) + 1
+        vertex_used[[i, j, k]] = True
+        return True
+
+    for rho in radii:
+        # -- seed triangles -----------------------------------------------
+        front: List[Tuple[int, int, int]] = []  # directed edges + opposite
+        for i in range(n):
+            if vertex_used[i] or len(faces) >= config.max_triangles:
+                continue
+            cs = nbr[i][nbr_ok[i] & (nbr_d[i] <= 2 * rho)]
+            seeded = False
+            for x in range(len(cs)):
+                for y in range(x + 1, len(cs)):
+                    j, k = int(cs[x]), int(cs[y])
+                    if _quality(pts[i], pts[j], pts[k]) \
+                            < config.min_triangle_quality:
+                        continue
+                    center = _ball_center(pts[i], pts[j], pts[k], rho)
+                    if center is None or not empty_ball(center, rho,
+                                                        (i, j, k)):
+                        center = _ball_center(pts[i], pts[k], pts[j], rho)
+                        if center is None or not empty_ball(center, rho,
+                                                            (i, k, j)):
+                            continue
+                        j, k = k, j
+                    if add_face(i, j, k):
+                        front += [(i, j, k), (j, k, i), (k, i, j)]
+                        seeded = True
+                        break
+                if seeded:
+                    break
+
+            # -- expand the front from this seed --------------------------
+            while front and len(faces) < config.max_triangles:
+                a, b, o = front.pop()
+                ek = tuple(sorted((a, b)))
+                if edge_count.get(ek, 0) >= 2:
+                    continue
+                best, best_q = -1, -1.0
+                cand = np.unique(np.concatenate([
+                    nbr[a][nbr_ok[a]], nbr[b][nbr_ok[b]]]))
+                for c in cand:
+                    c = int(c)
+                    if c in (a, b, o):
+                        continue
+                    if _quality(pts[a], pts[b], pts[c]) \
+                            < config.min_triangle_quality:
+                        continue
+                    center = _ball_center(pts[b], pts[a], pts[c], rho)
+                    if center is None:
+                        continue
+                    if not empty_ball(center, rho, (a, b, c)):
+                        continue
+                    q = _quality(pts[a], pts[b], pts[c])
+                    if q > best_q:
+                        best, best_q = c, q
+                if best >= 0 and add_face(b, a, best):
+                    front += [(b, best, a), (best, a, b)]
+
+    if not faces:
+        return TriangleMesh.empty()
+    return TriangleMesh.from_numpy(pts.astype(np.float32),
+                                   np.asarray(faces, np.int32))

@@ -1,0 +1,287 @@
+"""Isosurface extraction from dense scalar grids (marching tetrahedra).
+
+Covers threecrate-reconstruction/src/marching_cubes.rs: the dense
+``VolumetricGrid`` scalar field with ``from_point_cloud`` distance
+fields (marching_cubes.rs:12-80), isosurface extraction, and the
+``create_sphere_volume``/``create_cube_volume`` test fixtures
+(marching_cubes.rs:867,914).
+
+Design: the reference uses classic marching cubes with the 256-entry
+edge/triangle lookup tables (marching_cubes.rs:174,199). This rebuild
+uses **marching tetrahedra** (each cube → 6 tets, 16-case table): the
+tiny table is derived from first principles below, there are no
+ambiguous cases, and the whole extraction is a fixed-shape batched
+computation — every cube's 8 corners come from *dense shifted slices*
+of the grid (zero gathers), and every tet emits its ≤2 triangles into a
+fixed-capacity masked soup. Output triangle counts are ~2× MC's, which
+costs memory not quality; a table-generated true-MC variant is a
+planned upgrade.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.errors import InvalidDataError
+from ..core.mesh import TriangleMesh
+from ..core.point_cloud import PointCloud
+
+# ---------------------------------------------------------------------------
+# marching tetrahedra tables (derived, not copied)
+#
+# Tet corners are indexed 0..3; the 6 tet edges are the corner pairs:
+_TET_EDGES = np.array([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)],
+                      np.int32)
+# Case index = bitmask of corners with value >= iso ("inside").
+# For each of the 16 cases we list up to 2 triangles as triples of edge
+# ids (-1 padding). Orientation: triangle normals point toward the
+# "outside" (< iso) side, fixed per case by construction:
+#  - 1 inside corner c: the cut triangle uses the 3 edges at c.
+#  - 2 inside corners: quad on the 4 edges separating {a,b} from rest.
+#  - 3 inside corners: complement of the 1-corner case, flipped.
+_MT_TRIS = -np.ones((16, 2, 3), np.int32)
+
+
+def _edge_id(a, b):
+    for i, (x, y) in enumerate(_TET_EDGES):
+        if (a, b) == (x, y) or (b, a) == (x, y):
+            return i
+    raise AssertionError
+
+
+def _build_mt_table():
+    for case in range(1, 15):
+        inside = [c for c in range(4) if case & (1 << c)]
+        outside = [c for c in range(4) if c not in inside]
+        if len(inside) == 1:
+            c = inside[0]
+            e = [_edge_id(c, o) for o in outside]
+            # orientation: corners of a tet (0,1,2,3); choose winding so
+            # the normal points away from the inside corner (validated
+            # by the sphere-volume test below)
+            _MT_TRIS[case, 0] = (e[0], e[1], e[2])
+        elif len(inside) == 3:
+            c = outside[0]
+            e = [_edge_id(c, i) for i in inside]
+            _MT_TRIS[case, 0] = (e[0], e[2], e[1])   # flipped vs 1-corner
+        else:  # two inside: quad split into two triangles
+            a, b = inside
+            o0, o1 = outside
+            e_ao0 = _edge_id(a, o0)
+            e_ao1 = _edge_id(a, o1)
+            e_bo0 = _edge_id(b, o0)
+            e_bo1 = _edge_id(b, o1)
+            _MT_TRIS[case, 0] = (e_ao0, e_ao1, e_bo1)
+            _MT_TRIS[case, 1] = (e_ao0, e_bo1, e_bo0)
+
+
+_build_mt_table()
+
+# 6-tetrahedra decomposition of the unit cube. Cube corners indexed by
+# (dx, dy, dz) bits: corner = dx + 2·dy + 4·dz. All 6 tets share the
+# main diagonal (0, 7).
+_CUBE_TETS = np.array([
+    (0, 1, 3, 7), (0, 3, 2, 7), (0, 2, 6, 7),
+    (0, 6, 4, 7), (0, 4, 5, 7), (0, 5, 1, 7),
+], np.int32)
+_CORNER_OFFSET = np.array([[d & 1, (d >> 1) & 1, (d >> 2) & 1]
+                           for d in range(8)], np.int32)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class VolumetricGrid:
+    """Dense scalar field (marching_cubes.rs:12-80)."""
+
+    values: jnp.ndarray    # (nx, ny, nz)
+    origin: jnp.ndarray    # (3,)
+    spacing: jnp.ndarray   # scalar
+
+    def tree_flatten(self):
+        return (self.values, self.origin, self.spacing), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def resolution(self):
+        return self.values.shape
+
+    @classmethod
+    def from_function(cls, fn, resolution, origin, spacing):
+        nx, ny, nz = resolution
+        ix = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 0)
+        iy = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 1)
+        iz = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 2)
+        pts = jnp.asarray(origin, jnp.float32) + \
+            jnp.stack([ix, iy, iz], -1) * jnp.float32(spacing)
+        return cls(fn(pts), jnp.asarray(origin, jnp.float32),
+                   jnp.float32(spacing))
+
+    @classmethod
+    def from_point_cloud(cls, cloud: PointCloud, resolution=(64, 64, 64),
+                         padding_frac: float = 0.05) -> "VolumetricGrid":
+        """Unsigned nearest-point distance field over the cloud's bbox
+        (marching_cubes.rs from_point_cloud). Extract at iso ≈ spacing
+        to mesh a shell around the points."""
+        from ..ops import neighbors
+        mn, mx = cloud.bounding_box()
+        ext = mx - mn
+        pad = jnp.max(ext) * padding_frac
+        origin = mn - pad
+        span = jnp.max(ext) + 2 * pad
+        nx, ny, nz = resolution
+        spacing = span / (max(resolution) - 1)
+        ix = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 0)
+        iy = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 1)
+        iz = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 2)
+        pts = origin + jnp.stack([ix, iy, iz], -1) * spacing
+        res = neighbors.knn(cloud.points, cloud.mask, pts.reshape(-1, 3),
+                            None, 1, query_chunk=16384)
+        d = res.distances[:, 0].reshape(nx, ny, nz)
+        return cls(d, origin, spacing)
+
+
+def create_sphere_volume(resolution: int = 32, radius: float = 1.0,
+                         center=(0.0, 0.0, 0.0)) -> VolumetricGrid:
+    """Signed sphere SDF fixture (marching_cubes.rs:867)."""
+    span = 2.0 * radius * 1.4
+    origin = np.asarray(center, np.float32) - span / 2
+    spacing = span / (resolution - 1)
+    c = jnp.asarray(center, jnp.float32)
+
+    def fn(p):
+        return jnp.linalg.norm(p - c, axis=-1) - radius
+    return VolumetricGrid.from_function(
+        fn, (resolution,) * 3, origin, spacing)
+
+
+def create_cube_volume(resolution: int = 32, half: float = 1.0,
+                       center=(0.0, 0.0, 0.0)) -> VolumetricGrid:
+    """Signed axis-aligned cube SDF fixture (marching_cubes.rs:914)."""
+    span = 2.0 * half * 1.5
+    origin = np.asarray(center, np.float32) - span / 2
+    spacing = span / (resolution - 1)
+    c = jnp.asarray(center, jnp.float32)
+
+    def fn(p):
+        q = jnp.abs(p - c) - half
+        return jnp.max(q, axis=-1)
+    return VolumetricGrid.from_function(
+        fn, (resolution,) * 3, origin, spacing)
+
+
+class TriangleSoup(NamedTuple):
+    vertices: jnp.ndarray  # (T, 3, 3)
+    mask: jnp.ndarray      # (T,)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def extract_soup(grid: VolumetricGrid, iso_level=0.0) -> TriangleSoup:
+    """All-tet batched isosurface extraction → masked triangle soup."""
+    v = grid.values
+    nx, ny, nz = v.shape
+    cube_vals = jnp.stack([
+        v[o[0]:o[0] + nx - 1, o[1]:o[1] + ny - 1, o[2]:o[2] + nz - 1]
+        for o in _CORNER_OFFSET], axis=-1)            # (cx, cy, cz, 8)
+    cx, cy, cz = nx - 1, ny - 1, nz - 1
+    cube_vals = cube_vals.reshape(-1, 8)
+
+    ix = jax.lax.broadcasted_iota(jnp.float32, (cx, cy, cz), 0)
+    iy = jax.lax.broadcasted_iota(jnp.float32, (cx, cy, cz), 1)
+    iz = jax.lax.broadcasted_iota(jnp.float32, (cx, cy, cz), 2)
+    base = jnp.stack([ix, iy, iz], -1).reshape(-1, 3)  # cube corner 0 coords
+
+    offs = jnp.asarray(_CORNER_OFFSET, jnp.float32)    # (8, 3)
+    tets = jnp.asarray(_CUBE_TETS)                     # (6, 4)
+    edges = jnp.asarray(_TET_EDGES)                    # (6, 2)
+    table = jnp.asarray(_MT_TRIS)                      # (16, 2, 3)
+
+    tet_vals = cube_vals[:, tets]                      # (C, 6, 4)
+    tet_pos = base[:, None, None, :] + offs[tets]      # (C, 6, 4, 3)
+
+    inside = tet_vals >= iso_level
+    case = (inside[..., 0] * 1 + inside[..., 1] * 2
+            + inside[..., 2] * 4 + inside[..., 3] * 8)  # (C, 6)
+
+    # interpolated crossing point on each of the 6 tet edges
+    va = jnp.take_along_axis(tet_vals, edges[None, None, :, 0], axis=-1)
+    vb = jnp.take_along_axis(tet_vals, edges[None, None, :, 1], axis=-1)
+    pa = tet_pos[:, :, edges[:, 0], :]
+    pb = tet_pos[:, :, edges[:, 1], :]
+    denom = jnp.where(jnp.abs(vb - va) > 1e-12, vb - va, 1.0)
+    t = jnp.clip((iso_level - va) / denom, 0.0, 1.0)
+    epts = pa + t[..., None] * (pb - pa)               # (C, 6tet, 6edge, 3)
+
+    tris_e = table[case]                               # (C, 6, 2, 3) edge ids
+    valid = tris_e[..., 0] >= 0                        # (C, 6, 2)
+    safe = jnp.maximum(tris_e, 0)
+    c_dim = epts.shape[0]
+    # gather triangle corner positions from the 6 per-tet edge points:
+    # tri_pts[c,t,k,j] = epts[c,t, safe[c,t,k,j]]
+    ep = jnp.broadcast_to(epts[:, :, None, :, :], (c_dim, 6, 2, 6, 3))
+    idx = jnp.broadcast_to(safe[..., None], (c_dim, 6, 2, 3, 3))
+    tri_pts = jnp.take_along_axis(ep, idx, axis=3)     # (C, 6, 2, 3, 3)
+
+    # consistent winding, parity-free: orient every triangle so its
+    # normal points from the inside (≥ iso) corners toward the outside
+    # corners — i.e. along the local field gradient direction
+    w_in = inside.astype(jnp.float32)                  # (C, 6, 4)
+    n_in = jnp.maximum(jnp.sum(w_in, -1), 1.0)[..., None]
+    n_out = jnp.maximum(jnp.sum(1 - w_in, -1), 1.0)[..., None]
+    cent_in = jnp.sum(tet_pos * w_in[..., None], 2) / n_in
+    cent_out = jnp.sum(tet_pos * (1 - w_in)[..., None], 2) / n_out
+    # normals face the increasing-field side (SDF-outward): for a signed
+    # distance field, v ≥ iso is the exterior, so triangles wind with
+    # their normal toward the "inside-bitmask" centroid
+    grad_dir = cent_in - cent_out                      # (C, 6, 3)
+    nrm = jnp.cross(tri_pts[..., 1, :] - tri_pts[..., 0, :],
+                    tri_pts[..., 2, :] - tri_pts[..., 0, :])  # (C, 6, 2, 3)
+    flip = jnp.sum(nrm * grad_dir[:, :, None, :], -1) < 0     # (C, 6, 2)
+    swapped = tri_pts[..., jnp.array([0, 2, 1]), :]
+    tri_pts = jnp.where(flip[..., None, None], swapped, tri_pts)
+
+    soup = tri_pts.reshape(-1, 3, 3)
+    mask = valid.reshape(-1)
+    world = grid.origin + soup * grid.spacing
+    return TriangleSoup(world, mask)
+
+
+def soup_to_mesh(soup: TriangleSoup, weld_decimals: int = 5
+                 ) -> TriangleMesh:
+    """Host-side weld: triangle soup → indexed mesh."""
+    tri = np.asarray(soup.vertices)[np.asarray(soup.mask)]
+    if len(tri) == 0:
+        return TriangleMesh.empty()
+    flat = tri.reshape(-1, 3)
+    keys = np.round(flat, weld_decimals)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    faces = inv.reshape(-1, 3).astype(np.int32)
+    ok = (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) \
+        & (faces[:, 0] != faces[:, 2])
+    return TriangleMesh.from_numpy(uniq.astype(np.float32), faces[ok])
+
+
+def marching_cubes(grid: VolumetricGrid, iso_level: float = 0.0
+                   ) -> TriangleMesh:
+    """Isosurface mesh (marching_cubes.rs:857 entry; tetrahedra-based,
+    see module docstring)."""
+    soup = extract_soup(grid, jnp.float32(iso_level))
+    return soup_to_mesh(soup)
+
+
+def reconstruct_marching_cubes(cloud: PointCloud,
+                               resolution: int = 64,
+                               iso_offset: float = 1.0) -> TriangleMesh:
+    """Cloud → distance field → shell mesh (the reference's
+    from_point_cloud + marching_cubes pipeline)."""
+    grid = VolumetricGrid.from_point_cloud(cloud, (resolution,) * 3)
+    iso = float(grid.spacing) * iso_offset
+    return marching_cubes(grid, iso)
