@@ -1,0 +1,279 @@
+"""Quadric error metric (QEM) mesh simplification (Garland-Heckbert).
+
+Covers threecrate-simplification/src/quadric_error.rs: per-vertex 4×4
+quadrics accumulated from face planes, a cost-ordered edge-collapse
+queue with optimal collapse positions, boundary preservation and a
+feature-angle threshold (quadric_error.rs:14-66).
+
+Split of labor: quadric accumulation, plane fitting, candidate-edge
+extraction and all cost evaluations are **batched device/NumPy array
+ops**; the greedy collapse queue itself is inherently sequential
+(SURVEY §7.9) and runs host-side with lazy-deletion heap entries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from ..core.errors import InvalidDataError
+from ..core.mesh import TriangleMesh
+
+
+@dataclasses.dataclass(frozen=True)
+class QuadricErrorConfig:
+    """Mirrors QuadricErrorSimplifier knobs (quadric_error.rs:66)."""
+
+    preserve_boundary: bool = True
+    boundary_weight: float = 1000.0
+    feature_angle_deg: Optional[float] = None  # protect sharp creases
+    use_optimal_position: bool = True
+
+
+def vertex_quadrics(verts: np.ndarray, faces: np.ndarray,
+                    boundary_edges: Optional[np.ndarray] = None,
+                    boundary_weight: float = 1000.0) -> np.ndarray:
+    """Batched per-vertex 4×4 quadrics: Q_v = Σ_{faces at v} K_plane."""
+    tri = verts[faces]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    area = np.linalg.norm(n, axis=1)
+    nrm = n / np.maximum(area[:, None], 1e-30)
+    d = -np.einsum("fi,fi->f", nrm, tri[:, 0])
+    p = np.concatenate([nrm, d[:, None]], axis=1)          # (F, 4)
+    k = np.einsum("fi,fj->fij", p, p) * area[:, None, None]  # area weight
+    q = np.zeros((len(verts), 4, 4))
+    for c in range(3):
+        np.add.at(q, faces[:, c], k)
+    if boundary_edges is not None and len(boundary_edges):
+        # boundary constraint planes: perpendicular to the adjacent face
+        # through the edge (quadric_error.rs boundary preservation)
+        be = boundary_edges
+        e = verts[be[:, 1]] - verts[be[:, 0]]
+        fn = _edge_face_normal(verts, faces, be)
+        cn = np.cross(e, fn)
+        ln = np.linalg.norm(cn, axis=1)
+        ok = ln > 1e-12
+        cn = cn / np.maximum(ln[:, None], 1e-30)
+        d = -np.einsum("ei,ei->e", cn, verts[be[:, 0]])
+        p = np.concatenate([cn, d[:, None]], axis=1)
+        k = np.einsum("ei,ej->eij", p, p) * boundary_weight
+        k[~ok] = 0
+        np.add.at(q, be[:, 0], k)
+        np.add.at(q, be[:, 1], k)
+    return q
+
+
+def _edge_face_normal(verts, faces, edges):
+    """Normal of (one) face adjacent to each edge."""
+    tri = verts[faces]
+    fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-30)
+    emap: Dict[Tuple[int, int], int] = {}
+    for fi, f in enumerate(faces):
+        for e in ((f[0], f[1]), (f[1], f[2]), (f[2], f[0])):
+            emap.setdefault(tuple(sorted(e)), fi)
+    out = np.zeros((len(edges), 3))
+    for i, e in enumerate(edges):
+        fi = emap.get(tuple(sorted(e)))
+        if fi is not None:
+            out[i] = fn[fi]
+    return out
+
+
+def edges_and_boundary(faces: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(unique undirected edges, boundary edges) from faces — one
+    vectorised sort/unique pass."""
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                        faces[:, [2, 0]]])
+    ek = np.sort(e, axis=1)
+    uniq, counts = np.unique(ek, axis=0, return_counts=True)
+    return uniq, uniq[counts == 1]
+
+
+def collapse_cost(q: np.ndarray, va: np.ndarray, vb: np.ndarray,
+                  optimal: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched QEM collapse cost + target position for edge quadric
+    sums q (E, 4, 4). Tries the optimal position (solve ∂/∂x = 0);
+    falls back to the best of {a, b, midpoint}."""
+    e = len(q)
+    cand = np.stack([va, vb, (va + vb) / 2], axis=1)       # (E, 3, 3)
+    if optimal:
+        a = q[:, :3, :3]
+        b = -q[:, :3, 3]
+        det = np.linalg.det(a)
+        solvable = np.abs(det) > 1e-12
+        x = np.zeros((e, 3))
+        if solvable.any():
+            x[solvable] = np.linalg.solve(
+                a[solvable], b[solvable][..., None])[..., 0]
+        # guard against wild optimal positions on near-singular quadrics
+        span = np.linalg.norm(va - vb, axis=1)
+        wild = np.linalg.norm(x - (va + vb) / 2, axis=1) > 4 * span + 1e-9
+        solvable &= ~wild
+        cand = np.concatenate([cand, x[:, None, :]], axis=1)
+        cand_valid = np.concatenate(
+            [np.ones((e, 3), bool), solvable[:, None]], axis=1)
+    else:
+        cand_valid = np.ones((e, 3), bool)
+
+    h = np.concatenate([cand, np.ones((*cand.shape[:2], 1))], axis=-1)
+    cost = np.einsum("eci,eij,ecj->ec", h, q, h)
+    cost = np.where(cand_valid, cost, np.inf)
+    best = np.argmin(cost, axis=1)
+    pos = np.take_along_axis(cand, best[:, None, None].repeat(3, 2),
+                             axis=1)[:, 0]
+    return np.take_along_axis(cost, best[:, None], 1)[:, 0], pos
+
+
+class CollapseRecord(dict):
+    """One performed collapse (feeds ProgressiveMesh)."""
+
+
+def qem_simplify(mesh: TriangleMesh, target_faces: int,
+                 config: QuadricErrorConfig = QuadricErrorConfig(),
+                 record_splits: bool = False):
+    """Greedy QEM simplification to ``target_faces``.
+
+    Returns (mesh, records) where records (when requested) hold enough
+    information to invert each collapse (ProgressiveMesh vertex splits).
+    """
+    verts, faces = mesh.to_numpy()
+    verts = verts.astype(np.float64)
+    if len(faces) == 0:
+        raise InvalidDataError("cannot simplify an empty mesh")
+    target_faces = max(target_faces, 1)
+
+    edges, boundary = edges_and_boundary(faces)
+    q = vertex_quadrics(verts, faces,
+                        boundary if config.preserve_boundary else None,
+                        config.boundary_weight)
+    boundary_verts: Set[int] = set(boundary.ravel().tolist())
+
+    feature_normals = None
+    if config.feature_angle_deg is not None:
+        tri = verts[faces]
+        fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-30)
+        feature_normals = fn
+
+    # adjacency: vertex → set of face ids
+    vfaces: List[Set[int]] = [set() for _ in range(len(verts))]
+    for fi, f in enumerate(faces):
+        for c in f:
+            vfaces[c].add(fi)
+    face_alive = np.ones(len(faces), bool)
+    n_alive = len(faces)
+
+    # initial heap (batched cost evaluation)
+    cost, pos = collapse_cost(q[edges[:, 0]] + q[edges[:, 1]],
+                              verts[edges[:, 0]], verts[edges[:, 1]],
+                              config.use_optimal_position)
+    version = np.zeros(len(verts), np.int64)
+    heap = [(c, int(a), int(b), 0, 0, tuple(p))
+            for c, (a, b), p in zip(cost, edges, pos)
+            if np.isfinite(c)]
+    heapq.heapify(heap)
+    records: List[CollapseRecord] = []
+
+    def vertex_cost(a, b):
+        cc, pp = collapse_cost((q[a] + q[b])[None], verts[a][None],
+                               verts[b][None], config.use_optimal_position)
+        return float(cc[0]), pp[0]
+
+    while heap and n_alive > target_faces:
+        c, a, b, va_ver, vb_ver, p = heapq.heappop(heap)
+        if version[a] != va_ver or version[b] != vb_ver:
+            continue  # stale entry
+        if a == b:
+            continue
+        shared = vfaces[a] & vfaces[b]
+        if not shared:
+            continue  # edge no longer exists
+        # topology guard: collapsing a boundary vertex into interior
+        if config.preserve_boundary and \
+                (a in boundary_verts) != (b in boundary_verts):
+            continue
+        p = np.asarray(p)
+
+        # normal-flip / feature guard over surviving faces of a∪b
+        moved = (vfaces[a] | vfaces[b]) - shared
+        flip = False
+        for fi in moved:
+            f = faces[fi]
+            vv = [p if v in (a, b) else verts[v] for v in f]
+            n_new = np.cross(vv[1] - vv[0], vv[2] - vv[0])
+            vv_old = verts[f]
+            n_old = np.cross(vv_old[1] - vv_old[0], vv_old[2] - vv_old[0])
+            if n_new @ n_old <= 0:
+                flip = True
+                break
+            if feature_normals is not None:
+                cosang = (n_new / max(np.linalg.norm(n_new), 1e-30)) @ \
+                    feature_normals[fi]
+                if cosang < np.cos(np.deg2rad(config.feature_angle_deg)):
+                    flip = True
+                    break
+        if flip:
+            continue
+
+        # ---- perform collapse b → a at position p ----------------------
+        if record_splits:
+            records.append(CollapseRecord(
+                kept=a, removed=b, new_pos=p.copy(),
+                kept_old_pos=verts[a].copy(), removed_pos=verts[b].copy(),
+                removed_faces=[(fi, faces[fi].copy()) for fi in shared],
+                remapped=[(fi, int(np.nonzero(faces[fi] == b)[0][0]))
+                          for fi in moved if b in faces[fi]]))
+        verts[a] = p
+        q[a] = q[a] + q[b]
+        version[a] += 1
+        version[b] += 1
+        for fi in shared:
+            if face_alive[fi]:
+                face_alive[fi] = False
+                n_alive -= 1
+            for v in faces[fi]:
+                vfaces[v].discard(fi)
+        for fi in moved:
+            faces[fi][faces[fi] == b] = a
+            vfaces[a].add(fi)
+        vfaces[b] = set()
+        if b in boundary_verts:
+            boundary_verts.add(a)
+
+        # re-queue edges of a (batched)
+        nbrs = sorted({v for fi in vfaces[a] for v in faces[fi]} - {a})
+        for v in nbrs:
+            cc, pp = vertex_cost(a, v)
+            if np.isfinite(cc):
+                heapq.heappush(heap, (cc, a, v, int(version[a]),
+                                      int(version[v]), tuple(pp)))
+
+    # compact output
+    out_faces = faces[face_alive]
+    used = np.unique(out_faces)
+    remap = np.full(len(verts), -1, np.int64)
+    remap[used] = np.arange(len(used))
+    final = TriangleMesh.from_numpy(verts[used].astype(np.float32),
+                                    remap[out_faces].astype(np.int32))
+    return (final, records) if record_splits else (final, None)
+
+
+class QuadricErrorSimplifier:
+    """MeshSimplifier impl (threecrate-simplification/src/lib.rs:21-25)."""
+
+    def __init__(self, config: QuadricErrorConfig = QuadricErrorConfig()):
+        self.config = config
+
+    def simplify(self, mesh: TriangleMesh, target_faces: int
+                 ) -> TriangleMesh:
+        out, _ = qem_simplify(mesh, target_faces, self.config)
+        return out
+
+    def simplify_ratio(self, mesh: TriangleMesh, ratio: float
+                       ) -> TriangleMesh:
+        n = int(mesh.face_count())
+        return self.simplify(mesh, max(int(n * ratio), 1))
