@@ -19,9 +19,13 @@ from .core import (
     Transform,
     TriangleMesh,
 )
+# the flat tc.* surface (mirrors the reference's python module,
+# threecrate-python/src/lib.rs:2504-2591)
+from .api import *  # noqa: F401,F403
+from . import api
 
 __all__ = [
-    "core", "ops", "utils",
+    "core", "ops", "utils", "api",
     "PointCloud", "TriangleMesh", "Transform",
     "OrganizedPointCloud", "CameraIntrinsics",
     "__version__",

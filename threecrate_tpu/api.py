@@ -1,0 +1,128 @@
+"""The flat user-facing API: ``import threecrate_tpu as tc``.
+
+Mirrors the reference's Python surface (threecrate-python/src/lib.rs,
+15 classes + ~55 functions registered at :2504-2591, typed in
+threecrate.pyi): same names, NumPy in / NumPy-friendly containers out.
+Functions accept either a PointCloud/TriangleMesh or a raw ``(N, 3)``
+array (converted on entry like the PyO3 layer's numpy interop,
+lib.rs:63-80).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+
+from .core.mesh import TriangleMesh
+from .core.organized import CameraIntrinsics, OrganizedPointCloud
+from .core.point_cloud import PointCloud
+from .core.transform import Transform
+
+# -- io ---------------------------------------------------------------------
+from .io import (
+    read_point_cloud, write_point_cloud, read_mesh, write_mesh,
+    read_point_cloud_iter, supported_extensions,
+)
+from .io.compression import (
+    CompressionConfig, compress_point_cloud, decompress_point_cloud,
+    compress_draco, decompress_draco,
+)
+from .io.ros2 import (
+    PointField, make_pointcloud2, from_pointcloud2,
+    make_pointcloud2_organized, from_pointcloud2_organized,
+)
+
+# -- ops ----------------------------------------------------------------------
+from .ops.filtering import (
+    voxel_grid_filter, voxel_grid_filter_detailed,
+    statistical_outlier_removal, statistical_outlier_removal_with_threshold,
+    radius_outlier_removal, passthrough_filter, range_filter,
+)
+from .ops.normals import (
+    NormalEstimationConfig, estimate_normals, estimate_normals_detailed,
+    estimate_normals_with_config,
+)
+from .ops.neighbors import (
+    KnnResult, BruteForceSearch, KdTree, knn, knn_grid, knn_window,
+    radius_neighbors, nearest_one,
+)
+from .ops.registration import (
+    ICPConfig, ICPResult, MultiscaleConfig, icp, icp_point_to_point,
+    icp_point_to_plane, multiscale_icp_point_to_point,
+)
+from .ops.gicp import GicpConfig, gicp
+from .ops.kiss_icp import KissIcpConfig, KissIcpOdometry, kiss_icp
+from .ops.ndt import NdtConfig, NdtResult, ndt_registration
+from .ops.features import (
+    FPFH_DIM, SHOT_DIM, USC_DIM, FpfhConfig, ShotConfig,
+    extract_fpfh_features, extract_fpfh_features_with_normals,
+    extract_shot_features, extract_usc_features, match_descriptors,
+)
+from .ops.global_registration import (
+    GlobalRegistrationConfig, GlobalRegistrationResult, global_registration,
+    global_registration_with_normals,
+)
+from .ops.segmentation import (
+    ClusterResult, EuclideanClusterConfig, PlaneModel,
+    PlaneSegmentationResult, extract_euclidean_clusters, extract_plane,
+    segment_plane, segment_plane_parallel,
+)
+from .ops.ground import (
+    GroundSegmentationResult, PatchworkConfig, patchwork_plus_plus,
+    segment_ground,
+)
+from .ops.mesh_boolean import (
+    BooleanOp, mesh_boolean, mesh_difference, mesh_intersection, mesh_union,
+)
+from .ops.mesh_smoothing import (
+    HcConfig, LaplacianConfig, TaubinConfig, smooth_hc, smooth_laplacian,
+    smooth_taubin,
+)
+from .ops.colorization import (
+    InterpolationMode, RgbImageView, colorize_from_images,
+    colorize_point_cloud,
+)
+from .ops.tsdf import (
+    TsdfVolume, create_volume as create_tsdf_volume, extract_surface
+    as tsdf_extract_surface, integrate as tsdf_integrate,
+    integrate_sequence as tsdf_integrate_sequence,
+)
+
+# -- reconstruction ------------------------------------------------------------
+from .reconstruction import (
+    PoissonConfig, poisson_reconstruct,
+    BallPivotingConfig, ball_pivoting_reconstruction,
+    AlphaShapeConfig, alpha_shape_reconstruction, estimate_optimal_alpha,
+    DelaunayConfig, delaunay_reconstruction,
+    MlsConfig, mls_reconstruct, mls_smooth,
+    VolumetricGrid, marching_cubes, reconstruct_marching_cubes,
+    PipelineConfig, auto_reconstruct, auto_reconstruct_detailed,
+    analyze_data,
+)
+
+# -- simplification -------------------------------------------------------------
+from .simplification import (
+    ClusteringSimplifier, EdgeCollapseSimplifier, ProgressiveMesh,
+    QuadricErrorSimplifier, simplify_mesh,
+)
+
+
+def as_point_cloud(x: Union[PointCloud, np.ndarray], **attrs) -> PointCloud:
+    """Coerce an (N, 3) array (or PointCloud) to a PointCloud."""
+    if isinstance(x, PointCloud):
+        return x
+    return PointCloud.from_numpy(np.asarray(x), **attrs)
+
+
+def transform_point_cloud(cloud: Union[PointCloud, np.ndarray],
+                          matrix) -> PointCloud:
+    """Apply a 4×4 homogeneous matrix (the PyO3 layer's transform
+    utility, lib.rs:63-80)."""
+    return as_point_cloud(cloud).transform(Transform.from_matrix(matrix))
+
+
+def voxel_downsample(cloud: Union[PointCloud, np.ndarray],
+                     voxel_size: float) -> PointCloud:
+    """Open3D-style alias for voxel_grid_filter."""
+    return voxel_grid_filter(as_point_cloud(cloud), voxel_size)

@@ -1,0 +1,163 @@
+"""sensor_msgs/PointCloud2 codec (both directions).
+
+Covers threecrate-io/src/ros2.rs:214-595: PointField/PointCloud2
+message structs (:38-91) and converters for xyz / colored / normals /
+colored-normals / organized clouds. Messages are plain dicts shaped
+like the ROS2 message (no ROS dependency); decode is one structured
+``np.frombuffer``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core.errors import InvalidDataError
+from ..core.organized import OrganizedPointCloud
+from ..core.point_cloud import PointCloud
+
+# PointField datatype constants (sensor_msgs/PointField)
+INT8, UINT8, INT16, UINT16, INT32, UINT32, FLOAT32, FLOAT64 = range(1, 9)
+_DT = {INT8: "i1", UINT8: "u1", INT16: "i2", UINT16: "u2",
+       INT32: "i4", UINT32: "u4", FLOAT32: "f4", FLOAT64: "f8"}
+_DT_INV = {v: k for k, v in _DT.items()}
+
+
+@dataclasses.dataclass
+class PointField:
+    """ros2.rs:38-52."""
+
+    name: str
+    offset: int
+    datatype: int
+    count: int = 1
+
+
+def make_pointcloud2(cloud: PointCloud, frame_id: str = "map",
+                     organized_shape: Optional[tuple] = None) -> Dict:
+    """PointCloud → PointCloud2 message dict (ros2.rs to_* converters)."""
+    pts = cloud.to_numpy()
+    cols: List[tuple] = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+    arrays = [pts[:, 0], pts[:, 1], pts[:, 2]]
+    if "normals" in cloud.attrs:
+        n = cloud.attr_to_numpy("normals")
+        cols += [("normal_x", "<f4"), ("normal_y", "<f4"),
+                 ("normal_z", "<f4")]
+        arrays += [n[:, 0], n[:, 1], n[:, 2]]
+    if "colors" in cloud.attrs:
+        c = np.clip(cloud.attr_to_numpy("colors") * 255 + 0.5, 0, 255
+                    ).astype(np.uint32)
+        packed = ((c[:, 0] << 16) | (c[:, 1] << 8) | c[:, 2]).view(
+            np.float32)
+        cols += [("rgb", "<f4")]
+        arrays += [packed]
+    if "intensity" in cloud.attrs:
+        cols += [("intensity", "<f4")]
+        arrays += [cloud.attr_to_numpy("intensity")]
+    rec = np.zeros(len(pts), np.dtype(cols))
+    for (name, _), arr in zip(cols, arrays):
+        rec[name] = arr
+    fields = [PointField(name, rec.dtype.fields[name][1],
+                         _DT_INV[rec.dtype.fields[name][0].str[1:]])
+              for name, _ in cols]
+    if organized_shape is not None:
+        height, width = organized_shape
+        if height * width != len(pts):
+            raise InvalidDataError("organized shape != point count")
+    else:
+        height, width = 1, len(pts)
+    return {
+        "header": {"frame_id": frame_id},
+        "height": height,
+        "width": width,
+        "fields": [dataclasses.asdict(f) for f in fields],
+        "is_bigendian": False,
+        "point_step": rec.dtype.itemsize,
+        "row_step": rec.dtype.itemsize * width,
+        "data": rec.tobytes(),
+        "is_dense": True,
+    }
+
+
+def from_pointcloud2(msg: Dict) -> PointCloud:
+    """PointCloud2 message dict → PointCloud (ros2.rs from_* converters).
+
+    Honors arbitrary field offsets/strides via a structured dtype with
+    itemsize = point_step.
+    """
+    fields = msg["fields"]
+    names, formats, offsets = [], [], []
+    for f in fields:
+        dt = _DT.get(f["datatype"])
+        if dt is None:
+            raise InvalidDataError(f"PointCloud2: bad datatype in {f}")
+        names.append(f["name"])
+        prefix = ">" if msg.get("is_bigendian") else "<"
+        formats.append(f"{prefix}{dt}" if f.get("count", 1) == 1
+                       else (prefix + dt, (f["count"],)))
+        offsets.append(f["offset"])
+    dtype = np.dtype({"names": names, "formats": formats,
+                      "offsets": offsets, "itemsize": msg["point_step"]})
+    n = msg["height"] * msg["width"]
+    rec = np.frombuffer(msg["data"], dtype=dtype, count=n)
+    for c in ("x", "y", "z"):
+        if c not in names:
+            raise InvalidDataError(f"PointCloud2 missing field {c!r}")
+    pts = np.stack([rec["x"], rec["y"], rec["z"]], -1).astype(np.float32)
+    attrs = {}
+    if all(c in names for c in ("normal_x", "normal_y", "normal_z")):
+        attrs["normals"] = np.stack(
+            [rec["normal_x"], rec["normal_y"], rec["normal_z"]],
+            -1).astype(np.float32)
+    if "rgb" in names:
+        packed = rec["rgb"].view(np.uint32) if rec["rgb"].dtype == np.float32 \
+            else rec["rgb"].astype(np.uint32)
+        attrs["colors"] = np.stack(
+            [(packed >> 16) & 0xFF, (packed >> 8) & 0xFF, packed & 0xFF],
+            -1).astype(np.float32) / 255.0
+    if "intensity" in names:
+        attrs["intensity"] = rec["intensity"].astype(np.float32)
+    finite = np.isfinite(pts).all(1)
+    if not finite.all() and not msg.get("is_dense", True):
+        pts = pts[finite]
+        attrs = {k: v[finite] for k, v in attrs.items()}
+    return PointCloud.from_numpy(pts, **attrs)
+
+
+def from_pointcloud2_organized(msg: Dict) -> OrganizedPointCloud:
+    """Keep the H×W structure (ros2.rs organized converter)."""
+    cloud = _raw_grid(msg)
+    return cloud
+
+
+def _raw_grid(msg: Dict) -> OrganizedPointCloud:
+    h, w = msg["height"], msg["width"]
+    if h <= 1:
+        raise InvalidDataError("message is not organized (height <= 1)")
+    flat = from_pointcloud2({**msg, "is_dense": True})
+    pts = np.asarray(flat.points)[:h * w].reshape(h, w, 3)
+    valid = np.isfinite(pts).all(-1)
+    pts = np.where(valid[..., None], pts, 0.0)
+    return OrganizedPointCloud.from_numpy(pts, valid)
+
+
+def make_pointcloud2_organized(opc: OrganizedPointCloud,
+                               frame_id: str = "map") -> Dict:
+    pts = np.asarray(opc.points).reshape(-1, 3).copy()
+    invalid = ~np.asarray(opc.mask).reshape(-1)
+    pts[invalid] = np.nan
+    pc = PointCloud.from_points(pts)  # keep all rows incl. NaN
+    msg = make_pointcloud2(PointCloud.from_numpy(
+        np.nan_to_num(pts)), frame_id,
+        organized_shape=(opc.height, opc.width))
+    # rewrite data with NaNs for invalid cells + is_dense flag
+    rec = np.frombuffer(bytearray(msg["data"]), np.dtype(
+        [("x", "<f4"), ("y", "<f4"), ("z", "<f4")])).copy()
+    rec["x"][invalid] = np.nan
+    rec["y"][invalid] = np.nan
+    rec["z"][invalid] = np.nan
+    msg["data"] = rec.tobytes()
+    msg["is_dense"] = bool((~invalid).all())
+    return msg
