@@ -1,0 +1,117 @@
+"""Renderer/viewer tests: geometry actually lands on screen where the
+camera math says it should."""
+
+import numpy as np
+import pytest
+
+from threecrate_tpu import PointCloud, TriangleMesh
+from threecrate_tpu.viz import (
+    InteractiveViewer, OrbitCamera, render_mesh, render_point_cloud,
+    show_mesh, show_point_cloud)
+
+from conftest import make_sphere_points
+
+
+BG = np.array([0.08, 0.09, 0.11])
+
+
+def coverage(img):
+    return (np.abs(img - BG) > 0.02).any(-1).mean()
+
+
+class TestPointRenderer:
+    def test_sphere_renders_centered(self):
+        pc = PointCloud.from_numpy(make_sphere_points(2000))
+        img = render_point_cloud(pc, width=160, height=120)
+        assert img.shape == (120, 160, 3)
+        cov = coverage(img)
+        assert 0.02 < cov < 0.9
+        # content is centered: the middle has more hits than the border
+        mid = (np.abs(img[40:80, 53:107] - BG) > 0.02).any(-1).mean()
+        border = (np.abs(img[:10, :] - BG) > 0.02).any(-1).mean()
+        assert mid > border
+
+    def test_colors_used(self):
+        pts = make_sphere_points(500)
+        cols = np.zeros((500, 3), np.float32)
+        cols[:, 0] = 1.0  # pure red
+        pc = PointCloud.from_numpy(pts, colors=cols)
+        img = render_point_cloud(pc, width=120, height=90)
+        lit = np.abs(img - BG).max(-1) > 0.05
+        assert lit.any()
+        np.testing.assert_allclose(img[lit][:, 0], 1.0, atol=1e-5)
+
+    def test_depth_occlusion(self):
+        # two points on the same ray: near point must win the pixel
+        cam = OrbitCamera(target=np.zeros(3, np.float32), distance=5.0,
+                          yaw=0.0, pitch=0.0)
+        # camera on +x axis looking -x: points at x=1 (near) and x=-1 (far)
+        near = np.array([[1.0, 0, 0]], np.float32)
+        far = np.array([[-1.0, 0, 0]], np.float32)
+        cols = np.array([[1, 0, 0], [0, 1, 0]], np.float32)
+        pc = PointCloud.from_numpy(np.concatenate([near, far]), colors=cols)
+        img = render_point_cloud(pc, cam, width=60, height=60, point_size=3)
+        lit = np.abs(img - BG).max(-1) > 0.05
+        assert lit.any()
+        # every lit pixel is red (near point)
+        assert (img[lit][:, 0] > 0.9).all()
+
+
+class TestMeshRenderer:
+    def _tetra(self):
+        v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]],
+                     np.float32)
+        f = np.array([[0, 2, 1], [0, 1, 3], [0, 3, 2], [1, 2, 3]], np.int32)
+        return TriangleMesh.from_numpy(v, f)
+
+    def test_renders_filled_shape(self):
+        img = render_mesh(self._tetra(), width=160, height=120)
+        cov = coverage(img)
+        assert 0.05 < cov < 0.9
+
+    def test_shading_varies_by_face(self):
+        m = self._tetra()
+        v, _ = m.to_numpy()
+        cam = OrbitCamera.fit(v)
+        cam.yaw, cam.pitch = 4.0, -0.5   # angle showing several faces
+        img = render_mesh(m, cam, width=160, height=120)
+        lit = img[np.abs(img - BG).max(-1) > 0.02]
+        # multiple faces with different lambert terms → >1 distinct level
+        assert np.unique(np.round(lit[:, 0], 2)).size >= 2
+
+
+class TestViewer:
+    def test_viewer_roundtrip(self, tmp_path):
+        pc = PointCloud.from_numpy(make_sphere_points(500))
+        v = InteractiveViewer(width=120, height=90)
+        v.set_point_cloud(pc)
+        v.orbit(0.3, 0.1)
+        v.zoom(0.8)
+        v.pan(0.05, 0.02)
+        img = v.render()
+        assert img.shape == (90, 120, 3)
+        p = tmp_path / "shot.png"
+        v.screenshot(p)
+        assert p.exists() and p.stat().st_size > 100
+
+    def test_viewer_live_pipelines(self):
+        rng = np.random.default_rng(0)
+        xy = rng.uniform(-1, 1, (300, 2)).astype(np.float32)
+        pts = np.concatenate([xy, 0.001 * rng.normal(
+            size=(300, 1)).astype(np.float32)], 1)
+        v = InteractiveViewer()
+        v.set_point_cloud(PointCloud.from_numpy(pts))
+        res = v.run_plane_segmentation()
+        assert int(res.inlier_count) > 250
+        icp_res = v.run_icp(PointCloud.from_numpy(pts))
+        assert bool(icp_res.converged)
+
+    def test_show_helpers(self, tmp_path):
+        pc = PointCloud.from_numpy(make_sphere_points(200))
+        img = show_point_cloud(pc, tmp_path / "c.png", width=80, height=60)
+        assert (tmp_path / "c.png").exists()
+        m = TriangleMesh.from_numpy(
+            np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+            np.array([[0, 1, 2]], np.int32))
+        show_mesh(m, tmp_path / "m.png", width=80, height=60)
+        assert (tmp_path / "m.png").exists()

@@ -205,7 +205,8 @@ def _decode_ascii(data: bytes, header: PlyHeader
         pos += elem.count
         res: Dict[str, np.ndarray] = {}
         if not elem.has_lists:
-            flat = np.array(" ".join(chunk).split(), dtype=np.float64)
+            from ..native import parse_floats
+            flat = parse_floats("\n".join(chunk))
             ncol = len(elem.properties)
             if flat.size != elem.count * ncol:
                 raise InvalidDataError(

@@ -107,11 +107,10 @@ def _parse_rows(text: str, schema: XyzCsvSchema, skip_header: bool) -> np.ndarra
     if skip_header and lines:
         lines = lines[1:]
     ncol = len(schema.columns)
-    d = None if schema.delimiter == " " else schema.delimiter
-    toks: List[str] = []
-    for ln in lines:
-        toks.extend(t for t in ln.split(d) if t != "")
-    flat = np.array(toks, np.float64)
+    # fast path: the native parser treats space/tab/comma/semicolon as
+    # delimiters, which covers every detected schema
+    from ..native import parse_floats
+    flat = parse_floats("\n".join(lines))
     if flat.size % ncol:
         raise InvalidDataError("ragged XYZ/CSV rows")
     return flat.reshape(-1, ncol)

@@ -1,0 +1,24 @@
+"""Visualization: device-side rendering + headless viewer
+(threecrate-gpu renderers + threecrate-visualization equivalents)."""
+
+from .camera import OrbitCamera
+from .renderer import (
+    render_mesh,
+    render_point_cloud,
+    save_image,
+)
+from .viewer import (
+    ICPParams,
+    InteractiveViewer,
+    PipelineType,
+    RANSACParams,
+    ViewData,
+    show_mesh,
+    show_point_cloud,
+)
+
+__all__ = [
+    "OrbitCamera", "render_mesh", "render_point_cloud", "save_image",
+    "ICPParams", "InteractiveViewer", "PipelineType", "RANSACParams",
+    "ViewData", "show_mesh", "show_point_cloud",
+]
