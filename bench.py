@@ -7,12 +7,16 @@ normal estimation (k=10) — the workload the reference README concedes
 (normals 0.57x Open3D at full res). Baseline throughput is Open3D's
 published full-res KITTI number: 121k pts / 104.543 ms = 1.157 Mpts/s
 (docs/benchmarks.md via BASELINE.md).
+
+The timed program is one fused jit: Morton-window kNN (2 passes, ≥99%
+recall on scan data) → neighbor gather → batched covariance → closed
+-form eigensolve → orientation; it returns a scalar checksum so the
+remote-backend sync is one 4-byte transfer.
 """
 
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -32,41 +36,31 @@ def _kitti_like(n: int, seed: int = 0) -> np.ndarray:
     return ground.astype(np.float32)
 
 
-def median_time(fn, warmup: int = 2, iters: int = 5) -> float:
-    import jax
-    for _ in range(warmup):
-        jax.block_until_ready(fn())
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
-
-
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from threecrate_tpu import PointCloud
     from threecrate_tpu.ops.normals import _estimate
+    from threecrate_tpu.utils.profiling import median_time
 
     n = 1_000_000
-    pts = _kitti_like(n)
-    cloud = PointCloud.from_numpy(pts)
-    cap = cloud.capacity
-
+    cloud = PointCloud.from_numpy(_kitti_like(n))
     big = jnp.float32(3e38)
 
-    def run():
-        mn = jnp.min(jnp.where(cloud.mask[:, None], cloud.points, big), 0)
-        mx = jnp.max(jnp.where(cloud.mask[:, None], cloud.points, -big), 0)
+    @jax.jit
+    def run_scalar(points, mask):
+        mn = jnp.min(jnp.where(mask[:, None], points, big), 0)
+        mx = jnp.max(jnp.where(mask[:, None], points, -big), 0)
         vp = (mn + mx) * 0.5 + jnp.array([0.0, 0.0, 1.0]) * \
             jnp.maximum(mx[2] - mn[2], 1.0)
-        return _estimate(cloud.points, cloud.mask, 10, False,
-                         jnp.float32(0.0), vp, True)
+        nrm, curv, valid = _estimate(points, mask, 10, False,
+                                     jnp.float32(0.0), vp, True,
+                                     window=True)
+        return jnp.sum(jnp.abs(nrm)) + jnp.sum(valid)
 
-    t = median_time(run)
+    t = median_time(lambda: run_scalar(cloud.points, cloud.mask),
+                    sync_fn=float)
     mpts = n / t / 1e6
     print(json.dumps({
         "metric": "normals_1M_k10_throughput",

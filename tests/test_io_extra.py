@@ -1,0 +1,141 @@
+"""LAS + rosbag2 + native parser tests."""
+
+import sqlite3
+import struct
+
+import numpy as np
+import pytest
+
+import threecrate_tpu as tc
+from threecrate_tpu.io import rosbag, ros2
+from threecrate_tpu import native
+
+
+class TestLas:
+    def test_roundtrip(self, tmp_path, rng):
+        pts = rng.uniform(-100, 100, (500, 3)).astype(np.float32)
+        inten = rng.uniform(0, 1, 500).astype(np.float32)
+        col = rng.uniform(0, 1, (500, 3)).astype(np.float32)
+        pc = tc.PointCloud.from_numpy(pts, intensity=inten, colors=col)
+        p = tmp_path / "scan.las"
+        tc.write_point_cloud(p, pc)
+        back = tc.read_point_cloud(p)
+        # mm quantisation
+        np.testing.assert_allclose(back.to_numpy(), pts, atol=2e-3)
+        np.testing.assert_allclose(back.attr_to_numpy("intensity"), inten,
+                                   atol=1 / 65535 * 2)
+        np.testing.assert_allclose(back.attr_to_numpy("colors"), col,
+                                   atol=1 / 65535 * 2)
+
+    def test_bad_magic(self, tmp_path):
+        from threecrate_tpu.core.errors import InvalidDataError
+        p = tmp_path / "bad.las"
+        p.write_bytes(b"NOPE" + b"\x00" * 300)
+        with pytest.raises(InvalidDataError):
+            tc.read_point_cloud(p)
+
+
+def _cdr_string(s: str) -> bytes:
+    b = s.encode() + b"\x00"
+    return struct.pack("<I", len(b)) + b
+
+
+def _pad_to(buf: bytearray, align: int) -> None:
+    rem = (len(buf) - 4) % align
+    if rem:
+        buf.extend(b"\x00" * (align - rem))
+
+
+def make_pointcloud2_cdr(pts: np.ndarray, frame: str = "map") -> bytes:
+    """Hand-build a CDR-encoded PointCloud2 (XYZ float32)."""
+    buf = bytearray(b"\x00\x01\x00\x00")  # CDR_LE encapsulation
+    _pad_to(buf, 4)
+    buf += struct.pack("<iI", 7, 42)      # stamp sec, nanosec
+    buf += _cdr_string(frame)
+    _pad_to(buf, 4)
+    buf += struct.pack("<II", 1, len(pts))  # height, width
+    buf += struct.pack("<I", 3)             # 3 fields
+    for i, name in enumerate("xyz"):
+        buf += _cdr_string(name)
+        _pad_to(buf, 4)
+        buf += struct.pack("<I", i * 4)     # offset
+        buf += struct.pack("<B", 7)         # FLOAT32
+        _pad_to(buf, 4)
+        buf += struct.pack("<I", 1)         # count
+    buf += struct.pack("<B", 0)             # is_bigendian
+    _pad_to(buf, 4)
+    buf += struct.pack("<II", 12, 12 * len(pts))
+    data = pts.astype("<f4").tobytes()
+    buf += struct.pack("<I", len(data)) + data
+    buf += struct.pack("<B", 1)             # is_dense
+    return bytes(buf)
+
+
+class TestRosbag2:
+    def _make_bag(self, path, pts):
+        conn = sqlite3.connect(str(path))
+        conn.executescript("""
+            CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT,
+                type TEXT, serialization_format TEXT,
+                offered_qos_profiles TEXT);
+            CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER,
+                timestamp INTEGER, data BLOB);
+        """)
+        conn.execute(
+            "INSERT INTO topics VALUES (1, '/lidar/points', "
+            "'sensor_msgs/msg/PointCloud2', 'cdr', '')")
+        for i in range(3):
+            conn.execute(
+                "INSERT INTO messages(topic_id, timestamp, data) "
+                "VALUES (1, ?, ?)",
+                (1000 + i, make_pointcloud2_cdr(pts + i)))
+        conn.commit()
+        conn.close()
+
+    def test_cdr_decode(self, rng):
+        pts = rng.normal(size=(10, 3)).astype(np.float32)
+        msg = rosbag.decode_pointcloud2_cdr(make_pointcloud2_cdr(pts))
+        assert msg["header"]["frame_id"] == "map"
+        assert msg["width"] == 10
+        pc = ros2.from_pointcloud2(msg)
+        np.testing.assert_allclose(pc.to_numpy(), pts, atol=1e-6)
+
+    def test_bag_reading(self, tmp_path, rng):
+        pts = rng.normal(size=(20, 3)).astype(np.float32)
+        bag = tmp_path / "ride.db3"
+        self._make_bag(bag, pts)
+        reader = rosbag.Rosbag2Reader(bag)
+        assert reader.pointcloud_topics() == ["/lidar/points"]
+        clouds = reader.read_clouds()
+        reader.close()
+        assert len(clouds) == 3
+        np.testing.assert_allclose(clouds[0].to_numpy(), pts, atol=1e-6)
+        np.testing.assert_allclose(clouds[2].to_numpy(), pts + 2, atol=1e-6)
+
+    def test_registry_dispatch(self, tmp_path, rng):
+        pts = rng.normal(size=(15, 3)).astype(np.float32)
+        bag = tmp_path / "ride.db3"
+        self._make_bag(bag, pts)
+        merged = tc.read_point_cloud(bag)
+        assert len(merged) == 45
+
+    def test_mcap_clearly_unsupported(self, tmp_path):
+        from threecrate_tpu.core.errors import UnsupportedError
+        with pytest.raises(UnsupportedError):
+            rosbag.McapReader(tmp_path / "x.mcap")
+
+
+class TestNativeParser:
+    def test_matches_numpy(self, rng):
+        vals = rng.uniform(-1e3, 1e3, 1000)
+        text = " ".join(f"{v:.9g}" for v in vals)
+        out = native.parse_floats(text)
+        np.testing.assert_allclose(out, vals, rtol=1e-7)
+
+    def test_delimiters(self):
+        out = native.parse_floats("1,2;3\t4\n5 6")
+        np.testing.assert_array_equal(out, [1, 2, 3, 4, 5, 6])
+
+    def test_scientific_and_special(self):
+        out = native.parse_floats("1e3 -2.5E-2 .5 -.25")
+        np.testing.assert_allclose(out, [1000, -0.025, 0.5, -0.25])

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..core.mesh import TriangleMesh
 from ..core.point_cloud import PointCloud
-from . import lidar, obj, pcd, ply, stl, xyz_csv
+from . import las, lidar, obj, pcd, ply, rosbag, stl, xyz_csv
 from .registry import REGISTRY, IoRegistry
 
 # -- wire the default registry (lib.rs:95-158 lazy_static block) ----------
@@ -38,6 +38,10 @@ REGISTRY.register("bin", cloud_reader=lidar.read_kitti_bin,
                   cloud_writer=lidar.write_kitti_bin)
 REGISTRY.register("pcap", cloud_reader=lidar.read_velodyne_pcap)
 REGISTRY.register("lvx", cloud_reader=lidar.read_livox_lvx)
+REGISTRY.register("las", cloud_reader=las.read_point_cloud,
+                  cloud_writer=las.write_point_cloud)
+REGISTRY.register("laz", cloud_reader=las.read_point_cloud)
+REGISTRY.register("db3", cloud_reader=rosbag.read_point_cloud)
 
 
 # -- top-level convenience API (lib.rs:159-203) ----------------------------
