@@ -254,3 +254,22 @@ class TestVoxelHash:
             within = set(np.nonzero(d2[q] <= cell ** 2)[0])
             got = set(idx[q][valid[q]])
             assert within <= got, f"query {q} missing {within - got}"
+
+
+class TestBatchIcp:
+    def test_batch_matches_single(self):
+        import jax.numpy as jnp
+        pts = surface_cloud(400)
+        offsets = np.array([[0.05, -0.02, 0.01], [0.02, 0.03, -0.01]],
+                           np.float32)
+        srcs = np.stack([pts, pts])
+        tgts = np.stack([pts + offsets[0], pts + offsets[1]])
+        masks = np.ones((2, 400), bool)
+        res = registration.batch_icp(srcs, masks, tgts, masks,
+                                     max_iterations=30)
+        assert res.transformation.shape == (2, 4, 4)
+        for b in range(2):
+            np.testing.assert_allclose(
+                np.asarray(res.transformation[b])[:3, 3], offsets[b],
+                atol=5e-3)
+            assert bool(res.converged[b])

@@ -305,16 +305,52 @@ def knn_grid(db_points: jnp.ndarray, db_mask: jnp.ndarray,
 # Morton sliding-window kNN: the speed-of-light self-kNN path
 # ---------------------------------------------------------------------------
 
-def _dedup_rows(neg: jnp.ndarray, idx: jnp.ndarray, k: int):
-    """Row-wise duplicate-index removal then top-k (rows are ~2-4k wide)."""
-    order = jnp.argsort(idx, axis=1)
-    sidx = jnp.take_along_axis(idx, order, axis=1)
-    sneg = jnp.take_along_axis(neg, order, axis=1)
-    dup = jnp.concatenate([jnp.zeros_like(sidx[:, :1], bool),
-                           sidx[:, 1:] == sidx[:, :-1]], axis=1)
-    sneg = jnp.where(dup, -jnp.inf, sneg)
-    top_neg, pos = jax.lax.top_k(sneg, k)
-    return top_neg, jnp.take_along_axis(sidx, pos, axis=1)
+def _merge_topk(neg_a, idx_a, neg_b, idx_b, k: int):
+    """Merge two per-row best-k lists into the best k, sort-free.
+
+    Dedup (b-entries whose index appears in a) and placement are both
+    rank arithmetic over (k × k) comparison masks — pure VPU
+    elementwise work. Per-row sorts here are poison on TPU: an argsort
+    formulation measured ~0.9 s and a top_k(2k) formulation ~0.4 s at
+    1M×k=10; this is a few ms. Both inputs must be sorted best-first
+    (lax.top_k / approx_max_k output order), as is the result.
+    """
+    a_valid = neg_a > -jnp.inf
+    dup = jnp.any((idx_b[:, :, None] == idx_a[:, None, :])
+                  & a_valid[:, None, :], axis=-1)
+    neg_b = jnp.where(dup, -jnp.inf, neg_b)
+
+    ka = neg_a.shape[1]
+    kb = neg_b.shape[1]
+    # output rank of a[i] = i + |{j : b[j] > a[i]}|   (ties → a first)
+    b_gt_a = jnp.sum((neg_b[:, None, :] > neg_a[:, :, None]), axis=2)
+    pos_a = jax.lax.broadcasted_iota(jnp.int32, neg_a.shape, 1) + b_gt_a
+    # b may have lost sortedness to dedup: recompute its internal rank
+    # with an index tiebreak, then add |{i : a[i] >= b[j]}|
+    jj = jax.lax.broadcasted_iota(jnp.int32, (kb, kb), 0)
+    jj2 = jax.lax.broadcasted_iota(jnp.int32, (kb, kb), 1)
+    b_rank = jnp.sum((neg_b[:, :, None] < neg_b[:, None, :])
+                     | ((neg_b[:, :, None] == neg_b[:, None, :])
+                        & (jj2 < jj)[None]), axis=2)
+    a_ge_b = jnp.sum((neg_a[:, None, :] >= neg_b[:, :, None]), axis=2)
+    pos_b = b_rank + a_ge_b
+
+    # place via one-hot accumulation into the k output slots
+    slot = jnp.arange(k, dtype=jnp.int32)
+    hit_a = (pos_a[:, :, None] == slot[None, None, :]) \
+        & a_valid[:, :, None]
+    hit_b = (pos_b[:, :, None] == slot[None, None, :]) \
+        & (neg_b > -jnp.inf)[:, :, None]
+    # zero the -inf fillers before accumulating (0 · -inf would be NaN)
+    a_fin = jnp.where(a_valid, neg_a, 0.0)
+    b_fin = jnp.where(neg_b > -jnp.inf, neg_b, 0.0)
+    out_neg = jnp.einsum("nks,nk->ns", hit_a.astype(neg_a.dtype), a_fin) \
+        + jnp.einsum("nks,nk->ns", hit_b.astype(neg_b.dtype), b_fin)
+    out_idx = jnp.einsum("nks,nk->ns", hit_a.astype(jnp.int32), idx_a) \
+        + jnp.einsum("nks,nk->ns", hit_b.astype(jnp.int32), idx_b)
+    filled = jnp.any(hit_a, axis=1) | jnp.any(hit_b, axis=1)
+    out_neg = jnp.where(filled, out_neg, -jnp.inf)
+    return out_neg, out_idx
 
 
 @functools.partial(
@@ -407,9 +443,8 @@ def knn_window(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
         if p == 0 and kk == k:
             best_neg, best_idx = orig_neg, orig_idx
         else:
-            best_neg, best_idx = _dedup_rows(
-                jnp.concatenate([best_neg, orig_neg], axis=1),
-                jnp.concatenate([best_idx, orig_idx], axis=1), k)
+            best_neg, best_idx = _merge_topk(best_neg, best_idx,
+                                             orig_neg, orig_idx, k)
 
     d2 = -best_neg
     valid = jnp.isfinite(d2) & mask[:, None]

@@ -189,6 +189,38 @@ def icp_point_to_plane(source: PointCloud, target: PointCloud,
 # multiscale (coarse-to-fine voxel pyramid)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# batched ICP (many pairs at once)
+# ---------------------------------------------------------------------------
+
+def batch_icp(sources, source_masks, targets, target_masks,
+              max_iterations: int = 30,
+              convergence_threshold: float = 1e-6,
+              max_correspondence_distance: Optional[float] = None):
+    """Register B cloud pairs in one vmapped program.
+
+    Replaces the reference's BatchICPJob/BatchICPResult queue
+    (threecrate-gpu/src/icp.rs:134-166): instead of sequentially
+    dispatched GPU jobs, the whole batch is a leading vmap dim — one
+    compile, B solves in parallel on the MXU.
+
+    Args: sources (B, N, 3), source_masks (B, N), targets (B, M, 3),
+    target_masks (B, M). Returns ICPResult with leading batch dims.
+    """
+    mcd = jnp.float32(max_correspondence_distance
+                      if max_correspondence_distance is not None else jnp.inf)
+    eye = jnp.eye(4, dtype=jnp.float32)
+
+    def one(src, sm, tgt, tm):
+        return _icp_p2p(src, sm, tgt, tm, eye, max_iterations,
+                        jnp.float32(convergence_threshold), mcd)
+
+    t, mse, it, conv, n_corr = jax.vmap(one)(
+        jnp.asarray(sources, jnp.float32), jnp.asarray(source_masks),
+        jnp.asarray(targets, jnp.float32), jnp.asarray(target_masks))
+    return ICPResult(t, mse, it, conv, n_corr)
+
+
 @dataclasses.dataclass(frozen=True)
 class MultiscaleConfig:
     """Mirrors the coarse-to-fine defaults (registration.rs:28-71)."""
