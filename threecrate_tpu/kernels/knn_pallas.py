@@ -1,0 +1,111 @@
+"""Pallas TPU kernel: fused sliding-window kNN tile search.
+
+The hot inner stage of ``ops.neighbors.knn_window``. The pure-XLA
+version materialises the (tiles × tile × window) distance tensor in HBM
+and pays a full HBM round trip for each of {distance compute, validity
+mask, top-k} (~3 GB of traffic per pass at 1M points). This kernel
+fuses the whole tile pipeline in VMEM:
+
+  load q-tile + window candidate tiles (a few tens of KB)
+  → exact f32 squared distances (elementwise expansion — no matmul
+    cancellation, no MXU precision passes needed at K=3)
+  → k rounds of max-extraction in registers (no sort)
+  → write only the (k, tile) results.
+
+HBM traffic per pass drops to reading the points ~3× plus writing
+(k, N) outputs. Layout is transposed — coordinates (3, N), outputs
+(k, N) — so every block's trailing dim is the lane-aligned tile size.
+The window is expressed as prev/self/next BlockSpec views of the same
+sorted array, edge tiles masked via program_id.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
+            neg_out, pos_out, *, k: int):
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+
+    q = self_ref[:]                                     # (3, tile)
+    cand = jnp.concatenate([prev_ref[:], self_ref[:], next_ref[:]],
+                           axis=1)                      # (3, 3·tile)
+    ok_prev = jnp.where(t > 0, pv_ref[:], 0.0)
+    ok_next = jnp.where(t < n_t - 1, nv_ref[:], 0.0)
+    valid = jnp.concatenate([ok_prev, sv_ref[:], ok_next],
+                            axis=1) > 0.5               # (1, 3·tile)
+
+    dx = q[0, :][:, None] - cand[0, :][None, :]          # (tile, 3·tile)
+    dy = q[1, :][:, None] - cand[1, :][None, :]
+    dz = q[2, :][:, None] - cand[2, :][None, :]
+    d2 = dx * dx + dy * dy + dz * dz
+    neg = jnp.where(valid, -d2, -jnp.inf)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, neg.shape, 1)
+    for j in range(k):
+        m = jnp.max(neg, axis=1)                         # (tile,)
+        is_max = neg == m[:, None]
+        arg = jnp.min(jnp.where(is_max, col, neg.shape[1]), axis=1)
+        neg_out[j, :] = m
+        pos_out[j, :] = arg.astype(jnp.int32)
+        neg = jnp.where(col == arg[:, None], -jnp.inf, neg)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+def knn_window_tiles(sorted_pts_t: jnp.ndarray, sorted_valid: jnp.ndarray,
+                     k: int, tile: int = 256, interpret: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused per-tile window search over Morton-sorted points.
+
+    sorted_pts_t: (3, N) float32 transposed coordinates, N % tile == 0.
+    sorted_valid: (1, N) float32 (1.0 valid / 0.0 padding).
+    Returns (neg sq dists (k, N), window positions (k, N) int32); window
+    position p in row-tile t refers to sorted index (t−1)·tile + p.
+    """
+    n = sorted_pts_t.shape[1]
+    assert n % tile == 0, "pad to a tile multiple first"
+    n_tiles = n // tile
+
+    pts_specs = [
+        pl.BlockSpec((3, tile), lambda t: (0, jnp.maximum(t - 1, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile),
+                     lambda t: (0, jnp.minimum(t + 1, n_tiles - 1)),
+                     memory_space=pltpu.VMEM),
+    ]
+    valid_specs = [
+        pl.BlockSpec((1, tile), lambda t: (0, jnp.maximum(t - 1, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile),
+                     lambda t: (0, jnp.minimum(t + 1, n_tiles - 1)),
+                     memory_space=pltpu.VMEM),
+    ]
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=pts_specs + valid_specs,
+        out_specs=[
+            pl.BlockSpec((k, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    neg, pos = pl.pallas_call(
+        functools.partial(_kernel, k=k),
+        out_shape=[jax.ShapeDtypeStruct((k, n), jnp.float32),
+                   jax.ShapeDtypeStruct((k, n), jnp.int32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(sorted_pts_t, sorted_pts_t, sorted_pts_t,
+      sorted_valid, sorted_valid, sorted_valid)
+    return neg, pos

@@ -355,11 +355,12 @@ def _merge_topk(neg_a, idx_a, neg_b, idx_b, k: int):
 
 @functools.partial(
     jax.jit, static_argnames=("k", "tile", "n_passes", "recall_target",
-                              "exclude_self", "window"))
+                              "exclude_self", "window", "backend"))
 def knn_window(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
                tile: int = 256, n_passes: int = 2, window: int = 1,
                recall_target: float = 0.95,
-               exclude_self: bool = False) -> KnnResult:
+               exclude_self: bool = False,
+               backend: str = "auto") -> KnnResult:
     """Approximate self-kNN via Morton-order sliding windows.
 
     The TPU-native large-N design (no tree, no hash, no random gather):
@@ -383,6 +384,13 @@ def knn_window(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
     best_neg = jnp.full((n, k), -jnp.inf, jnp.float32)
     best_idx = jnp.zeros((n, k), jnp.int32)
 
+    # the fused Pallas tile kernel covers the default configuration
+    # (window=1, self included); other configs use the XLA path
+    use_pallas = (backend == "pallas"
+                  or (backend == "auto"
+                      and jax.default_backend() == "tpu")) \
+        and window == 1 and not exclude_self
+
     for p in range(n_passes):
         keys = morton.morton_keys(points, mask, pass_index=p)
         _, perm = jax.lax.sort(
@@ -398,6 +406,30 @@ def knn_window(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
         else:
             perm_p = perm
         t = n_pad // tile
+
+        if use_pallas:
+            from ..kernels.knn_pallas import knn_window_tiles
+            kk = min(k, 3 * tile)
+            negT, posT = knn_window_tiles(
+                sp.T, sv.astype(jnp.float32)[None, :], kk, tile,
+                interpret=jax.default_backend() != "tpu")
+            pass_neg_s = negT.T                      # (n_pad, kk) sorted order
+            row = jnp.arange(n_pad, dtype=jnp.int32)
+            tile_id = row // tile
+            sorted_pos = jnp.clip(
+                (tile_id[:, None] - 1) * tile + posT.T, 0, n_pad - 1)
+            pass_idx_s = perm_p[sorted_pos]
+            pass_neg = pass_neg_s[:n]
+            pass_idx = pass_idx_s[:n]
+            orig_neg = jnp.zeros((n, kk), jnp.float32).at[perm].set(pass_neg)
+            orig_idx = jnp.zeros((n, kk), jnp.int32).at[perm].set(pass_idx)
+            if p == 0 and kk == k:
+                best_neg, best_idx = orig_neg, orig_idx
+            else:
+                best_neg, best_idx = _merge_topk(best_neg, best_idx,
+                                                 orig_neg, orig_idx, k)
+            continue
+
         sp_t = sp.reshape(t, tile, 3)
         sv_t = sv.reshape(t, tile)
         perm_t = perm_p.reshape(t, tile)
