@@ -139,3 +139,46 @@ class TestNativeParser:
     def test_scientific_and_special(self):
         out = native.parse_floats("1e3 -2.5E-2 .5 -.25")
         np.testing.assert_allclose(out, [1000, -0.025, 0.5, -0.25])
+
+
+class TestArtifacts:
+    def test_cloud_roundtrip(self, tmp_path, rng):
+        from threecrate_tpu.io.artifacts import load_artifact, save_artifact
+        pts = rng.normal(size=(40, 3)).astype(np.float32)
+        pc = tc.PointCloud.from_numpy(pts, intensity=rng.uniform(
+            0, 1, 40).astype(np.float32))
+        p = tmp_path / "c.npz"
+        save_artifact(p, pc)
+        back = load_artifact(p)
+        np.testing.assert_allclose(back.to_numpy(), pts)
+        assert "intensity" in back.attrs
+        assert back.capacity == pc.capacity  # exact state, masks included
+
+    def test_mesh_roundtrip(self, tmp_path):
+        from threecrate_tpu.io.artifacts import load_artifact, save_artifact
+        v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        f = np.array([[0, 1, 2]], np.int32)
+        m = tc.TriangleMesh.from_numpy(v, f).compute_vertex_normals()
+        p = tmp_path / "m.npz"
+        save_artifact(p, m)
+        back = load_artifact(p)
+        v1, f1 = back.to_numpy()
+        np.testing.assert_allclose(v1, v)
+        assert "normals" in back.attrs
+
+    def test_tsdf_resume(self, tmp_path):
+        from threecrate_tpu.io.artifacts import load_artifact, save_artifact
+        import jax.numpy as jnp
+        vol = tc.create_tsdf_volume((8, 8, 8), 0.1, with_color=True)
+        depth = np.full((8, 8), 0.3, np.float32)
+        intr = np.array([8.0, 8.0, 4.0, 4.0], np.float32)
+        vol = tc.tsdf_integrate(vol, depth, intr, np.eye(4, dtype=np.float32))
+        p = tmp_path / "vol.npz"
+        save_artifact(p, vol)
+        back = load_artifact(p)
+        np.testing.assert_allclose(np.asarray(back.tsdf),
+                                   np.asarray(vol.tsdf))
+        # resume fusion from the checkpoint
+        vol2 = tc.tsdf_integrate(back, depth, intr,
+                                 np.eye(4, dtype=np.float32))
+        assert float(vol2.weight.max()) == 2.0
