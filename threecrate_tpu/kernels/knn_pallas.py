@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
-            neg_out, pos_out, *, k: int):
+            pid_ref, sid_ref, nid_ref, neg_out, idx_out, *, k: int):
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
 
@@ -42,6 +42,11 @@ def _kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
     ok_next = jnp.where(t < n_t - 1, nv_ref[:], 0.0)
     valid = jnp.concatenate([ok_prev, sv_ref[:], ok_next],
                             axis=1) > 0.5               # (1, 3·tile)
+    # original point ids of the candidate columns (the sort payload):
+    # selecting them in-kernel replaces a (N·k) random element gather
+    # that measured ~120 ms/pass at 1M points
+    cand_ids = jnp.concatenate([pid_ref[:], sid_ref[:], nid_ref[:]],
+                               axis=1)                  # (1, 3·tile) int32
 
     dx = q[0, :][:, None] - cand[0, :][None, :]          # (tile, 3·tile)
     dy = q[1, :][:, None] - cand[1, :][None, :]
@@ -52,47 +57,46 @@ def _kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, neg.shape, 1)
     for j in range(k):
         m = jnp.max(neg, axis=1)                         # (tile,)
-        is_max = neg == m[:, None]
-        arg = jnp.min(jnp.where(is_max, col, neg.shape[1]), axis=1)
+        sel = neg == m[:, None]
+        arg = jnp.min(jnp.where(sel, col, neg.shape[1]), axis=1)
+        chosen = col == arg[:, None]                     # exactly-one mask
         neg_out[j, :] = m
-        pos_out[j, :] = arg.astype(jnp.int32)
-        neg = jnp.where(col == arg[:, None], -jnp.inf, neg)
+        idx_out[j, :] = jnp.sum(
+            jnp.where(chosen, cand_ids, 0), axis=1).astype(jnp.int32)
+        neg = jnp.where(chosen, -jnp.inf, neg)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
 def knn_window_tiles(sorted_pts_t: jnp.ndarray, sorted_valid: jnp.ndarray,
+                     sorted_ids: jnp.ndarray,
                      k: int, tile: int = 256, interpret: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused per-tile window search over Morton-sorted points.
 
     sorted_pts_t: (3, N) float32 transposed coordinates, N % tile == 0.
     sorted_valid: (1, N) float32 (1.0 valid / 0.0 padding).
-    Returns (neg sq dists (k, N), window positions (k, N) int32); window
-    position p in row-tile t refers to sorted index (t−1)·tile + p.
+    sorted_ids: (1, N) int32 original point id per sorted column (the
+      sort permutation payload).
+    Returns (neg sq dists (k, N), original ids (k, N) int32).
     """
     n = sorted_pts_t.shape[1]
     assert n % tile == 0, "pad to a tile multiple first"
     n_tiles = n // tile
 
-    pts_specs = [
-        pl.BlockSpec((3, tile), lambda t: (0, jnp.maximum(t - 1, 0)),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, tile),
-                     lambda t: (0, jnp.minimum(t + 1, n_tiles - 1)),
-                     memory_space=pltpu.VMEM),
-    ]
-    valid_specs = [
-        pl.BlockSpec((1, tile), lambda t: (0, jnp.maximum(t - 1, 0)),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile),
-                     lambda t: (0, jnp.minimum(t + 1, n_tiles - 1)),
-                     memory_space=pltpu.VMEM),
-    ]
+    def win_specs(rows):
+        return [
+            pl.BlockSpec((rows, tile), lambda t: (0, jnp.maximum(t - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, tile),
+                         lambda t: (0, jnp.minimum(t + 1, n_tiles - 1)),
+                         memory_space=pltpu.VMEM),
+        ]
+
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
-        in_specs=pts_specs + valid_specs,
+        in_specs=win_specs(3) + win_specs(1) + win_specs(1),
         out_specs=[
             pl.BlockSpec((k, tile), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
@@ -100,12 +104,13 @@ def knn_window_tiles(sorted_pts_t: jnp.ndarray, sorted_valid: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
     )
-    neg, pos = pl.pallas_call(
+    neg, idx = pl.pallas_call(
         functools.partial(_kernel, k=k),
         out_shape=[jax.ShapeDtypeStruct((k, n), jnp.float32),
                    jax.ShapeDtypeStruct((k, n), jnp.int32)],
         grid_spec=grid_spec,
         interpret=interpret,
     )(sorted_pts_t, sorted_pts_t, sorted_pts_t,
-      sorted_valid, sorted_valid, sorted_valid)
-    return neg, pos
+      sorted_valid, sorted_valid, sorted_valid,
+      sorted_ids, sorted_ids, sorted_ids)
+    return neg, idx

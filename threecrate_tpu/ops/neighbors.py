@@ -410,17 +410,12 @@ def knn_window(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
         if use_pallas:
             from ..kernels.knn_pallas import knn_window_tiles
             kk = min(k, 3 * tile)
-            negT, posT = knn_window_tiles(
-                sp.T, sv.astype(jnp.float32)[None, :], kk, tile,
+            negT, idxT = knn_window_tiles(
+                sp.T, sv.astype(jnp.float32)[None, :],
+                perm_p[None, :], kk, tile,
                 interpret=jax.default_backend() != "tpu")
-            pass_neg_s = negT.T                      # (n_pad, kk) sorted order
-            row = jnp.arange(n_pad, dtype=jnp.int32)
-            tile_id = row // tile
-            sorted_pos = jnp.clip(
-                (tile_id[:, None] - 1) * tile + posT.T, 0, n_pad - 1)
-            pass_idx_s = perm_p[sorted_pos]
-            pass_neg = pass_neg_s[:n]
-            pass_idx = pass_idx_s[:n]
+            pass_neg = negT.T[:n]                   # (n, kk) sorted order
+            pass_idx = idxT.T[:n]
             orig_neg = jnp.zeros((n, kk), jnp.float32).at[perm].set(pass_neg)
             orig_idx = jnp.zeros((n, kk), jnp.int32).at[perm].set(pass_idx)
             if p == 0 and kk == k:
