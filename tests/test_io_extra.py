@@ -182,3 +182,33 @@ class TestArtifacts:
         vol2 = tc.tsdf_integrate(back, depth, intr,
                                  np.eye(4, dtype=np.float32))
         assert float(vol2.weight.max()) == 2.0
+
+
+class TestGltf:
+    def test_glb_roundtrip(self, tmp_path, rng):
+        v = rng.normal(size=(20, 3)).astype(np.float32)
+        f = np.stack([np.arange(18), np.arange(18) + 1,
+                      np.arange(18) + 2], 1).astype(np.int32) % 20
+        n = rng.normal(size=(20, 3)).astype(np.float32)
+        c = rng.uniform(0, 1, (20, 3)).astype(np.float32)
+        m = tc.TriangleMesh.from_numpy(v, f, normals=n, colors=c)
+        p = tmp_path / "m.glb"
+        tc.write_mesh(p, m)
+        back = tc.read_mesh(p)
+        v1, f1 = back.to_numpy()
+        v0, f0 = m.to_numpy()
+        np.testing.assert_allclose(v1, v0, atol=1e-6)
+        np.testing.assert_array_equal(f1, f0)
+        np.testing.assert_allclose(back.attr_to_numpy("normals"),
+                                   m.attr_to_numpy("normals"), atol=1e-6)
+
+    def test_glb_header_valid(self, tmp_path):
+        v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        f = np.array([[0, 1, 2]], np.int32)
+        p = tmp_path / "t.glb"
+        tc.write_mesh(p, tc.TriangleMesh.from_numpy(v, f))
+        blob = p.read_bytes()
+        assert blob[:4] == b"glTF"
+        import struct as _s
+        total = _s.unpack_from("<I", blob, 8)[0]
+        assert total == len(blob)

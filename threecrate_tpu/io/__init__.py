@@ -16,7 +16,7 @@ import numpy as np
 
 from ..core.mesh import TriangleMesh
 from ..core.point_cloud import PointCloud
-from . import e57, las, lidar, obj, pcd, ply, rosbag, stl, xyz_csv
+from . import artifacts, e57, gltf, las, lidar, obj, pcd, ply, rosbag, stl, xyz_csv
 from .registry import REGISTRY, IoRegistry
 
 # -- wire the default registry (lib.rs:95-158 lazy_static block) ----------
@@ -44,6 +44,8 @@ REGISTRY.register("laz", cloud_reader=las.read_point_cloud)
 REGISTRY.register("db3", cloud_reader=rosbag.read_point_cloud)
 REGISTRY.register("e57", cloud_reader=e57.read_point_cloud,
                   cloud_writer=e57.write_point_cloud)
+REGISTRY.register("glb", mesh_reader=gltf.read_mesh_glb,
+                  mesh_writer=gltf.write_mesh_glb)
 
 
 # -- top-level convenience API (lib.rs:159-203) ----------------------------
