@@ -111,3 +111,30 @@ class TestEigh3x3:
         vals, vecs = linalg.eigh3x3(a)
         np.testing.assert_allclose(float(vals[0, 2]), 14.0, atol=1e-4)
         np.testing.assert_allclose(np.abs(np.asarray(vals[0, :2])), 0.0, atol=1e-4)
+
+
+class TestWindowParity:
+    def test_window_normals_match_exact_quality(self):
+        """2-pass tile-128 window normals are quality-equivalent to
+        exact-kNN normals on scan-like data (mean angle diff < 0.5 deg on
+        well-conditioned points)."""
+        import jax.numpy as jnp
+        rng = np.random.default_rng(7)
+        n = 20000
+        ang = rng.uniform(0, 2 * np.pi, n)
+        r = np.abs(rng.normal(0, 25, n)) + 2
+        pts = np.stack([r * np.cos(ang), r * np.sin(ang),
+                        rng.normal(0, 0.05, n)], -1).astype(np.float32)
+        pc = PointCloud.from_numpy(pts)
+        exact = normals.estimate_normals_detailed(
+            pc, normals.NormalEstimationConfig(k_neighbors=10,
+                                               method="exact"))
+        win = normals.estimate_normals_detailed(
+            pc, normals.NormalEstimationConfig(k_neighbors=10,
+                                               method="window"))
+        e = np.asarray(exact.normals)
+        w = np.asarray(win.normals)
+        v = np.asarray(exact.valid) & np.asarray(win.valid)
+        dots = np.abs((e[v] * w[v]).sum(1)).clip(0, 1)
+        ang_err = np.degrees(np.arccos(dots))
+        assert ang_err.mean() < 0.5, ang_err.mean()
