@@ -273,3 +273,20 @@ class TestBatchIcp:
                 np.asarray(res.transformation[b])[:3, 3], offsets[b],
                 atol=5e-3)
             assert bool(res.converged[b])
+
+
+class TestWindowCorrespondence:
+    def test_window_icp_matches_exact(self):
+        pts = surface_cloud(2000, seed=9)
+        t_true = Transform.from_translation([0.04, -0.02, 0.015])
+        src = PointCloud.from_numpy(pts)
+        tgt = PointCloud.from_numpy(apply_np(t_true.matrix, pts))
+        res_e = registration.icp_point_to_point(
+            src, tgt, max_iterations=40, correspondence="exact")
+        res_w = registration.icp_point_to_point(
+            src, tgt, max_iterations=40, correspondence="window")
+        np.testing.assert_allclose(np.asarray(res_w.transformation),
+                                   np.asarray(t_true.matrix), atol=3e-3)
+        np.testing.assert_allclose(np.asarray(res_w.transformation),
+                                   np.asarray(res_e.transformation),
+                                   atol=3e-3)

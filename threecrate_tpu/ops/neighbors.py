@@ -480,6 +480,79 @@ def knn_window(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
                      jnp.where(valid, dist, jnp.inf), valid)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile", "n_passes"))
+def knn_window_cross(db_points: jnp.ndarray, db_mask: jnp.ndarray,
+                     queries: jnp.ndarray, query_mask: Optional[jnp.ndarray],
+                     k: int = 1, *, tile: int = 256,
+                     n_passes: int = 2) -> KnnResult:
+    """Approximate cross-set kNN via a Morton sort of the UNION.
+
+    Sort database and query points together along the curve; each query
+    row's window then contains its spatially-near database points, with
+    database membership as the candidate validity mask. This is the
+    large-N correspondence search for ICP (top-1 per iteration): the
+    union re-sort is ~1 ms at 1M points, so it can run *inside* the ICP
+    while_loop every iteration.
+    """
+    from . import morton
+    from ..kernels.knn_pallas import knn_window_tiles
+
+    n_db = db_points.shape[0]
+    n_q = queries.shape[0]
+    pts = jnp.concatenate([db_points.astype(jnp.float32),
+                           queries.astype(jnp.float32)], axis=0)
+    is_db = jnp.concatenate([db_mask,
+                             jnp.zeros((n_q,), bool)], axis=0)
+    any_valid = jnp.concatenate([
+        db_mask, query_mask if query_mask is not None
+        else jnp.ones((n_q,), bool)], axis=0)
+    n = n_db + n_q
+
+    best_neg = jnp.full((n_q, k), -jnp.inf, jnp.float32)
+    best_idx = jnp.zeros((n_q, k), jnp.int32)
+
+    for p in range(n_passes):
+        keys = morton.morton_keys(pts, any_valid, pass_index=p)
+        _, perm = jax.lax.sort(
+            (keys, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+        sp = pts[perm]
+        s_isdb = is_db[perm]
+
+        n_pad = padding.round_up(n, tile)
+        if n_pad != n:
+            sp = jnp.pad(sp, ((0, n_pad - n), (0, 0)))
+            s_isdb = jnp.pad(s_isdb, (0, n_pad - n))
+            perm_p = jnp.pad(perm, (0, n_pad - n))
+        else:
+            perm_p = perm
+
+        negT, idxT = knn_window_tiles(
+            sp.T, s_isdb.astype(jnp.float32)[None, :],
+            perm_p[None, :], min(k, 3 * tile), tile,
+            interpret=jax.default_backend() != "tpu")
+        pass_neg = negT.T[:n]
+        pass_idx = idxT.T[:n]
+        # keep only query rows, addressed by original query index
+        orig_neg = jnp.zeros((n, k), jnp.float32).at[perm].set(pass_neg)
+        orig_idx = jnp.zeros((n, k), jnp.int32).at[perm].set(pass_idx)
+        q_neg = orig_neg[n_db:]
+        q_idx = orig_idx[n_db:]
+        if p == 0:
+            best_neg, best_idx = q_neg, q_idx
+        else:
+            best_neg, best_idx = _merge_topk(best_neg, best_idx,
+                                             q_neg, q_idx, k)
+
+    d2 = -best_neg
+    valid = jnp.isfinite(d2)
+    if query_mask is not None:
+        valid = valid & query_mask[:, None]
+    dist = jnp.sqrt(jnp.where(valid, d2, jnp.inf))
+    return KnnResult(jnp.clip(best_idx, 0, n_db - 1),
+                     jnp.where(valid, dist, jnp.inf), valid)
+
+
 # ---------------------------------------------------------------------------
 # Object-style wrappers mirroring the reference trait surface
 # ---------------------------------------------------------------------------

@@ -62,14 +62,25 @@ def _prep(source: PointCloud, target: PointCloud):
     return (source.points, source.mask, target.points, target.mask)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+CORRESPONDENCE_WINDOW_THRESHOLD = 2 ** 35  # n_src · n_tgt above which the
+# exact blockwise search is replaced by the Morton-window search inside
+# the ICP loop (top-1 agreement ~100% on scan data; see tests)
+
+
+def _correspondence(tgt, tgt_mask, moved, src_mask, window: bool):
+    if window:
+        return neighbors.knn_window_cross(tgt, tgt_mask, moved, src_mask, 1)
+    return neighbors.knn(tgt, tgt_mask, moved, src_mask, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations", "window"))
 def _icp_p2p(src, src_mask, tgt, tgt_mask, init, max_iterations,
-             conv_thresh, max_corr_dist):
+             conv_thresh, max_corr_dist, window=False):
     n = src.shape[0]
 
     def corr_and_fit(t_mat):
         moved = linalg.transform_points(t_mat, src)
-        res = neighbors.knn(tgt, tgt_mask, moved, src_mask, 1)
+        res = _correspondence(tgt, tgt_mask, moved, src_mask, window)
         idx = res.indices[:, 0]
         dist = res.distances[:, 0]
         ok = res.mask[:, 0] & src_mask
@@ -99,19 +110,36 @@ def _icp_p2p(src, src_mask, tgt, tgt_mask, init, max_iterations,
     return t_mat, mse, it, conv, n_corr
 
 
+def _use_window(source: PointCloud, target: PointCloud,
+                correspondence: str) -> bool:
+    if correspondence == "window":
+        return True
+    if correspondence == "exact":
+        return False
+    return (source.capacity * target.capacity
+            > CORRESPONDENCE_WINDOW_THRESHOLD)
+
+
 def icp_point_to_point(source: PointCloud, target: PointCloud,
                        max_iterations: int = 50,
                        convergence_threshold: float = 1e-6,
                        max_correspondence_distance: Optional[float] = None,
-                       init: Optional[Transform] = None) -> ICPResult:
-    """icp_detailed (registration.rs:258-370), fully on-device."""
+                       init: Optional[Transform] = None,
+                       correspondence: str = "auto") -> ICPResult:
+    """icp_detailed (registration.rs:258-370), fully on-device.
+
+    ``correspondence``: "exact" (blockwise brute force), "window"
+    (Morton union-sort search — the large-N fast path), or "auto"
+    (window above ~180k x 180k pair products).
+    """
     src, sm, tgt, tm = _prep(source, target)
     init_m = init.matrix if init is not None else jnp.eye(4, dtype=jnp.float32)
     mcd = jnp.float32(max_correspondence_distance
                       if max_correspondence_distance is not None else jnp.inf)
     t, mse, it, conv, n_corr = _icp_p2p(
         src, sm, tgt, tm, init_m, max_iterations,
-        jnp.float32(convergence_threshold), mcd)
+        jnp.float32(convergence_threshold), mcd,
+        _use_window(source, target, correspondence))
     return ICPResult(t, mse, it, conv, n_corr)
 
 
@@ -125,12 +153,12 @@ def icp(source: PointCloud, target: PointCloud,
 # point-to-plane
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@functools.partial(jax.jit, static_argnames=("max_iterations", "window"))
 def _icp_p2plane(src, src_mask, tgt, tgt_mask, tgt_normals, init,
-                 max_iterations, conv_thresh, max_corr_dist):
+                 max_iterations, conv_thresh, max_corr_dist, window=False):
     def step(t_mat):
         moved = linalg.transform_points(t_mat, src)
-        res = neighbors.knn(tgt, tgt_mask, moved, src_mask, 1)
+        res = _correspondence(tgt, tgt_mask, moved, src_mask, window)
         idx = res.indices[:, 0]
         dist = res.distances[:, 0]
         ok = res.mask[:, 0] & src_mask & (dist <= max_corr_dist)
@@ -168,7 +196,8 @@ def icp_point_to_plane(source: PointCloud, target: PointCloud,
                        max_iterations: int = 50,
                        convergence_threshold: float = 1e-6,
                        max_correspondence_distance: Optional[float] = None,
-                       init: Optional[Transform] = None) -> ICPResult:
+                       init: Optional[Transform] = None,
+                       correspondence: str = "auto") -> ICPResult:
     """Chen & Medioni point-to-plane ICP (registration.rs:395-450,
     loop :508-602). Target must carry normals (estimate_normals first)."""
     if target.normals is None:
@@ -181,7 +210,8 @@ def icp_point_to_plane(source: PointCloud, target: PointCloud,
                       if max_correspondence_distance is not None else jnp.inf)
     t, mse, it, conv, n_corr = _icp_p2plane(
         src, sm, tgt, tm, target.normals, init_m, max_iterations,
-        jnp.float32(convergence_threshold), mcd)
+        jnp.float32(convergence_threshold), mcd,
+        _use_window(source, target, correspondence))
     return ICPResult(t, mse, it, conv, n_corr)
 
 
