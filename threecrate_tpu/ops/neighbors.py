@@ -32,6 +32,27 @@ from ..core.point_cloud import PointCloud
 from ..utils import padding
 
 
+@jax.jit
+def batch_distances_squared(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs squared distances ``(A, B)`` in one MXU matmul.
+
+    API analog of the reference's SIMD SoA distance kernels
+    (simd_distance.rs:110-210 batch_distances_squared): the AVX2/SSE2
+    runtime dispatch becomes a single precision-guarded matmul. For
+    large sets prefer the blockwise ``knn``/``knn_window`` entry points
+    (this materialises the full matrix).
+    """
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    an = jnp.sum(a * a, axis=-1)
+    bn = jnp.sum(b * b, axis=-1)
+    cross = jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    return jnp.maximum(an[:, None] + bn[None, :] - 2.0 * cross, 0.0)
+
+
 class KnnResult(NamedTuple):
     """Fixed-shape kNN result.
 

@@ -69,7 +69,11 @@ CORRESPONDENCE_WINDOW_THRESHOLD = 2 ** 35  # n_src · n_tgt above which the
 
 def _correspondence(tgt, tgt_mask, moved, src_mask, window: bool):
     if window:
-        return neighbors.knn_window_cross(tgt, tgt_mask, moved, src_mask, 1)
+        # tile=128: top-1 match rate ~99.5% at half the kernel cost of
+        # tile=256; residual mismatches are near-ties the weighted
+        # Kabsch fit absorbs
+        return neighbors.knn_window_cross(tgt, tgt_mask, moved, src_mask,
+                                          1, tile=128)
     return neighbors.knn(tgt, tgt_mask, moved, src_mask, 1)
 
 
