@@ -31,7 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
-            pid_ref, sid_ref, nid_ref, neg_out, idx_out, *, k: int):
+            pid_ref, sid_ref, nid_ref, neg_out, idx_out, crd_out,
+            *, k: int, with_coords: bool):
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
 
@@ -63,14 +64,22 @@ def _kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
         neg_out[j, :] = m
         idx_out[j, :] = jnp.sum(
             jnp.where(chosen, cand_ids, 0), axis=1).astype(jnp.int32)
+        if with_coords:
+            # selected neighbor coordinates, accumulated from VMEM —
+            # downstream covariance then needs NO random HBM gather
+            ch = chosen.astype(jnp.float32)
+            crd_out[3 * j + 0, :] = jnp.sum(ch * cand[0, :][None, :], axis=1)
+            crd_out[3 * j + 1, :] = jnp.sum(ch * cand[1, :][None, :], axis=1)
+            crd_out[3 * j + 2, :] = jnp.sum(ch * cand[2, :][None, :], axis=1)
         neg = jnp.where(chosen, -jnp.inf, neg)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret",
+                                             "with_coords"))
 def knn_window_tiles(sorted_pts_t: jnp.ndarray, sorted_valid: jnp.ndarray,
                      sorted_ids: jnp.ndarray,
-                     k: int, tile: int = 256, interpret: bool = False
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     k: int, tile: int = 256, interpret: bool = False,
+                     with_coords: bool = False):
     """Fused per-tile window search over Morton-sorted points.
 
     sorted_pts_t: (3, N) float32 transposed coordinates, N % tile == 0.
@@ -94,6 +103,7 @@ def knn_window_tiles(sorted_pts_t: jnp.ndarray, sorted_valid: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ]
 
+    crd_rows = 3 * k if with_coords else 1
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=win_specs(3) + win_specs(1) + win_specs(1),
@@ -102,15 +112,20 @@ def knn_window_tiles(sorted_pts_t: jnp.ndarray, sorted_valid: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, tile), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((crd_rows, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
         ],
     )
-    neg, idx = pl.pallas_call(
-        functools.partial(_kernel, k=k),
+    neg, idx, crd = pl.pallas_call(
+        functools.partial(_kernel, k=k, with_coords=with_coords),
         out_shape=[jax.ShapeDtypeStruct((k, n), jnp.float32),
-                   jax.ShapeDtypeStruct((k, n), jnp.int32)],
+                   jax.ShapeDtypeStruct((k, n), jnp.int32),
+                   jax.ShapeDtypeStruct((crd_rows, n), jnp.float32)],
         grid_spec=grid_spec,
         interpret=interpret,
     )(sorted_pts_t, sorted_pts_t, sorted_pts_t,
       sorted_valid, sorted_valid, sorted_valid,
       sorted_ids, sorted_ids, sorted_ids)
+    if with_coords:
+        return neg, idx, crd
     return neg, idx

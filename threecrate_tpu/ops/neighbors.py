@@ -326,7 +326,8 @@ def knn_grid(db_points: jnp.ndarray, db_mask: jnp.ndarray,
 # Morton sliding-window kNN: the speed-of-light self-kNN path
 # ---------------------------------------------------------------------------
 
-def _merge_topk(neg_a, idx_a, neg_b, idx_b, k: int):
+def _merge_topk(neg_a, idx_a, neg_b, idx_b, k: int,
+                pts_a=None, pts_b=None):
     """Merge two per-row best-k lists into the best k, sort-free.
 
     Dedup (b-entries whose index appears in a) and placement are both
@@ -371,17 +372,24 @@ def _merge_topk(neg_a, idx_a, neg_b, idx_b, k: int):
         + jnp.einsum("nks,nk->ns", hit_b.astype(jnp.int32), idx_b)
     filled = jnp.any(hit_a, axis=1) | jnp.any(hit_b, axis=1)
     out_neg = jnp.where(filled, out_neg, -jnp.inf)
+    if pts_a is not None:
+        out_pts = jnp.einsum("nks,nkc->nsc", hit_a.astype(pts_a.dtype),
+                             pts_a) \
+            + jnp.einsum("nks,nkc->nsc", hit_b.astype(pts_b.dtype), pts_b)
+        return out_neg, out_idx, out_pts
     return out_neg, out_idx
 
 
 @functools.partial(
     jax.jit, static_argnames=("k", "tile", "n_passes", "recall_target",
-                              "exclude_self", "window", "backend"))
+                              "exclude_self", "window", "backend",
+                              "return_points"))
 def knn_window(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
                tile: int = 256, n_passes: int = 2, window: int = 1,
                recall_target: float = 0.95,
                exclude_self: bool = False,
-               backend: str = "auto") -> KnnResult:
+               backend: str = "auto",
+               return_points: bool = False):
     """Approximate self-kNN via Morton-order sliding windows.
 
     The TPU-native large-N design (no tree, no hash, no random gather):
@@ -411,6 +419,13 @@ def knn_window(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
                   or (backend == "auto"
                       and jax.default_backend() == "tpu")) \
         and window == 1 and not exclude_self
+    if return_points:
+        if exclude_self or window != 1:
+            raise ValueError("return_points requires window=1 and "
+                             "exclude_self=False (pallas kernel path)")
+        use_pallas = True  # coordinate output rides the pallas kernel
+    best_pts = (jnp.zeros((n, k, 3), jnp.float32) if return_points
+                else None)
 
     for p in range(n_passes):
         keys = morton.morton_keys(points, mask, pass_index=p)
@@ -431,16 +446,28 @@ def knn_window(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
         if use_pallas:
             from ..kernels.knn_pallas import knn_window_tiles
             kk = min(k, 3 * tile)
-            negT, idxT = knn_window_tiles(
+            out = knn_window_tiles(
                 sp.T, sv.astype(jnp.float32)[None, :],
                 perm_p[None, :], kk, tile,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu",
+                with_coords=return_points)
+            negT, idxT = out[0], out[1]
             pass_neg = negT.T[:n]                   # (n, kk) sorted order
             pass_idx = idxT.T[:n]
             orig_neg = jnp.zeros((n, kk), jnp.float32).at[perm].set(pass_neg)
             orig_idx = jnp.zeros((n, kk), jnp.int32).at[perm].set(pass_idx)
+            orig_pts = None
+            if return_points:
+                crd = out[2].T[:n].reshape(n, kk, 3)
+                orig_pts = jnp.zeros((n, kk, 3), jnp.float32
+                                     ).at[perm].set(crd)
             if p == 0 and kk == k:
                 best_neg, best_idx = orig_neg, orig_idx
+                best_pts = orig_pts if return_points else best_pts
+            elif return_points:
+                best_neg, best_idx, best_pts = _merge_topk(
+                    best_neg, best_idx, orig_neg, orig_idx, k,
+                    best_pts, orig_pts)
             else:
                 best_neg, best_idx = _merge_topk(best_neg, best_idx,
                                                  orig_neg, orig_idx, k)
@@ -497,8 +524,11 @@ def knn_window(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
     d2 = -best_neg
     valid = jnp.isfinite(d2) & mask[:, None]
     dist = jnp.sqrt(jnp.where(valid, d2, jnp.inf))
-    return KnnResult(jnp.clip(best_idx, 0, n - 1),
-                     jnp.where(valid, dist, jnp.inf), valid)
+    result = KnnResult(jnp.clip(best_idx, 0, n - 1),
+                       jnp.where(valid, dist, jnp.inf), valid)
+    if return_points:
+        return result, best_pts
+    return result
 
 
 @functools.partial(

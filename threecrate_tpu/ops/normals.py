@@ -61,12 +61,16 @@ def _estimate(points, mask, k, use_radius, radius, viewpoint, orient,
     # One kNN pass serves both modes: radius mode masks slots beyond the
     # radius, and falls back to plain k-NN per point when fewer than 3
     # neighbors fall inside (normals.rs:314-336's fallback chain).
+    nbr_coords = None
     if window:
         # tile=128 halves the per-point window work vs 256; on scan-like
         # data 2-pass recall stays >99.5% and normal quality matches the
-        # exact path (see tests/test_normals.py window-parity test)
-        knn_res = neighbors.knn_window(points, mask, k, n_passes=2,
-                                       tile=128, recall_target=0.95)
+        # exact path (see tests/test_normals.py window-parity test).
+        # return_points: neighbor coordinates come out of the kernel's
+        # VMEM, skipping the (N, k, 3) random HBM gather entirely.
+        knn_res, nbr_coords = neighbors.knn_window(
+            points, mask, k, n_passes=2, tile=128, recall_target=0.95,
+            return_points=True)
     else:
         knn_res = neighbors.knn(points, mask, points, mask, k)
     nbr_idx = knn_res.indices
@@ -77,7 +81,8 @@ def _estimate(points, mask, k, use_radius, radius, viewpoint, orient,
     else:
         nbr_ok = knn_res.mask
 
-    nbr_pts = points[nbr_idx]                        # (N, k, 3) gather
+    nbr_pts = nbr_coords if nbr_coords is not None \
+        else points[nbr_idx]                         # (N, k, 3)
     w = nbr_ok.astype(jnp.float32)
     # covariance via explicit component sums: six (N, k) reductions fuse
     # into a couple of HBM passes, vs a tiny-batched einsum matmul that
