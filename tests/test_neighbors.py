@@ -129,3 +129,17 @@ class TestWrappers:
         tree = neighbors.BruteForceSearch(pc)
         res = tree.find_radius_neighbors(pts[:3], 0.3)
         assert res.indices.shape == (3, 64)
+
+
+class TestReturnPoints:
+    def test_coords_match_indices(self, rng):
+        pts = rng.uniform(0, 10, (2000, 3)).astype(np.float32)
+        pc = PointCloud.from_numpy(pts)
+        res, coords = neighbors.knn_window(
+            pc.points, pc.mask, 6, n_passes=2, return_points=True,
+            backend="pallas")
+        idx = np.asarray(res.indices[:2000])
+        crd = np.asarray(coords[:2000])
+        m = np.asarray(res.mask[:2000])
+        expect = np.asarray(pc.points)[idx]
+        np.testing.assert_allclose(crd[m], expect[m], atol=1e-6)

@@ -66,11 +66,11 @@ def _estimate(points, mask, k, use_radius, radius, viewpoint, orient,
         # tile=128 halves the per-point window work vs 256; on scan-like
         # data 2-pass recall stays >99.5% and normal quality matches the
         # exact path (see tests/test_normals.py window-parity test).
-        # return_points: neighbor coordinates come out of the kernel's
-        # VMEM, skipping the (N, k, 3) random HBM gather entirely.
-        knn_res, nbr_coords = neighbors.knn_window(
-            points, mask, k, n_passes=2, tile=128, recall_target=0.95,
-            return_points=True)
+        # (return_points=True was measured SLOWER end-to-end at 1M — the
+        # in-kernel coordinate accumulation costs more than the (N,k,3)
+        # gather it avoids — so the id+gather path is the default.)
+        knn_res = neighbors.knn_window(points, mask, k, n_passes=2,
+                                       tile=128, recall_target=0.95)
     else:
         knn_res = neighbors.knn(points, mask, points, mask, k)
     nbr_idx = knn_res.indices
