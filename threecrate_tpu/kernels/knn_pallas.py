@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
             pid_ref, sid_ref, nid_ref, neg_out, idx_out, crd_out,
-            *, k: int, with_coords: bool):
+            *, k: int, with_coords: bool, exclude_self: bool):
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
 
@@ -54,6 +54,9 @@ def _kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
     dz = q[2, :][:, None] - cand[2, :][None, :]
     d2 = dx * dx + dy * dy + dz * dz
     neg = jnp.where(valid, -d2, -jnp.inf)
+    if exclude_self:
+        own = sid_ref[0, :][:, None]                 # (tile, 1)
+        neg = jnp.where(cand_ids == own, -jnp.inf, neg)
 
     col = jax.lax.broadcasted_iota(jnp.int32, neg.shape, 1)
     for j in range(k):
@@ -75,11 +78,11 @@ def _kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile", "interpret",
-                                             "with_coords"))
+                                             "with_coords", "exclude_self"))
 def knn_window_tiles(sorted_pts_t: jnp.ndarray, sorted_valid: jnp.ndarray,
                      sorted_ids: jnp.ndarray,
                      k: int, tile: int = 256, interpret: bool = False,
-                     with_coords: bool = False):
+                     with_coords: bool = False, exclude_self: bool = False):
     """Fused per-tile window search over Morton-sorted points.
 
     sorted_pts_t: (3, N) float32 transposed coordinates, N % tile == 0.
@@ -117,7 +120,8 @@ def knn_window_tiles(sorted_pts_t: jnp.ndarray, sorted_valid: jnp.ndarray,
         ],
     )
     neg, idx, crd = pl.pallas_call(
-        functools.partial(_kernel, k=k, with_coords=with_coords),
+        functools.partial(_kernel, k=k, with_coords=with_coords,
+                          exclude_self=exclude_self),
         out_shape=[jax.ShapeDtypeStruct((k, n), jnp.float32),
                    jax.ShapeDtypeStruct((k, n), jnp.int32),
                    jax.ShapeDtypeStruct((crd_rows, n), jnp.float32)],

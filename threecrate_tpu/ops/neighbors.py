@@ -418,11 +418,11 @@ def knn_window(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
     use_pallas = (backend == "pallas"
                   or (backend == "auto"
                       and jax.default_backend() == "tpu")) \
-        and window == 1 and not exclude_self
+        and window == 1
     if return_points:
-        if exclude_self or window != 1:
-            raise ValueError("return_points requires window=1 and "
-                             "exclude_self=False (pallas kernel path)")
+        if window != 1:
+            raise ValueError("return_points requires window=1 "
+                             "(pallas kernel path)")
         use_pallas = True  # coordinate output rides the pallas kernel
     best_pts = (jnp.zeros((n, k, 3), jnp.float32) if return_points
                 else None)
@@ -450,7 +450,7 @@ def knn_window(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
                 sp.T, sv.astype(jnp.float32)[None, :],
                 perm_p[None, :], kk, tile,
                 interpret=jax.default_backend() != "tpu",
-                with_coords=return_points)
+                with_coords=return_points, exclude_self=exclude_self)
             negT, idxT = out[0], out[1]
             pass_neg = negT.T[:n]                   # (n, kk) sorted order
             pass_idx = idxT.T[:n]
@@ -483,12 +483,13 @@ def knn_window(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
         cand_v = jnp.concatenate([jnp.roll(sv_t, s, 0) for s in shifts],
                                  axis=1)
 
-        qn = jnp.sum(sp_t * sp_t, axis=-1)            # (t, tile)
-        pn = jnp.sum(cand * cand, axis=-1)            # (t, W·tile)
-        cross = jnp.einsum("tqc,tpc->tqp", sp_t, cand,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-        d2 = jnp.maximum(qn[..., None] + pn[:, None, :] - 2.0 * cross, 0.0)
+        # exact f32 distances via elementwise expansion — same math as
+        # the pallas kernel, no matmul-cancellation error, and XLA fuses
+        # the three squares into the top-k producer
+        diff_x = sp_t[:, :, None, 0] - cand[:, None, :, 0]
+        diff_y = sp_t[:, :, None, 1] - cand[:, None, :, 1]
+        diff_z = sp_t[:, :, None, 2] - cand[:, None, :, 2]
+        d2 = diff_x * diff_x + diff_y * diff_y + diff_z * diff_z
         neg = jnp.where(cand_v[:, None, :], -d2, -jnp.inf)
         if exclude_self:
             # self sits at window-offset `window·tile + row` in its own tile
