@@ -212,3 +212,24 @@ class TestGltf:
         import struct as _s
         total = _s.unpack_from("<I", blob, 8)[0]
         assert total == len(blob)
+
+
+class TestMmap:
+    def test_large_file_mapped(self, tmp_path, rng):
+        from threecrate_tpu.io.mmap import MmapReader
+        pts = rng.normal(size=(10000, 3)).astype(np.float32)
+        p = tmp_path / "big.ply"
+        tc.write_point_cloud(p, tc.PointCloud.from_numpy(pts))
+        with MmapReader(p) as mm:
+            assert mm.is_mapped
+            assert bytes(mm.data()[:3]) == b"ply"
+        back = tc.read_point_cloud(p)  # goes through the mmap fast path
+        np.testing.assert_allclose(back.to_numpy(), pts, atol=1e-6)
+
+    def test_small_file_buffered(self, tmp_path):
+        from threecrate_tpu.io.mmap import MmapReader
+        p = tmp_path / "small.bin"
+        p.write_bytes(b"tiny")
+        with MmapReader(p) as mm:
+            assert not mm.is_mapped
+            assert mm.data() == b"tiny"

@@ -143,3 +143,34 @@ class TestReturnPoints:
         m = np.asarray(res.mask[:2000])
         expect = np.asarray(pc.points)[idx]
         np.testing.assert_allclose(crd[m], expect[m], atol=1e-6)
+
+
+class TestMergeFuzz:
+    def test_rank_merge_matches_reference(self, rng):
+        """Fuzz _merge_topk against a sort-based reference merge."""
+        from threecrate_tpu.ops.neighbors import _merge_topk
+        import jax.numpy as jnp
+        for trial in range(60):
+            k = int(rng.integers(2, 8))
+            n = 4
+            a = np.sort(rng.uniform(-10, 0, (n, k)), 1)[:, ::-1]
+            b = np.sort(rng.uniform(-10, 0, (n, k)), 1)[:, ::-1]
+            a[rng.uniform(size=(n, k)) < 0.2] = -np.inf
+            b[rng.uniform(size=(n, k)) < 0.2] = -np.inf
+            a = -np.sort(-a, 1)
+            b = -np.sort(-b, 1)
+            ia = rng.integers(0, 20, (n, k))
+            ib = rng.integers(0, 20, (n, k))
+            on, oi = _merge_topk(
+                jnp.asarray(a, jnp.float32), jnp.asarray(ia, jnp.int32),
+                jnp.asarray(b, jnp.float32), jnp.asarray(ib, jnp.int32), k)
+            on = np.asarray(on)
+            for r in range(n):
+                bb = b[r].copy()
+                avalid = set(ia[r][a[r] > -np.inf])
+                for j in range(k):
+                    if ib[r][j] in avalid:
+                        bb[j] = -np.inf
+                cand = np.concatenate([a[r], bb])
+                exp = cand[np.argsort(-cand, kind="stable")[:k]]
+                np.testing.assert_allclose(on[r], exp, atol=1e-6)

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..core.mesh import TriangleMesh
 from ..core.point_cloud import PointCloud
-from . import artifacts, e57, gltf, las, lidar, obj, pcd, ply, rosbag, stl, xyz_csv
+from . import artifacts, e57, gltf, las, lidar, mmap, obj, pcd, ply, rosbag, stl, xyz_csv
 from .registry import REGISTRY, IoRegistry
 
 # -- wire the default registry (lib.rs:95-158 lazy_static block) ----------

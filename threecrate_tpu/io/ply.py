@@ -248,7 +248,30 @@ def _decode_ascii(data: bytes, header: PlyHeader
 
 
 def read_ply_raw(path) -> Dict[str, Dict[str, np.ndarray]]:
-    """Full-schema read: {element: {property: array}}."""
+    """Full-schema read: {element: {property: array}}.
+
+    Binary files above 64 KiB decode through a memory map (the
+    reference's io-mmap fast path, mmap.rs:14-60): structured
+    ``frombuffer`` views over the mapping avoid the read() copy.
+    """
+    from .mmap import MMAP_THRESHOLD, MmapReader
+    import os
+    if os.path.getsize(path) >= MMAP_THRESHOLD:
+        with MmapReader(path) as mm:
+            data = bytes(mm.data()[:65536])
+            header = parse_header(data)
+            if header.fmt != "ascii":
+                decoded, _ = _decode_binary(mm.data(), header.header_len,
+                                            header)
+                # materialise copies before the mapping closes (ragged
+                # list properties are python lists of views)
+                out = {}
+                for elem, props in decoded.items():
+                    out[elem] = {
+                        k: (np.array(v) if isinstance(v, np.ndarray)
+                            else [np.array(x) for x in v])
+                        for k, v in props.items()}
+                return out
     with open(path, "rb") as f:
         data = f.read()
     header = parse_header(data)
