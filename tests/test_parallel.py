@@ -78,3 +78,27 @@ class TestShardedIcp:
             put_sharded(jnp.asarray(pts_bad), mesh),
             put_sharded(jnp.asarray(mask), mesh))
         np.testing.assert_allclose(np.asarray(t), np.eye(4), atol=1e-3)
+
+
+class TestBatchShardedIcp:
+    def test_2d_mesh_batch_points(self):
+        """2-D (batch × points) mesh: DP over pairs, SP within a pair."""
+        import numpy as np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from threecrate_tpu.parallel import make_sharded_batch_icp
+        devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devs, ("batch", "points"))
+        pts = surface_cloud(1024)
+        offsets = np.array([[0.05, -0.02, 0.01], [0.01, 0.03, -0.02]],
+                           np.float32)
+        src = np.stack([pts, pts])
+        tgt = np.stack([pts + offsets[0], pts + offsets[1]])
+        masks = np.ones((2, 1024), bool)
+        put = lambda x: jax.device_put(
+            x, NamedSharding(mesh, P("batch", "points")))
+        fn = make_sharded_batch_icp(mesh, max_iterations=25)
+        t, mse, it, conv = fn(put(jnp.asarray(src)), put(jnp.asarray(masks)),
+                              put(jnp.asarray(tgt)), put(jnp.asarray(masks)))
+        t = np.asarray(t)
+        for b in range(2):
+            np.testing.assert_allclose(t[b][:3, 3], offsets[b], atol=5e-3)

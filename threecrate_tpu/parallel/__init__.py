@@ -13,6 +13,7 @@ from .sharded import (
     global_stats_local,
     icp_sharded_loop,
     icp_sharded_step,
+    make_sharded_batch_icp,
     make_sharded_icp,
     make_sharded_knn,
     make_sharded_outlier_stats,
@@ -23,6 +24,6 @@ __all__ = [
     "POINTS_AXIS", "make_mesh", "put_replicated", "put_sharded",
     "replicated_spec", "shard_cloud_spec",
     "global_stats_local", "icp_sharded_loop", "icp_sharded_step",
-    "make_sharded_icp", "make_sharded_knn", "make_sharded_outlier_stats",
+    "make_sharded_batch_icp", "make_sharded_icp", "make_sharded_knn", "make_sharded_outlier_stats",
     "ring_knn_local",
 ]

@@ -202,6 +202,40 @@ def make_sharded_icp(mesh: Mesh, max_iterations: int = 20,
     return jax.jit(_run)
 
 
+def make_sharded_batch_icp(mesh: Mesh, max_iterations: int = 20,
+                           convergence_threshold: float = 1e-6,
+                           max_correspondence_distance: float = jnp.inf,
+                           batch_axis: str = "batch",
+                           points_axis: str = POINTS_AXIS):
+    """Composed parallelism: a 2-D mesh (batch × points).
+
+    Independent cloud pairs shard over the ``batch`` axis (pure data
+    parallelism — the reference's BatchICPJob queue, gpu/src/icp.rs:
+    134-166, across devices) while each pair's points shard over the
+    ``points`` axis with ring correspondence + psum inside. Inputs:
+    src/tgt (B, N, 3) and masks (B, N), sharded (batch, points);
+    returns per-pair (B, 4, 4) transforms etc., replicated along points.
+    """
+    spec_in = P(batch_axis, points_axis)
+    spec_out = P(batch_axis)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec_in, spec_in, spec_in, spec_in),
+        out_specs=(spec_out, spec_out, spec_out, spec_out),
+        check_vma=False)
+    def _run(src, src_mask, tgt, tgt_mask):
+        def one(s, sm, t, tm):
+            return icp_sharded_loop(
+                s, sm, t, tm, jnp.eye(4, dtype=jnp.float32),
+                max_iterations, jnp.float32(convergence_threshold),
+                jnp.float32(max_correspondence_distance), points_axis)
+        t, mse, it, conv = jax.vmap(one)(src, src_mask, tgt, tgt_mask)
+        return t, mse, it, conv
+
+    return jax.jit(_run)
+
+
 def make_sharded_knn(mesh: Mesh, k: int, axis_name: str = POINTS_AXIS):
     """Jitted ring kNN: queries & database both sharded over the mesh.
     Returns (distances (Q,k), global indices (Q,k)) sharded like the
