@@ -1,3 +1,3 @@
-from . import padding
+from . import debug, padding, profiling
 
-__all__ = ["padding"]
+__all__ = ["debug", "padding", "profiling"]

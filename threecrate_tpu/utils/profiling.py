@@ -80,3 +80,26 @@ class Timer:
                  for k, v in sorted(self.sections.items(),
                                     key=lambda kv: -kv[1])]
         return "\n".join(lines)
+
+
+def device_memory_stats(device=None) -> Dict[str, int]:
+    """Device memory counters (the TPU analog of the reference's
+    instrumented-allocator benches, threecrate-bench/src/mem/*).
+
+    Returns e.g. bytes_in_use / peak_bytes_in_use when the backend
+    exposes them (TPU does; CPU returns {}).
+    """
+    import jax
+    dev = device or jax.devices()[0]
+    stats = dev.memory_stats() if hasattr(dev, "memory_stats") else None
+    return dict(stats) if stats else {}
+
+
+def measure_peak_memory(fn, device=None):
+    """(result, peak_bytes_delta) of running ``fn`` — allocation-count
+    bench analog (allocations.rs:19-55)."""
+    before = device_memory_stats(device).get("peak_bytes_in_use", 0)
+    out = fn()
+    sync(out)
+    after = device_memory_stats(device).get("peak_bytes_in_use", 0)
+    return out, max(after - before, 0)
