@@ -40,11 +40,14 @@ USC_DIM = 128
 
 @dataclasses.dataclass(frozen=True)
 class FpfhConfig:
-    """Mirrors FpfhConfig (features.rs:19-33)."""
+    """Mirrors FpfhConfig (features.rs:19-33). ``method``:
+    exact | window | auto neighbor search (window = Morton fast path
+    above ~256k points)."""
 
     radius: float = 0.25
     max_neighbors: int = 64
     n_bins: int = 11
+    method: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,11 +98,17 @@ class FpfhResult(NamedTuple):
     valid: jnp.ndarray        # (N,)
 
 
-@functools.partial(jax.jit, static_argnames=("max_neighbors", "n_bins"))
-def _fpfh(points, mask, normals_arr, radius, max_neighbors, n_bins):
-    res = neighbors.radius_neighbors(points, mask, points, mask,
-                                     radius, max_neighbors,
-                                     exclude_self=True)
+@functools.partial(jax.jit, static_argnames=("max_neighbors", "n_bins",
+                                             "window"))
+def _fpfh(points, mask, normals_arr, radius, max_neighbors, n_bins,
+          window=False):
+    if window:
+        res = neighbors.radius_neighbors_window(
+            points, mask, radius, max_neighbors, exclude_self=True)
+    else:
+        res = neighbors.radius_neighbors(points, mask, points, mask,
+                                         radius, max_neighbors,
+                                         exclude_self=True)
     nbr_idx, nbr_ok, nbr_dist = res.indices, res.mask, res.distances
 
     p1 = points[:, None, :]
@@ -140,9 +149,11 @@ def extract_fpfh_features_with_normals(cloud: PointCloud,
     (extract_fpfh_features_with_normals, features.rs:173-258)."""
     if cloud.normals is None:
         raise InvalidDataError("FPFH requires normals on the cloud")
+    window = (config.method == "window"
+              or (config.method == "auto" and cloud.capacity > 262144))
     desc, valid = _fpfh(cloud.points, cloud.mask, cloud.normals,
                         jnp.float32(config.radius), config.max_neighbors,
-                        config.n_bins)
+                        config.n_bins, window)
     return FpfhResult(desc, valid)
 
 

@@ -27,13 +27,19 @@ from .registration import ICPResult
 
 @dataclasses.dataclass(frozen=True)
 class GicpConfig:
-    """Mirrors GicpConfig defaults (gicp.rs:25-45)."""
+    """Mirrors GicpConfig defaults (gicp.rs:25-45).
+
+    ``method``: "exact" | "window" | "auto" — neighbor search for both
+    the per-point covariances and the in-loop correspondences (window =
+    the Morton fast path above ~180k-point clouds).
+    """
 
     max_iterations: int = 50
     max_correspondence_distance: float = 1.0
     convergence_threshold: float = 1e-6
     k_correspondences: int = 20
     covariance_epsilon: float = 1e-4
+    method: str = "auto"
 
 
 def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
@@ -54,10 +60,13 @@ def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
     return adj * inv_det[..., None, None]
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def point_covariances(points, mask, k, epsilon):
+@functools.partial(jax.jit, static_argnames=("k", "window"))
+def point_covariances(points, mask, k, epsilon, window=False):
     """Per-point k-NN covariances, +ε·I regularised (gicp.rs:60-97)."""
-    res = neighbors.knn(points, mask, points, mask, k)
+    if window:
+        res = neighbors.knn_window(points, mask, k, tile=128, n_passes=2)
+    else:
+        res = neighbors.knn(points, mask, points, mask, k)
     nbr = points[res.indices]
     w = res.mask.astype(jnp.float32)
     _, cov = linalg.weighted_covariance(nbr, w)
@@ -66,9 +75,9 @@ def point_covariances(points, mask, k, epsilon):
     return cov, mask & enough
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@functools.partial(jax.jit, static_argnames=("max_iterations", "window"))
 def _gicp_loop(src, src_mask, src_cov, tgt, tgt_mask, tgt_cov, init,
-               max_iterations, conv_thresh, max_corr):
+               max_iterations, conv_thresh, max_corr, window=False):
     def cond(state):
         _, it, delta_norm, _ = state
         return (it < max_iterations) & (delta_norm >= conv_thresh)
@@ -77,7 +86,11 @@ def _gicp_loop(src, src_mask, src_cov, tgt, tgt_mask, tgt_cov, init,
         t_mat, it, _, _ = state
         r_mat = t_mat[:3, :3]
         moved = linalg.transform_points(t_mat, src)
-        res = neighbors.knn(tgt, tgt_mask, moved, src_mask, 1)
+        if window:
+            res = neighbors.knn_window_cross(tgt, tgt_mask, moved,
+                                             src_mask, 1, tile=128)
+        else:
+            res = neighbors.knn(tgt, tgt_mask, moved, src_mask, 1)
         idx = res.indices[:, 0]
         dist = res.distances[:, 0]
         ok = res.mask[:, 0] & src_mask & (dist <= max_corr)
@@ -120,10 +133,15 @@ def gicp(source: PointCloud, target: PointCloud,
     if source.capacity == 0 or target.capacity == 0:
         raise InvalidDataError("GICP requires non-empty clouds")
     eps = jnp.float32(config.covariance_epsilon)
+    window = (config.method == "window"
+              or (config.method == "auto"
+                  and source.capacity * target.capacity > 2 ** 35))
     src_cov, src_ok = point_covariances(source.points, source.mask,
-                                        config.k_correspondences, eps)
+                                        config.k_correspondences, eps,
+                                        window)
     tgt_cov, tgt_ok = point_covariances(target.points, target.mask,
-                                        config.k_correspondences, eps)
+                                        config.k_correspondences, eps,
+                                        window)
 
     # degenerate-cloud rejection (gicp.rs:148-167): a cloud whose total
     # covariance is rank-deficient in 2 directions (a line/point) cannot
@@ -141,5 +159,5 @@ def gicp(source: PointCloud, target: PointCloud,
         source.points, src_ok, src_cov, target.points, tgt_ok, tgt_cov,
         init_m, config.max_iterations,
         jnp.float32(config.convergence_threshold),
-        jnp.float32(config.max_correspondence_distance))
+        jnp.float32(config.max_correspondence_distance), window)
     return ICPResult(t, mse, it, conv, n_corr)

@@ -221,6 +221,23 @@ def radius_neighbors(db_points: jnp.ndarray, db_mask: jnp.ndarray,
                      jnp.where(inside, res.distances, jnp.inf), inside)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("max_neighbors", "exclude_self", "tile",
+                              "n_passes"))
+def radius_neighbors_window(points: jnp.ndarray, mask: jnp.ndarray,
+                            radius, max_neighbors: int = 32, *,
+                            exclude_self: bool = False, tile: int = 128,
+                            n_passes: int = 2) -> KnnResult:
+    """Self radius search via the Morton window path — the large-N
+    replacement for ``radius_neighbors`` when queries == database
+    (normals/FPFH/GICP neighborhoods at million-point scale)."""
+    res = knn_window(points, mask, max_neighbors, tile=tile,
+                     n_passes=n_passes, exclude_self=exclude_self)
+    inside = res.mask & (res.distances <= radius)
+    return KnnResult(res.indices,
+                     jnp.where(inside, res.distances, jnp.inf), inside)
+
+
 def nearest_one(db_points: jnp.ndarray, db_mask: jnp.ndarray,
                 queries: jnp.ndarray,
                 max_distance: Optional[float] = None,
