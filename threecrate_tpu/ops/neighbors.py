@@ -549,6 +549,68 @@ def knn_window(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
     return result
 
 
+@functools.partial(jax.jit, static_argnames=("k", "tile", "n_passes"))
+def knn_window_sorted(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
+                      tile: int = 128, n_passes: int = 2):
+    """Self-kNN with results left in first-pass sorted order.
+
+    The profiler showed the order-restoring ``.at[perm].set`` scatters
+    of `knn_window` cost ~90 ms EACH at 1M×k=10 (4 of them = 2/3 of the
+    whole normals pipeline), while device sorts are ~1.5 ms. This
+    variant never scatters:
+
+    * pass A: one 5-operand sort carries (x, y, z, original-id) along
+      with the key — no permutation gather either;
+    * pass B: sorts the PASS-A arrays by the pass-B key with the pass-A
+      row index as payload, so the kernel's id output is already a
+      pass-A row reference; realignment back to pass-A order is one
+      cheap sort-based inverse + row gather;
+    * the caller receives (neg (N,k), ids_orig (N,k), sorted points
+      (N,3), sorted mask, perm_a) all in pass-A order and scatters only
+      its final small per-point outputs.
+    """
+    from . import morton
+    from ..kernels.knn_pallas import knn_window_tiles
+
+    n = points.shape[0]
+    n_pad = padding.round_up(n, tile)
+    pts = points.astype(jnp.float32)
+    if n_pad != n:
+        pts = jnp.pad(pts, ((0, n_pad - n), (0, 0)))
+        mask = jnp.pad(mask, (0, n_pad - n))
+    interp = jax.default_backend() != "tpu"
+
+    # ---- pass A: sort with coordinate payloads --------------------------
+    keys_a = morton.morton_keys(pts, mask, pass_index=0)
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
+    _, ax, ay, az, am, perm_a = jax.lax.sort(
+        (keys_a, pts[:, 0], pts[:, 1], pts[:, 2],
+         mask.astype(jnp.float32), iota), num_keys=1)
+    pts_a = jnp.stack([ax, ay, az], axis=0)          # (3, n_pad)
+    neg, ids = knn_window_tiles(pts_a, am[None, :], perm_a[None, :],
+                                k, tile, interpret=interp)
+    best_neg = neg.T                                  # (n_pad, k) pass-A order
+    best_idx = ids.T                                  # original-space ids
+
+    # ---- further passes: realign by row gather (no scatters) -----------
+    pts_a_rows = jnp.stack([ax, ay, az], axis=1)      # (n_pad, 3)
+    for p in range(1, n_passes):
+        keys_b = morton.morton_keys(pts_a_rows, am > 0.5, pass_index=p)
+        _, bx, by, bz, bm, bid, row_a = jax.lax.sort(
+            (keys_b, ax, ay, az, am, perm_a, iota), num_keys=1)
+        pts_b = jnp.stack([bx, by, bz], axis=0)
+        neg_b, ids_b = knn_window_tiles(pts_b, bm[None, :], bid[None, :],
+                                        k, tile, interpret=interp)
+        # inverse of row_a (pass-A row → pass-B row) via one more sort
+        _, inv_b = jax.lax.sort((row_a, iota), num_keys=1)
+        neg_b_a = neg_b.T[inv_b]                      # row gathers
+        ids_b_a = ids_b.T[inv_b]
+        best_neg, best_idx = _merge_topk(best_neg, best_idx,
+                                         neg_b_a, ids_b_a, k)
+
+    return best_neg, best_idx, pts_a_rows, am > 0.5, perm_a
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "tile", "n_passes"))
 def knn_window_cross(db_points: jnp.ndarray, db_mask: jnp.ndarray,

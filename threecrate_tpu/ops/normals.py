@@ -54,10 +54,72 @@ class NormalResult(NamedTuple):
     valid: jnp.ndarray       # (N,) bool: enough neighbors for a plane fit
 
 
+def _pca_normals(nbr_pts, nbr_ok, query_pts, viewpoint, orient):
+    """Covariance → smallest eigenvector → orientation, via explicit
+    component sums (six fused (N, k) reductions)."""
+    w = nbr_ok.astype(jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w, axis=1), 1e-12)
+    x = nbr_pts[..., 0]
+    y = nbr_pts[..., 1]
+    z = nbr_pts[..., 2]
+    mx_ = jnp.sum(x * w, 1) / wsum
+    my_ = jnp.sum(y * w, 1) / wsum
+    mz_ = jnp.sum(z * w, 1) / wsum
+    dx = x - mx_[:, None]
+    dy = y - my_[:, None]
+    dz = z - mz_[:, None]
+    cxx = jnp.sum(dx * dx * w, 1) / wsum
+    cyy = jnp.sum(dy * dy * w, 1) / wsum
+    czz = jnp.sum(dz * dz * w, 1) / wsum
+    cxy = jnp.sum(dx * dy * w, 1) / wsum
+    cxz = jnp.sum(dx * dz * w, 1) / wsum
+    cyz = jnp.sum(dy * dz * w, 1) / wsum
+    cov = jnp.stack([
+        jnp.stack([cxx, cxy, cxz], -1),
+        jnp.stack([cxy, cyy, cyz], -1),
+        jnp.stack([cxz, cyz, czz], -1)], -2)
+    normal, _ = linalg.smallest_eigenvector_sym3x3(cov)
+    vals = linalg.eigvals_sym3x3(cov)
+    tot = jnp.maximum(jnp.sum(vals, axis=-1), 1e-12)
+    curvature = jnp.maximum(vals[..., 0], 0.0) / tot
+    if orient:
+        to_vp = viewpoint[None, :] - query_pts
+        flip = jnp.sum(normal * to_vp, axis=-1) < 0
+        normal = jnp.where(flip[:, None], -normal, normal)
+    return normal, curvature
+
+
+@functools.partial(jax.jit, static_argnames=("k", "orient"))
+def _estimate_window_fused(points, mask, k, viewpoint, orient):
+    """Scatter-free window-normals pipeline: all heavy work happens in
+    pass-A sorted order (profiling showed the order-restoring (N, k)
+    scatters dominated the whole pipeline); only the three small
+    per-point outputs scatter back at the end."""
+    neg, ids, pts_a, mask_a, perm_a = neighbors.knn_window_sorted(
+        points, mask, k, tile=128, n_passes=2)
+    nbr_ok = neg > -jnp.inf
+    nbr_pts = points[jnp.clip(ids, 0, points.shape[0] - 1)]
+    normal_s, curv_s = _pca_normals(nbr_pts, nbr_ok, pts_a, viewpoint,
+                                    orient)
+    valid_s = mask_a & (jnp.sum(nbr_ok, axis=1) >= 3)
+    normal_s = jnp.where(valid_s[:, None], normal_s, 0.0)
+    curv_s = jnp.where(valid_s, curv_s, 0.0)
+
+    n = points.shape[0]
+    n_pad = perm_a.shape[0]
+    safe = jnp.clip(perm_a, 0, n_pad - 1)
+    normal = jnp.zeros((n_pad, 3), jnp.float32).at[safe].set(normal_s)[:n]
+    curv = jnp.zeros((n_pad,), jnp.float32).at[safe].set(curv_s)[:n]
+    valid = jnp.zeros((n_pad,), bool).at[safe].set(valid_s)[:n]
+    return normal, curv, valid & mask
+
+
 @functools.partial(jax.jit, static_argnames=("k", "use_radius", "orient",
                                              "window"))
 def _estimate(points, mask, k, use_radius, radius, viewpoint, orient,
               window=False):
+    if window and not use_radius:
+        return _estimate_window_fused(points, mask, k, viewpoint, orient)
     # One kNN pass serves both modes: radius mode masks slots beyond the
     # radius, and falls back to plain k-NN per point when fewer than 3
     # neighbors fall inside (normals.rs:314-336's fallback chain).
