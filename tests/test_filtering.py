@@ -118,3 +118,18 @@ class TestOutliers:
         res = filtering.passthrough_filter(pc, axis=2, lo=0.0, hi=1.0)
         np.testing.assert_array_equal(np.asarray(res.inlier_mask)[:3],
                                       [False, True, False])
+
+
+class TestWindowOutliers:
+    def test_window_matches_exact(self, rng):
+        pts = rng.uniform(-5, 5, (4000, 3)).astype(np.float32)
+        pts = np.concatenate([pts, [[100, 100, 100]]]).astype(np.float32)
+        pc = PointCloud.from_numpy(pts)
+        exact = filtering.statistical_outlier_removal(
+            pc, k=8, std_multiplier=2.0, method="exact")
+        win = filtering.statistical_outlier_removal(
+            pc, k=8, std_multiplier=2.0, method="window")
+        e = np.asarray(exact.inlier_mask)[:4001]
+        w = np.asarray(win.inlier_mask)[:4001]
+        assert not w[4000]            # planted outlier removed
+        assert (e == w).mean() > 0.995  # near-identical decisions

@@ -111,11 +111,32 @@ class OutlierResult(NamedTuple):
     inlier_mask: jnp.ndarray  # (N,) bool over the input capacity
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _statistical_mask(points, mask, k, std_multiplier):
-    res = neighbors.knn(points, mask, points, mask, k, exclude_self=True)
-    mean_dist = jnp.sum(jnp.where(res.mask, res.distances, 0.0), axis=1) \
-        / jnp.maximum(jnp.sum(res.mask, axis=1), 1)
+AUTO_WINDOW_THRESHOLD = 262144  # above this, self-kNN filters use the
+# Morton-window search in sorted order (no (N,k) order-restoring
+# scatters; only the final per-point outputs scatter back)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window"))
+def _statistical_mask(points, mask, k, std_multiplier, window=False):
+    if window:
+        # k+1 neighbors incl. self (distance 0 slot), computed in
+        # sorted order; subtract the self column from the mean
+        neg, ids, pts_a, mask_a, perm_a = neighbors.knn_window_sorted(
+            points, mask, k + 1, tile=128, n_passes=2)
+        ok = neg > -jnp.inf
+        d = jnp.sqrt(jnp.maximum(-neg, 0.0))
+        cnt = jnp.maximum(jnp.sum(ok, axis=1) - 1, 1)
+        mean_s = jnp.sum(jnp.where(ok, d, 0.0), axis=1) / cnt
+        n = points.shape[0]
+        n_pad = perm_a.shape[0]
+        mean_dist = jnp.full((n_pad,), jnp.inf, jnp.float32).at[
+            jnp.clip(perm_a, 0, n_pad - 1)].set(
+            jnp.where(mask_a, mean_s, jnp.inf))[:n]
+    else:
+        res = neighbors.knn(points, mask, points, mask, k,
+                            exclude_self=True)
+        mean_dist = jnp.sum(jnp.where(res.mask, res.distances, 0.0), axis=1) \
+            / jnp.maximum(jnp.sum(res.mask, axis=1), 1)
     valid = mask & jnp.isfinite(mean_dist)
     mu = jnp.sum(jnp.where(valid, mean_dist, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
     var = jnp.sum(jnp.where(valid, (mean_dist - mu) ** 2, 0.0)) \
@@ -125,16 +146,22 @@ def _statistical_mask(points, mask, k, std_multiplier):
 
 
 def statistical_outlier_removal(cloud: PointCloud, k: int = 8,
-                                std_multiplier: float = 1.0) -> OutlierResult:
+                                std_multiplier: float = 1.0,
+                                method: str = "auto") -> OutlierResult:
     """Drop points whose mean k-NN distance exceeds mean + m·σ.
 
     Matches filtering.rs:249-321 (global mean/σ over per-point mean
     neighbor distances). The global statistics are masked reductions —
     under sharding these become one psum, which is why this op is the
     SURVEY §5 exemplar for distributed reductions.
+    ``method``: exact | window | auto (Morton-window search above
+    ~256k points).
     """
+    window = (method == "window"
+              or (method == "auto"
+                  and cloud.capacity > AUTO_WINDOW_THRESHOLD))
     keep, _, _ = _statistical_mask(cloud.points, cloud.mask, k,
-                                   jnp.float32(std_multiplier))
+                                   jnp.float32(std_multiplier), window)
     return OutlierResult(cloud.with_mask(keep), keep)
 
 
