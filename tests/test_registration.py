@@ -290,3 +290,14 @@ class TestWindowCorrespondence:
         np.testing.assert_allclose(np.asarray(res_w.transformation),
                                    np.asarray(res_e.transformation),
                                    atol=3e-3)
+
+
+class TestGicpWindow:
+    def test_window_method_matches(self):
+        pts = surface_cloud(1200, seed=3)
+        t_true = Transform.from_translation([0.03, -0.015, 0.01])
+        src = PointCloud.from_numpy(pts)
+        tgt = PointCloud.from_numpy(apply_np(t_true.matrix, pts))
+        res = gicp_mod.gicp(src, tgt, gicp_mod.GicpConfig(method="window"))
+        np.testing.assert_allclose(np.asarray(res.transformation),
+                                   np.asarray(t_true.matrix), atol=6e-3)
