@@ -119,10 +119,12 @@ class TestRosbag2:
         merged = tc.read_point_cloud(bag)
         assert len(merged) == 45
 
-    def test_mcap_clearly_unsupported(self, tmp_path):
-        from threecrate_tpu.core.errors import UnsupportedError
-        with pytest.raises(UnsupportedError):
-            rosbag.McapReader(tmp_path / "x.mcap")
+    def test_mcap_bad_magic(self, tmp_path):
+        from threecrate_tpu.core.errors import InvalidDataError
+        p = tmp_path / "x.mcap"
+        p.write_bytes(b"nope nope")
+        with pytest.raises(InvalidDataError):
+            rosbag.McapReader(p)
 
 
 class TestNativeParser:
@@ -233,3 +235,39 @@ class TestMmap:
         with MmapReader(p) as mm:
             assert not mm.is_mapped
             assert mm.data() == b"tiny"
+
+
+class TestMcap:
+    def _make_mcap(self, path, pts):
+        def record(op, body):
+            return bytes([op]) + struct.pack("<Q", len(body)) + body
+
+        def s(x):
+            b = x.encode()
+            return struct.pack("<I", len(b)) + b
+        buf = bytearray(b"\x89MCAP0\r\n")
+        # schema 1
+        buf += record(0x03, struct.pack("<H", 1)
+                      + s("sensor_msgs/msg/PointCloud2") + s("ros2msg")
+                      + struct.pack("<I", 0))
+        # channel 7 -> schema 1
+        buf += record(0x04, struct.pack("<HH", 7, 1) + s("/points")
+                      + s("cdr") + struct.pack("<I", 0))
+        for i in range(2):
+            payload = make_pointcloud2_cdr(pts + i)
+            body = struct.pack("<HIQQ", 7, i, 1000 + i, 1000 + i) + payload
+            buf += record(0x05, body)
+        buf += b"\x89MCAP0\r\n"
+        path.write_bytes(bytes(buf))
+
+    def test_read(self, tmp_path, rng):
+        pts = rng.normal(size=(12, 3)).astype(np.float32)
+        p = tmp_path / "ride.mcap"
+        self._make_mcap(p, pts)
+        reader = rosbag.McapReader(p)
+        assert reader.pointcloud_topics() == ["/points"]
+        clouds = reader.read_clouds()
+        assert len(clouds) == 2
+        np.testing.assert_allclose(clouds[0].to_numpy(), pts, atol=1e-6)
+        merged = tc.read_point_cloud(p)
+        assert len(merged) == 24

@@ -42,6 +42,7 @@ REGISTRY.register("las", cloud_reader=las.read_point_cloud,
                   cloud_writer=las.write_point_cloud)
 REGISTRY.register("laz", cloud_reader=las.read_point_cloud)
 REGISTRY.register("db3", cloud_reader=rosbag.read_point_cloud)
+REGISTRY.register("mcap", cloud_reader=rosbag.read_point_cloud_mcap)
 REGISTRY.register("e57", cloud_reader=e57.read_point_cloud,
                   cloud_writer=e57.write_point_cloud)
 REGISTRY.register("glb", mesh_reader=gltf.read_mesh_glb,

@@ -4,8 +4,8 @@ Covers threecrate-io/src/rosbag.rs:318 (Rosbag2Reader over sqlite3
 .db3 bags). The sqlite layer uses the stdlib; message payloads are
 CDR-decoded with a purpose-built decoder for the well-known
 sensor_msgs/msg/PointCloud2 layout (rosbag.rs delegates the same job to
-the mcap/ros crates). MCAP container support (rosbag.rs:219) is a
-planned follow-up — the CDR decoder below is the shared hard part.
+the mcap/ros crates), and the MCAP container (rosbag.rs:219) is
+parsed natively below over the same CDR decoder.
 """
 
 from __future__ import annotations
@@ -164,10 +164,101 @@ def read_point_cloud(path, topic: Optional[str] = None, **_) -> PointCloud:
 
 
 class McapReader:
-    """MCAP container reader (rosbag.rs:219) — not yet implemented;
-    the CDR decoding above is shared once the container parser lands."""
+    """MCAP container reader (rosbag.rs:219): parses the record stream
+    (schema/channel/message/chunk records) and CDR-decodes PointCloud2
+    messages with the decoder above. Supports uncompressed and
+    zstd/lz4-free chunks (compressed chunks raise a clear error)."""
+
+    # record opcodes (mcap spec)
+    _SCHEMA, _CHANNEL, _MESSAGE, _CHUNK = 0x03, 0x04, 0x05, 0x06
 
     def __init__(self, path):
-        raise UnsupportedError(
-            "MCAP container support is planned; convert with "
-            "'mcap convert' to rosbag2 .db3, which is supported")
+        self.path = str(path)
+        with open(self.path, "rb") as f:
+            self._data = f.read()
+        if not self._data.startswith(b"\x89MCAP"):
+            raise InvalidDataError("not an MCAP file (bad magic)")
+        self.schemas: Dict[int, str] = {}
+        self.channels: Dict[int, Dict] = {}
+        self._messages: List[Tuple[int, int, bytes]] = []
+        self._parse(self._data[8:])  # skip magic + version byte + \n
+
+    @staticmethod
+    def _read_str(buf, off):
+        (n,) = struct.unpack_from("<I", buf, off)
+        s = buf[off + 4:off + 4 + n].decode("utf-8", errors="replace")
+        return s, off + 4 + n
+
+    def _parse(self, buf) -> None:
+        off = 0
+        while off + 9 <= len(buf):
+            op = buf[off]
+            (length,) = struct.unpack_from("<Q", buf, off + 1)
+            body = buf[off + 9:off + 9 + length]
+            off += 9 + length
+            if op == 0x89 or op == 0x02:  # footer/end magics
+                break
+            if op == self._SCHEMA:
+                (sid,) = struct.unpack_from("<H", body, 0)
+                name, _ = self._read_str(body, 2)
+                self.schemas[sid] = name
+            elif op == self._CHANNEL:
+                cid, sid = struct.unpack_from("<HH", body, 0)
+                topic, _ = self._read_str(body, 4)
+                self.channels[cid] = {"schema_id": sid, "topic": topic}
+            elif op == self._MESSAGE:
+                cid, = struct.unpack_from("<H", body, 0)
+                # sequence u32, log_time u64, publish_time u64
+                (log_time,) = struct.unpack_from("<Q", body, 6)
+                payload = body[22:]
+                self._messages.append((cid, log_time, payload))
+            elif op == self._CHUNK:
+                # chunk: start u64, end u64, uncompressed_size u64,
+                # crc u32, compression string, records_size u64, records
+                (n_comp,) = struct.unpack_from("<I", body, 28)
+                comp = body[32:32 + n_comp].decode()
+                pos = 32 + n_comp
+                (rec_size,) = struct.unpack_from("<Q", body, pos)
+                records = body[pos + 8:pos + 8 + rec_size]
+                if comp in ("", "none"):
+                    self._parse(records)
+                else:
+                    raise UnsupportedError(
+                        f"MCAP chunk compression {comp!r} not supported; "
+                        "rewrite with 'mcap convert --compression none'")
+
+    def pointcloud_topics(self) -> List[str]:
+        return sorted({
+            ch["topic"] for ch in self.channels.values()
+            if self.schemas.get(ch["schema_id"], "").endswith("PointCloud2")})
+
+    def messages(self, topic: Optional[str] = None):
+        """Yield (timestamp_ns, PointCloud2 dict)."""
+        wanted = {cid for cid, ch in self.channels.items()
+                  if self.schemas.get(ch["schema_id"], ""
+                                      ).endswith("PointCloud2")
+                  and (topic is None or ch["topic"] == topic)}
+        if not wanted:
+            raise InvalidDataError("mcap has no PointCloud2 channels")
+        for cid, ts, payload in self._messages:
+            if cid in wanted:
+                yield ts, decode_pointcloud2_cdr(payload)
+
+    def read_clouds(self, topic: Optional[str] = None,
+                    max_messages: Optional[int] = None) -> List[PointCloud]:
+        out = []
+        for i, (_, msg) in enumerate(self.messages(topic)):
+            if max_messages is not None and i >= max_messages:
+                break
+            out.append(ros2.from_pointcloud2(msg))
+        return out
+
+
+def read_point_cloud_mcap(path, topic: Optional[str] = None,
+                          **_) -> PointCloud:
+    reader = McapReader(path)
+    clouds = reader.read_clouds(topic)
+    if not clouds:
+        raise InvalidDataError("no PointCloud2 messages in mcap")
+    pts = np.concatenate([c.to_numpy() for c in clouds])
+    return PointCloud.from_numpy(pts)
