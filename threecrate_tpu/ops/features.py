@@ -227,17 +227,27 @@ def _shot(points, mask, normals_arr, radius, max_neighbors, n_cos_bins,
         rad_bin = (r >= 0.5 * radius).astype(jnp.int32)   # 2 radial shells
         vol = (az_bin * 2 + el_bin) * 2 + rad_bin          # (N, k) ∈ [0, 32)
         cosn = jnp.einsum("nkj,nj->nk", normals_arr[nbr_idx], z)
-        cos_bin = jnp.clip(((cosn + 1.0) / 2.0 * n_cos_bins).astype(jnp.int32),
-                           0, n_cos_bins - 1)
-        flat = vol * n_cos_bins + cos_bin                  # ∈ [0, 352)
+        # soft (linear) binning along the cosine dimension, PCL-style:
+        # each neighbor votes into the two adjacent bins weighted by
+        # its fractional position
+        pos = jnp.clip((cosn + 1.0) / 2.0 * n_cos_bins - 0.5,
+                       0.0, n_cos_bins - 1.0)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n_cos_bins - 1)
+        frac = pos - lo
         dim = 32 * n_cos_bins
+        oh_lo = jax.nn.one_hot(vol * n_cos_bins + lo, dim,
+                               dtype=jnp.float32)
+        oh_hi = jax.nn.one_hot(vol * n_cos_bins + hi, dim,
+                               dtype=jnp.float32)
+        desc = jnp.einsum("nk,nkb->nb", w * (1 - frac), oh_lo) \
+            + jnp.einsum("nk,nkb->nb", w * frac, oh_hi)
     else:  # usc: 8 radial shells, pure density
         rad_bin = jnp.clip((r / radius * 8).astype(jnp.int32), 0, 7)
         flat = (az_bin * 2 + el_bin) * 8 + rad_bin          # ∈ [0, 128)
         dim = USC_DIM
-
-    onehot = jax.nn.one_hot(flat, dim, dtype=jnp.float32)
-    desc = jnp.einsum("nk,nkb->nb", w, onehot)
+        onehot = jax.nn.one_hot(flat, dim, dtype=jnp.float32)
+        desc = jnp.einsum("nk,nkb->nb", w, onehot)
     norm = jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-12)
     desc = desc / norm
     valid = mask & (jnp.sum(nbr_ok, axis=1) >= 5)
