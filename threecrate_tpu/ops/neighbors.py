@@ -592,28 +592,27 @@ def knn_window_sorted(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
     best_neg = neg.T                                  # (n_pad, k) pass-A order
     best_idx = ids.T                                  # original-space ids
 
-    # ---- further passes: prior results ride the next sort as payload
-    # columns (device sorts are ~1.5 ms; (N, k) row gathers/scatters
-    # are 40-100 ms — never reorder by gather/scatter at this scale)
+    # ---- further passes: realign by row gather (no scatters).
+    # NOTE: carrying the 2k best_neg/best_idx columns through the
+    # pass-B sort as payloads (the trick the k=1 ICP path uses) is
+    # runtime-equivalent here but blew XLA compile time past 25 min at
+    # 26 sort operands — (N, k) row gathers of ~40-byte rows are the
+    # pragmatic reorder at k≈10.
+    pts_a_rows = jnp.stack([ax, ay, az], axis=1)      # (n_pad, 3)
     for p in range(1, n_passes):
-        rows = jnp.stack([ax, ay, az], axis=1)
-        keys_b = morton.morton_keys(rows, am > 0.5, pass_index=p)
-        sorted_all = jax.lax.sort(
-            (keys_b, ax, ay, az, am, perm_a)
-            + tuple(best_neg[:, j] for j in range(k))
-            + tuple(best_idx[:, j] for j in range(k)),
-            num_keys=1)
-        _, ax, ay, az, am, perm_a = sorted_all[:6]
-        best_neg = jnp.stack(sorted_all[6:6 + k], axis=1)
-        best_idx = jnp.stack(sorted_all[6 + k:6 + 2 * k], axis=1)
-        pts_b = jnp.stack([ax, ay, az], axis=0)
-        neg_b, ids_b = knn_window_tiles(pts_b, am[None, :],
-                                        perm_a[None, :],
+        keys_b = morton.morton_keys(pts_a_rows, am > 0.5, pass_index=p)
+        _, bx, by, bz, bm, bid, row_a = jax.lax.sort(
+            (keys_b, ax, ay, az, am, perm_a, iota), num_keys=1)
+        pts_b = jnp.stack([bx, by, bz], axis=0)
+        neg_b, ids_b = knn_window_tiles(pts_b, bm[None, :], bid[None, :],
                                         k, tile, interpret=interp)
+        # inverse of row_a (pass-A row → pass-B row) via one more sort
+        _, inv_b = jax.lax.sort((row_a, iota), num_keys=1)
+        neg_b_a = neg_b.T[inv_b]                      # row gathers
+        ids_b_a = ids_b.T[inv_b]
         best_neg, best_idx = _merge_topk(best_neg, best_idx,
-                                         neg_b.T, ids_b.T, k)
+                                         neg_b_a, ids_b_a, k)
 
-    pts_a_rows = jnp.stack([ax, ay, az], axis=1)
     return best_neg, best_idx, pts_a_rows, am > 0.5, perm_a
 
 
