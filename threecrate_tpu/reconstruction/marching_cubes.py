@@ -254,6 +254,70 @@ def extract_soup(grid: VolumetricGrid, iso_level=0.0) -> TriangleSoup:
     return TriangleSoup(world, mask)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def extract_soup_cubes(grid: VolumetricGrid, iso_level=0.0) -> TriangleSoup:
+    """True 256-case marching cubes using the algorithmically derived
+    tables (mc_tables.py): ≤5 triangles per cube, ~2x fewer triangles
+    than the tetrahedra path. Same dense-shifted-slice structure and
+    the same gradient-based winding normalisation."""
+    from . import mc_tables
+
+    v = grid.values
+    nx, ny, nz = v.shape
+    corner_vals = jnp.stack([
+        v[o[0]:o[0] + nx - 1, o[1]:o[1] + ny - 1, o[2]:o[2] + nz - 1]
+        for o in _CORNER_OFFSET], axis=-1).reshape(-1, 8)   # (C, 8)
+    cx, cy, cz = nx - 1, ny - 1, nz - 1
+    ix = jax.lax.broadcasted_iota(jnp.float32, (cx, cy, cz), 0)
+    iy = jax.lax.broadcasted_iota(jnp.float32, (cx, cy, cz), 1)
+    iz = jax.lax.broadcasted_iota(jnp.float32, (cx, cy, cz), 2)
+    base = jnp.stack([ix, iy, iz], -1).reshape(-1, 3)
+
+    inside = corner_vals >= iso_level
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+    case = jnp.sum(inside.astype(jnp.int32) * weights[None, :], axis=1)
+
+    # interpolated point on each of the 12 cube edges
+    ec = jnp.asarray(mc_tables.EDGE_CORNERS)                # (12, 2)
+    offs = jnp.asarray(_CORNER_OFFSET, jnp.float32)         # (8, 3)
+    va = corner_vals[:, ec[:, 0]]                           # (C, 12)
+    vb = corner_vals[:, ec[:, 1]]
+    pa = base[:, None, :] + offs[ec[:, 0]][None]            # (C, 12, 3)
+    pb = base[:, None, :] + offs[ec[:, 1]][None]
+    denom = jnp.where(jnp.abs(vb - va) > 1e-12, vb - va, 1.0)
+    t = jnp.clip((iso_level - va) / denom, 0.0, 1.0)
+    epts = pa + t[..., None] * (pb - pa)                    # (C, 12, 3)
+
+    tri_tab = jnp.asarray(mc_tables.TRI_TABLE)              # (256, 5, 3)
+    n_tab = jnp.asarray(mc_tables.N_TRIS)                   # (256,)
+    tris_e = tri_tab[case]                                  # (C, 5, 3)
+    slot = jax.lax.broadcasted_iota(jnp.int32, tris_e.shape[:2], 1)
+    valid = slot < n_tab[case][:, None]                     # (C, 5)
+    safe = jnp.maximum(tris_e, 0)
+    c_dim = epts.shape[0]
+    ep = jnp.broadcast_to(epts[:, None, :, :], (c_dim, 5, 12, 3))
+    idx = jnp.broadcast_to(safe[..., None], (c_dim, 5, 3, 3))
+    tri_pts = jnp.take_along_axis(ep, idx, axis=2)          # (C, 5, 3, 3)
+
+    # winding: normals toward the inside-corner centroid (same rule as
+    # the tetrahedra path — SDF-outward)
+    w_in = inside.astype(jnp.float32)
+    n_in = jnp.maximum(jnp.sum(w_in, -1), 1.0)[:, None]
+    n_out = jnp.maximum(jnp.sum(1 - w_in, -1), 1.0)[:, None]
+    corners = base[:, None, :] + offs[None]                 # (C, 8, 3)
+    cent_in = jnp.sum(corners * w_in[..., None], 1) / n_in
+    cent_out = jnp.sum(corners * (1 - w_in)[..., None], 1) / n_out
+    grad_dir = cent_in - cent_out                           # (C, 3)
+    nrm = jnp.cross(tri_pts[:, :, 1] - tri_pts[:, :, 0],
+                    tri_pts[:, :, 2] - tri_pts[:, :, 0])    # (C, 5, 3)
+    flip = jnp.sum(nrm * grad_dir[:, None, :], -1) < 0
+    swapped = tri_pts[:, :, jnp.array([0, 2, 1]), :]
+    tri_pts = jnp.where(flip[..., None, None], swapped, tri_pts)
+
+    world = grid.origin + tri_pts.reshape(-1, 3, 3) * grid.spacing
+    return TriangleSoup(world, valid.reshape(-1))
+
+
 def soup_to_mesh(soup: TriangleSoup, weld_decimals: int = 5
                  ) -> TriangleMesh:
     """Host-side weld: triangle soup → indexed mesh."""
@@ -269,11 +333,18 @@ def soup_to_mesh(soup: TriangleSoup, weld_decimals: int = 5
     return TriangleMesh.from_numpy(uniq.astype(np.float32), faces[ok])
 
 
-def marching_cubes(grid: VolumetricGrid, iso_level: float = 0.0
-                   ) -> TriangleMesh:
-    """Isosurface mesh (marching_cubes.rs:857 entry; tetrahedra-based,
-    see module docstring)."""
-    soup = extract_soup(grid, jnp.float32(iso_level))
+def marching_cubes(grid: VolumetricGrid, iso_level: float = 0.0,
+                   method: str = "cubes") -> TriangleMesh:
+    """Isosurface mesh (marching_cubes.rs:857 entry).
+
+    ``method``: "cubes" = true 256-case marching cubes over derived
+    tables (≤5 tris/cube); "tetrahedra" = 6-tet decomposition (simpler
+    cases, ~2x more triangles). Both fully batched, same winding rule.
+    """
+    if method == "tetrahedra":
+        soup = extract_soup(grid, jnp.float32(iso_level))
+    else:
+        soup = extract_soup_cubes(grid, jnp.float32(iso_level))
     return soup_to_mesh(soup)
 
 
