@@ -52,11 +52,13 @@ class FpfhConfig:
 
 @dataclasses.dataclass(frozen=True)
 class ShotConfig:
-    """Mirrors ShotConfig (features.rs:327-344)."""
+    """Mirrors ShotConfig (features.rs:327-344). ``method`` as in
+    FpfhConfig."""
 
     radius: float = 0.25
     max_neighbors: int = 128
     n_cos_bins: int = 11
+    method: str = "auto"
 
 
 def pair_features(p1, n1, p2, n2):
@@ -201,12 +203,16 @@ class ShotResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("max_neighbors", "n_cos_bins",
-                                             "variant"))
+                                             "variant", "window"))
 def _shot(points, mask, normals_arr, radius, max_neighbors, n_cos_bins,
-          variant):
-    res = neighbors.radius_neighbors(points, mask, points, mask,
-                                     radius, max_neighbors,
-                                     exclude_self=True)
+          variant, window=False):
+    if window:
+        res = neighbors.radius_neighbors_window(
+            points, mask, radius, max_neighbors, exclude_self=True)
+    else:
+        res = neighbors.radius_neighbors(points, mask, points, mask,
+                                         radius, max_neighbors,
+                                         exclude_self=True)
     nbr_idx, nbr_ok, nbr_dist = res.indices, res.mask, res.distances
     x, y, z = _shot_lrf(points, nbr_idx, nbr_ok, nbr_dist, radius)
 
@@ -262,9 +268,11 @@ def extract_shot_features(cloud: PointCloud,
         nres = estimate_normals_detailed(
             cloud, NormalEstimationConfig(k_neighbors=k_normals))
         cloud = cloud.with_normals(nres.normals)
+    window = (config.method == "window"
+              or (config.method == "auto" and cloud.capacity > 262144))
     desc, valid = _shot(cloud.points, cloud.mask, cloud.normals,
                         jnp.float32(config.radius), config.max_neighbors,
-                        config.n_cos_bins, "shot")
+                        config.n_cos_bins, "shot", window)
     return ShotResult(desc, valid)
 
 
@@ -272,10 +280,12 @@ def extract_usc_features(cloud: PointCloud,
                          config: ShotConfig = ShotConfig()) -> ShotResult:
     """USC variant (ShotVariant, features.rs:306-323): 128-d spatial
     density histogram, no normals required."""
+    window = (config.method == "window"
+              or (config.method == "auto" and cloud.capacity > 262144))
     desc, valid = _shot(cloud.points, cloud.mask,
                         jnp.zeros_like(cloud.points),
                         jnp.float32(config.radius), config.max_neighbors,
-                        config.n_cos_bins, "usc")
+                        config.n_cos_bins, "usc", window)
     return ShotResult(desc, valid)
 
 
