@@ -271,3 +271,93 @@ class TestMcap:
         np.testing.assert_allclose(clouds[0].to_numpy(), pts, atol=1e-6)
         merged = tc.read_point_cloud(p)
         assert len(merged) == 24
+
+
+class TestE57:
+    def test_roundtrip(self, tmp_path, rng):
+        pts = rng.uniform(-50, 50, (3000, 3)).astype(np.float32)
+        inten = rng.uniform(0, 1, 3000).astype(np.float32)
+        pc = tc.PointCloud.from_numpy(pts, intensity=inten)
+        p = tmp_path / "scan.e57"
+        tc.write_point_cloud(p, pc)
+        back = tc.read_point_cloud(p)
+        np.testing.assert_allclose(back.to_numpy(), pts, atol=1e-5)
+        np.testing.assert_allclose(back.attr_to_numpy("intensity"), inten,
+                                   atol=1e-6)
+
+    def test_header_and_crc(self, tmp_path, rng):
+        pts = rng.normal(size=(100, 3)).astype(np.float32)
+        p = tmp_path / "s.e57"
+        tc.write_point_cloud(p, tc.PointCloud.from_numpy(pts))
+        blob = bytearray(p.read_bytes())
+        assert blob[:8] == b"ASTM-E57"
+        # corrupt a data byte in the first page → CRC failure on read
+        blob[100] ^= 0xFF
+        p.write_bytes(bytes(blob))
+        from threecrate_tpu.core.errors import InvalidDataError
+        with pytest.raises(InvalidDataError):
+            tc.read_point_cloud(p)
+
+    def test_scaled_integer_decode(self, tmp_path, rng):
+        """Hand-build a ScaledInteger E57 (the common scanner layout)
+        and verify the bit-unpack path."""
+        from threecrate_tpu.io import e57 as e57mod
+        import struct
+        pts = rng.uniform(0, 10, (50, 3)).astype(np.float64)
+        scale = 0.001
+        q = np.round(pts / scale).astype(np.int64)
+        mn, mx = int(q.min()), int(q.max())
+        bits = max((mx - mn).bit_length(), 1)
+
+        def pack(vals):
+            u = (vals - mn).astype(np.uint64)
+            out = np.zeros(((len(u) * bits + 7) // 8,), np.uint8)
+            bitpos = 0
+            for v in u:
+                for b in range(bits):
+                    if (int(v) >> b) & 1:
+                        out[bitpos // 8] |= 1 << (bitpos % 8)
+                    bitpos += 1
+            return out.tobytes()
+
+        streams = [pack(q[:, i]) for i in range(3)]
+        n_streams = 3
+        header_len = 6 + 2 * n_streams
+        pad = (-header_len) % 4
+        body = b"".join(streams)
+        pkt_len = header_len + pad + len(body)
+        pkt_len += (-pkt_len) % 4
+        packet = struct.pack("<BBHH", 1, 0, pkt_len - 1, n_streams)
+        packet += struct.pack("<3H", *map(len, streams))
+        packet += b"\x00" * pad + body
+        packet += b"\x00" * (pkt_len - len(packet))
+
+        section = struct.pack("<B7xQQQ", 1, 32 + len(packet),
+                              e57mod._phys_off(48 + 32), 0)
+        proto = "".join(
+            f'<{nm} type="ScaledInteger" minimum="{mn}" maximum="{mx}" '
+            f'scale="{scale}" offset="0"/>'
+            for nm in ("cartesianX", "cartesianY", "cartesianZ"))
+        xml = ('<?xml version="1.0" encoding="UTF-8"?>'
+               '<e57Root type="Structure" '
+               'xmlns="http://www.astm.org/COMMIT/E57/2010-e57-v1.0">'
+               '<data3D type="Vector"><vectorChild type="Structure">'
+               f'<points type="CompressedVector" fileOffset="48" '
+               f'recordCount="{len(pts)}">'
+               f'<prototype type="Structure">{proto}</prototype>'
+               '</points></vectorChild></data3D></e57Root>'
+               ).encode()
+        logical = bytearray(b"\x00" * 48) + section + packet
+        xml_off = len(logical)
+        logical += xml
+        physical = bytearray(e57mod._to_physical(bytes(logical)))
+        header = struct.pack("<8sIIQQQQ", b"ASTM-E57", 1, 0,
+                             len(physical), e57mod._phys_off(xml_off),
+                             len(xml), 1024)
+        physical[:len(header)] = header
+        first = bytes(physical[:1020])
+        physical[1020:1024] = struct.pack("<I", e57mod.crc32c(first))
+        p = tmp_path / "si.e57"
+        p.write_bytes(bytes(physical))
+        back = tc.read_point_cloud(p)
+        np.testing.assert_allclose(back.to_numpy(), pts, atol=scale)
