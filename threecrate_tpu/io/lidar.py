@@ -136,23 +136,50 @@ def decode_velodyne_packet(payload: bytes, model: VelodyneModel):
 
 def read_velodyne_pcap(path, model: str = "VLP-16",
                        max_packets: Optional[int] = None, **_) -> PointCloud:
-    """VelodynePcapReader (lidar.rs:197-313): merge all packets."""
+    """VelodynePcapReader (lidar.rs:197-313): merge all packets.
+
+    Uses the native C++ batch decoder when available (all packets in
+    one call), falling back to the vectorised NumPy per-packet path.
+    """
     m = VELODYNE_MODELS.get(model)
     if m is None:
         raise UnsupportedError(
             f"unknown Velodyne model {model!r}; have {list(VELODYNE_MODELS)}")
-    pts_l, int_l = [], []
+
+    payloads = []
     for i, payload in enumerate(iter_pcap_udp_payloads(path)):
         if max_packets is not None and i >= max_packets:
             break
+        if len(payload) >= 1206:
+            payloads.append(payload[:1206])
+    if not payloads:
+        raise InvalidDataError("no Velodyne packets decoded from pcap")
+
+    from ..native import decode_velodyne_batch
+    packets = np.frombuffer(b"".join(payloads), np.uint8
+                            ).reshape(len(payloads), 1206)
+    native_out = decode_velodyne_batch(packets, m.distance_resolution)
+    if native_out is not None:
+        dist, az, inten = native_out
+        n_l = m.n_lasers
+        ring = np.tile(np.arange(32) % n_l, len(payloads) * 12)
+        elev = np.deg2rad(np.asarray(m.elevations_deg, np.float32))[ring]
+        valid = dist > 0.001
+        x = dist * np.cos(elev) * np.sin(az)
+        y = dist * np.cos(elev) * np.cos(az)
+        z = dist * np.sin(elev)
+        pts = np.stack([x[valid], y[valid], z[valid]], -1)
+        return PointCloud.from_numpy(pts.astype(np.float32),
+                                     intensity=inten[valid])
+
+    pts_l, int_l = [], []
+    for payload in payloads:
         out = decode_velodyne_packet(payload, m)
         if out is None:
             continue
         p, it, _ = out
         pts_l.append(p)
         int_l.append(it)
-    if not pts_l:
-        raise InvalidDataError("no Velodyne packets decoded from pcap")
     return PointCloud.from_numpy(np.concatenate(pts_l).astype(np.float32),
                                  intensity=np.concatenate(int_l))
 
