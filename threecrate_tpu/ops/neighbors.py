@@ -374,26 +374,32 @@ def _merge_topk(neg_a, idx_a, neg_b, idx_b, k: int,
     a_ge_b = jnp.sum((neg_a[:, None, :] >= neg_b[:, :, None]), axis=2)
     pos_b = b_rank + a_ge_b
 
-    # place via one-hot accumulation into the k output slots
-    slot = jnp.arange(k, dtype=jnp.int32)
-    hit_a = (pos_a[:, :, None] == slot[None, None, :]) \
-        & a_valid[:, :, None]
-    hit_b = (pos_b[:, :, None] == slot[None, None, :]) \
-        & (neg_b > -jnp.inf)[:, :, None]
-    # zero the -inf fillers before accumulating (0 · -inf would be NaN)
+    # place into the k output slots, one slot at a time: peak memory
+    # stays O(N·k) (an (N, k, k) one-hot formulation allocated 18 GB at
+    # 8M points and OOM'd the chip)
+    b_valid = neg_b > -jnp.inf
     a_fin = jnp.where(a_valid, neg_a, 0.0)
-    b_fin = jnp.where(neg_b > -jnp.inf, neg_b, 0.0)
-    out_neg = jnp.einsum("nks,nk->ns", hit_a.astype(neg_a.dtype), a_fin) \
-        + jnp.einsum("nks,nk->ns", hit_b.astype(neg_b.dtype), b_fin)
-    out_idx = jnp.einsum("nks,nk->ns", hit_a.astype(jnp.int32), idx_a) \
-        + jnp.einsum("nks,nk->ns", hit_b.astype(jnp.int32), idx_b)
-    filled = jnp.any(hit_a, axis=1) | jnp.any(hit_b, axis=1)
-    out_neg = jnp.where(filled, out_neg, -jnp.inf)
+    b_fin = jnp.where(b_valid, neg_b, 0.0)
+    neg_cols = []
+    idx_cols = []
+    pts_cols = []
+    for s in range(k):
+        in_a = (pos_a == s) & a_valid
+        in_b = (pos_b == s) & b_valid
+        val = jnp.sum(jnp.where(in_a, a_fin, 0.0), axis=1) \
+            + jnp.sum(jnp.where(in_b, b_fin, 0.0), axis=1)
+        filled = jnp.any(in_a, axis=1) | jnp.any(in_b, axis=1)
+        neg_cols.append(jnp.where(filled, val, -jnp.inf))
+        idx_cols.append(jnp.sum(jnp.where(in_a, idx_a, 0), axis=1)
+                        + jnp.sum(jnp.where(in_b, idx_b, 0), axis=1))
+        if pts_a is not None:
+            pts_cols.append(
+                jnp.sum(jnp.where(in_a[..., None], pts_a, 0.0), axis=1)
+                + jnp.sum(jnp.where(in_b[..., None], pts_b, 0.0), axis=1))
+    out_neg = jnp.stack(neg_cols, axis=1)
+    out_idx = jnp.stack(idx_cols, axis=1)
     if pts_a is not None:
-        out_pts = jnp.einsum("nks,nkc->nsc", hit_a.astype(pts_a.dtype),
-                             pts_a) \
-            + jnp.einsum("nks,nkc->nsc", hit_b.astype(pts_b.dtype), pts_b)
-        return out_neg, out_idx, out_pts
+        return out_neg, out_idx, jnp.stack(pts_cols, axis=1)
     return out_neg, out_idx
 
 
