@@ -54,6 +54,9 @@ REFERENCE_SURFACE = [
     "transform_point_cloud", "KdTree", "PointCloud", "TriangleMesh",
     "Transform", "ICPResult", "GlobalRegistrationResult", "NdtResult",
     "PlaneSegmentationResult",
+    # streaming / realtime (reference python classes)
+    "RealtimePipeline", "RealtimeVoxelFilter", "RealtimeMetrics",
+    "StreamingVoxelFilter", "StreamingStatistics", "run_pipeline",
 ]
 
 

@@ -105,6 +105,11 @@ from .reconstruction import (
 )
 
 # -- simplification -------------------------------------------------------------
+from .parallel.streaming import (
+    BackpressureConfig, RealtimeMetrics, RealtimePipeline,
+    RealtimeVoxelFilter, RunOptions, RunStats, StreamingCollector,
+    StreamingStatistics, StreamingVoxelFilter, run_pipeline,
+)
 from .simplification import (
     ClusteringSimplifier, EdgeCollapseSimplifier, ProgressiveMesh,
     QuadricErrorSimplifier, simplify_mesh,

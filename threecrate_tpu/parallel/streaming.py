@@ -304,3 +304,14 @@ class RealtimePipeline:
                 self.metrics.processed += 1
             if buffered >= self.config.chunk_size:
                 flush()
+
+
+class RealtimeVoxelFilter(RealtimePipeline):
+    """Sensor-rate voxel downsampling (the reference python API's
+    RealtimeVoxelFilter class, threecrate-python/src/lib.rs): a
+    RealtimePipeline pre-wired with a StreamingVoxelFilter."""
+
+    def __init__(self, voxel_size: float,
+                 config: BackpressureConfig = BackpressureConfig(),
+                 origin=(0.0, 0.0, 0.0)):
+        super().__init__(StreamingVoxelFilter(voxel_size, origin), config)
