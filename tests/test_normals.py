@@ -138,3 +138,46 @@ class TestWindowParity:
         dots = np.abs((e[v] * w[v]).sum(1)).clip(0, 1)
         ang_err = np.degrees(np.arccos(dots))
         assert ang_err.mean() < 0.5, ang_err.mean()
+
+    def test_window_fast_moments_match_exact_quality(self):
+        """The fused-moments kernel path ("window_fast": covariance
+        moments accumulated in VMEM, 2-pass pick-tighter-window) is
+        quality-equivalent to exact-kNN normals on scan-like data."""
+        rng = np.random.default_rng(7)
+        n = 20000
+        ang = rng.uniform(0, 2 * np.pi, n)
+        r = np.abs(rng.normal(0, 25, n)) + 2
+        pts = np.stack([r * np.cos(ang), r * np.sin(ang),
+                        rng.normal(0, 0.05, n)], -1).astype(np.float32)
+        pc = PointCloud.from_numpy(pts)
+        exact = normals.estimate_normals_detailed(
+            pc, normals.NormalEstimationConfig(k_neighbors=10,
+                                               method="exact"))
+        fast = normals.estimate_normals_detailed(
+            pc, normals.NormalEstimationConfig(k_neighbors=10,
+                                               method="window_fast"))
+        e = np.asarray(exact.normals)
+        w = np.asarray(fast.normals)
+        v = np.asarray(exact.valid) & np.asarray(fast.valid)
+        dots = np.abs((e[v] * w[v]).sum(1)).clip(0, 1)
+        ang_err = np.degrees(np.arccos(dots))
+        assert ang_err.mean() < 0.5, ang_err.mean()
+        # curvature is near zero on a plane-like disc
+        assert v.sum() > 0.99 * n
+
+    def test_window_fast_masked_padding(self):
+        """window_fast respects validity masks: padded slots get zero
+        normals and valid=False."""
+        rng = np.random.default_rng(3)
+        pts = rng.normal(0, 1, (500, 3)).astype(np.float32)
+        pts[:, 2] *= 0.01
+        pc = PointCloud.from_numpy(pts, capacity=777)
+        res = normals.estimate_normals_detailed(
+            pc, normals.NormalEstimationConfig(k_neighbors=8,
+                                               method="window_fast"))
+        nm = np.asarray(res.normals)
+        vd = np.asarray(res.valid)
+        assert not vd[500:].any()
+        np.testing.assert_allclose(nm[500:], 0.0)
+        # real points: mostly the z plane
+        assert np.abs(nm[:500, 2]).mean() > 0.95

@@ -77,6 +77,112 @@ def _kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
         neg = jnp.where(chosen, -jnp.inf, neg)
 
 
+def _moments_kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
+                    mom_out, *, k: int):
+    """Fused k-NN-select + covariance-moment accumulation.
+
+    Emits, per query point, the raw moments of its k nearest window
+    candidates *centered at the query*: count, Σd, Σd⊗d (upper
+    triangle) — plus the k-th best negated squared distance, 11 lanes.
+    The consumer (normal estimation) needs ONLY these sums, so neighbor
+    ids never leave VMEM: no (k, N) outputs, no merge, no (N, k, 3)
+    coordinate gather, no (N, k) reductions. Centering at the query
+    keeps the E[dd]−E[d]E[d] covariance subtraction far from f32
+    cancellation (|d| ≈ neighbor spacing). The k-th distance lane lets
+    a multi-pass caller pick, per point, the pass whose window found
+    the tighter neighborhood (moments from different passes cannot be
+    union-merged — overlapping selections would double count).
+    """
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+
+    q = self_ref[:]                                     # (3, tile)
+    cand = jnp.concatenate([prev_ref[:], self_ref[:], next_ref[:]],
+                           axis=1)                      # (3, 3·tile)
+    ok_prev = jnp.where(t > 0, pv_ref[:], 0.0)
+    ok_next = jnp.where(t < n_t - 1, nv_ref[:], 0.0)
+    valid = jnp.concatenate([ok_prev, sv_ref[:], ok_next],
+                            axis=1) > 0.5               # (1, 3·tile)
+
+    dx = cand[0, :][None, :] - q[0, :][:, None]          # (tile, 3·tile)
+    dy = cand[1, :][None, :] - q[1, :][:, None]
+    dz = cand[2, :][None, :] - q[2, :][:, None]
+    d2 = dx * dx + dy * dy + dz * dz
+    neg = jnp.where(valid, -d2, -jnp.inf)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, neg.shape, 1)
+    sel = jnp.zeros(neg.shape, jnp.float32)
+    kth = jnp.full((q.shape[1],), -jnp.inf, jnp.float32)
+    for _ in range(k):
+        m = jnp.max(neg, axis=1)                         # (tile,)
+        good = m > -jnp.inf
+        cand_sel = neg == m[:, None]
+        arg = jnp.min(jnp.where(cand_sel, col, neg.shape[1]), axis=1)
+        chosen = (col == arg[:, None]) & good[:, None]
+        sel = sel + chosen.astype(jnp.float32)
+        neg = jnp.where(chosen, -jnp.inf, neg)
+        kth = m
+
+    mom_out[0, :] = jnp.sum(sel, axis=1)
+    mom_out[1, :] = jnp.sum(sel * dx, axis=1)
+    mom_out[2, :] = jnp.sum(sel * dy, axis=1)
+    mom_out[3, :] = jnp.sum(sel * dz, axis=1)
+    mom_out[4, :] = jnp.sum(sel * dx * dx, axis=1)
+    mom_out[5, :] = jnp.sum(sel * dy * dy, axis=1)
+    mom_out[6, :] = jnp.sum(sel * dz * dz, axis=1)
+    mom_out[7, :] = jnp.sum(sel * dx * dy, axis=1)
+    mom_out[8, :] = jnp.sum(sel * dx * dz, axis=1)
+    mom_out[9, :] = jnp.sum(sel * dy * dz, axis=1)
+    mom_out[10, :] = kth
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+def window_moments_tiles(sorted_pts_t: jnp.ndarray,
+                         sorted_valid: jnp.ndarray,
+                         k: int, tile: int = 256,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Per-point covariance moments of the k nearest window candidates.
+
+    sorted_pts_t: (3, N) float32 Morton-sorted transposed coordinates,
+    N % tile == 0. sorted_valid: (1, N) float32. Returns (11, N)
+    moments in sorted order: [count, Σdx, Σdy, Σdz, Σdx², Σdy², Σdz²,
+    Σdxdy, Σdxdz, Σdydz, kth-neg-d²] with d = neighbor − query. The
+    query itself is included in its own neighborhood (d = 0), matching
+    the exact-kNN normals path.
+    """
+    n = sorted_pts_t.shape[1]
+    assert n % tile == 0, "pad to a tile multiple first"
+    n_tiles = n // tile
+
+    def win_specs(rows):
+        return [
+            pl.BlockSpec((rows, tile), lambda t: (0, jnp.maximum(t - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, tile),
+                         lambda t: (0, jnp.minimum(t + 1, n_tiles - 1)),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=win_specs(3) + win_specs(1),
+        out_specs=[
+            pl.BlockSpec((11, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    (mom,) = pl.pallas_call(
+        functools.partial(_moments_kernel, k=k),
+        out_shape=[jax.ShapeDtypeStruct((11, n), jnp.float32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(sorted_pts_t, sorted_pts_t, sorted_pts_t,
+      sorted_valid, sorted_valid, sorted_valid)
+    return mom
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile", "interpret",
                                              "with_coords", "exclude_self"))
 def knn_window_tiles(sorted_pts_t: jnp.ndarray, sorted_valid: jnp.ndarray,

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.point_cloud import PointCloud
+from ..utils import padding
 from . import linalg, neighbors
 
 
@@ -35,7 +36,10 @@ class NormalEstimationConfig:
 
     ``method``: "exact" = blockwise brute-force kNN; "window" = Morton
     sliding-window approximate kNN (>99% recall, the large-N fast path);
-    "auto" picks window above ``AUTO_WINDOW_THRESHOLD`` points.
+    "window_fast" = single-pass fused-moments window kernel (fastest;
+    neighbor sets ~97% exact, normal error vs exact still fractions of
+    a degree — see tests/test_normals.py); "auto" picks window above
+    ``AUTO_WINDOW_THRESHOLD`` points.
     """
 
     k_neighbors: int = 10
@@ -114,10 +118,95 @@ def _estimate_window_fused(points, mask, k, viewpoint, orient):
     return normal, curv, valid & mask
 
 
+@functools.partial(jax.jit, static_argnames=("k", "orient", "tile",
+                                             "n_passes"))
+def _estimate_window_moments(points, mask, k, viewpoint, orient,
+                             tile=256, n_passes=2):
+    """Fully-fused window normals: the pallas kernel emits per-point
+    covariance MOMENTS (count, Σd, Σd⊗d centered at the query, plus the
+    k-th neighbor distance) directly, so neighbor ids/coords never
+    reach HBM — no id merge, no (N, k, 3) gather, no (N, k) reductions.
+
+    Multi-pass handling differs from the id path: moments from two
+    passes cannot be union-merged (overlapping picks double count), so
+    each point keeps the moments of whichever pass found the TIGHTER
+    neighborhood (more neighbors, then smaller k-th distance). Pass-B
+    rows carry their pass-A row index through the sort, so realignment
+    is one sort-inverse plus an (N, 11) row gather — no scatters until
+    the three small per-point outputs at the end."""
+    from ..kernels.knn_pallas import window_moments_tiles
+    from . import morton
+
+    n = points.shape[0]
+    n_pad = padding.round_up(n, tile)
+    pts = points.astype(jnp.float32)
+    if n_pad != n:
+        pts = jnp.pad(pts, ((0, n_pad - n), (0, 0)))
+        mask_p = jnp.pad(mask, (0, n_pad - n))
+    else:
+        mask_p = mask
+    interp = jax.default_backend() != "tpu"
+    keys = morton.morton_keys(pts, mask_p, pass_index=0)
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
+    _, ax, ay, az, am, perm_a = jax.lax.sort(
+        (keys, pts[:, 0], pts[:, 1], pts[:, 2],
+         mask_p.astype(jnp.float32), iota), num_keys=1)
+    mom = window_moments_tiles(
+        jnp.stack([ax, ay, az], axis=0), am[None, :], k, tile,
+        interpret=interp)
+
+    pts_a_rows = jnp.stack([ax, ay, az], axis=1)
+    for p in range(1, n_passes):
+        keys_b = morton.morton_keys(pts_a_rows, am > 0.5, pass_index=p)
+        _, bx, by, bz, bm, row_a = jax.lax.sort(
+            (keys_b, ax, ay, az, am, iota), num_keys=1)
+        mom_b = window_moments_tiles(
+            jnp.stack([bx, by, bz], axis=0), bm[None, :], k, tile,
+            interpret=interp)
+        _, inv_b = jax.lax.sort((row_a, iota), num_keys=1)
+        mom_b_a = mom_b.T[inv_b].T                    # back to pass-A order
+        better = (mom_b_a[0] > mom[0]) | ((mom_b_a[0] == mom[0])
+                                          & (mom_b_a[10] > mom[10]))
+        mom = jnp.where(better[None, :], mom_b_a, mom)
+
+    cnt = jnp.maximum(mom[0], 1e-12)
+    m1x, m1y, m1z = mom[1] / cnt, mom[2] / cnt, mom[3] / cnt
+    cxx = mom[4] / cnt - m1x * m1x
+    cyy = mom[5] / cnt - m1y * m1y
+    czz = mom[6] / cnt - m1z * m1z
+    cxy = mom[7] / cnt - m1x * m1y
+    cxz = mom[8] / cnt - m1x * m1z
+    cyz = mom[9] / cnt - m1y * m1z
+    cov = jnp.stack([
+        jnp.stack([cxx, cxy, cxz], -1),
+        jnp.stack([cxy, cyy, cyz], -1),
+        jnp.stack([cxz, cyz, czz], -1)], -2)
+    normal_s, _ = linalg.smallest_eigenvector_sym3x3(cov)
+    vals = linalg.eigvals_sym3x3(cov)
+    tot = jnp.maximum(jnp.sum(vals, axis=-1), 1e-12)
+    curv_s = jnp.maximum(vals[..., 0], 0.0) / tot
+    valid_s = (am > 0.5) & (mom[0] >= 3)
+    if orient:
+        q = jnp.stack([ax, ay, az], axis=1)
+        to_vp = viewpoint[None, :] - q
+        flip = jnp.sum(normal_s * to_vp, axis=-1) < 0
+        normal_s = jnp.where(flip[:, None], -normal_s, normal_s)
+    normal_s = jnp.where(valid_s[:, None], normal_s, 0.0)
+    curv_s = jnp.where(valid_s, curv_s, 0.0)
+
+    safe = jnp.clip(perm_a, 0, n_pad - 1)
+    normal = jnp.zeros((n_pad, 3), jnp.float32).at[safe].set(normal_s)[:n]
+    curv = jnp.zeros((n_pad,), jnp.float32).at[safe].set(curv_s)[:n]
+    valid = jnp.zeros((n_pad,), bool).at[safe].set(valid_s)[:n]
+    return normal, curv, valid & mask
+
+
 @functools.partial(jax.jit, static_argnames=("k", "use_radius", "orient",
-                                             "window"))
+                                             "window", "moments"))
 def _estimate(points, mask, k, use_radius, radius, viewpoint, orient,
-              window=False):
+              window=False, moments=False):
+    if moments and not use_radius:
+        return _estimate_window_moments(points, mask, k, viewpoint, orient)
     if window and not use_radius:
         return _estimate_window_fused(points, mask, k, viewpoint, orient)
     # One kNN pass serves both modes: radius mode masks slots beyond the
@@ -197,17 +286,22 @@ def default_viewpoint(cloud: PointCloud) -> jnp.ndarray:
 def estimate_normals_detailed(cloud: PointCloud,
                               config: NormalEstimationConfig = NormalEstimationConfig()
                               ) -> NormalResult:
+    if config.method not in ("auto", "exact", "window", "window_fast"):
+        raise ValueError(
+            f"unknown normal-estimation method {config.method!r}; "
+            "expected auto | exact | window | window_fast")
     vp = (jnp.asarray(config.viewpoint, jnp.float32)
           if config.viewpoint is not None else default_viewpoint(cloud))
     window = (config.method == "window"
               or (config.method == "auto"
                   and cloud.capacity >= AUTO_WINDOW_THRESHOLD
                   and config.radius is None))
+    moments = config.method == "window_fast" and config.radius is None
     normal, curv, valid = _estimate(
         cloud.points, cloud.mask, config.k_neighbors,
         config.radius is not None,
         jnp.float32(config.radius if config.radius is not None else 0.0),
-        vp, config.consistent_orientation, window)
+        vp, config.consistent_orientation, window, moments)
     return NormalResult(normal, curv, valid)
 
 
