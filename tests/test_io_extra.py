@@ -285,6 +285,17 @@ class TestE57:
         np.testing.assert_allclose(back.attr_to_numpy("intensity"), inten,
                                    atol=1e-6)
 
+    def test_spherical_roundtrip(self, tmp_path, rng):
+        """Spherical-only scans decode to cartesian (the reference
+        reader skips them, e57.rs:56)."""
+        from threecrate_tpu.io import e57 as e57mod
+        pts = rng.uniform(-50, 50, (2000, 3)).astype(np.float32)
+        pc = tc.PointCloud.from_numpy(pts)
+        p = tmp_path / "sph.e57"
+        e57mod.write_point_cloud(p, pc, spherical=True)
+        back = tc.read_point_cloud(p)
+        np.testing.assert_allclose(back.to_numpy(), pts, atol=1e-4)
+
     def test_header_and_crc(self, tmp_path, rng):
         pts = rng.normal(size=(100, 3)).astype(np.float32)
         p = tmp_path / "s.e57"

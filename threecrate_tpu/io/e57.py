@@ -13,8 +13,11 @@ Covers threecrate-io/src/e57.rs:23-91 (RobustE57Reader/Writer over the
 
 The writer emits single-packet-stream scans with double-precision
 Float fields — the simplest valid encoding — so files round-trip
-through this module and load in standard tools. Bit widths beyond 64
-and spherical coordinates raise clear errors.
+through this module and load in standard tools. Spherical-only scans
+are converted to cartesian on read (range/azimuth/elevation per the
+standard; the reference reader skips such scans, e57.rs:56) and can be
+written with ``spherical=True``. Bit widths beyond 64 raise clear
+errors.
 """
 
 from __future__ import annotations
@@ -252,14 +255,30 @@ def read_point_cloud(path, **_) -> PointCloud:
         proto = points_el.find(f"{_NS}prototype")
         fields = _proto_fields(proto)
         names = {f["name"] for f in fields}
-        if not {"cartesianX", "cartesianY", "cartesianZ"} <= names:
+        cart = {"cartesianX", "cartesianY", "cartesianZ"} <= names
+        spher = {"sphericalRange", "sphericalAzimuth",
+                 "sphericalElevation"} <= names
+        if not (cart or spher):
             raise UnsupportedError(
-                "E57 scan without cartesian coordinates (spherical "
-                "decode not implemented)")
+                "E57 scan with neither cartesian nor spherical "
+                "coordinates")
         cols = _read_compressed_vector(
             logical, _logical_from_phys(file_off), count, fields)
-        pts = np.stack([cols["cartesianX"], cols["cartesianY"],
-                        cols["cartesianZ"]], -1).astype(np.float32)
+        if cart:
+            pts = np.stack([cols["cartesianX"], cols["cartesianY"],
+                            cols["cartesianZ"]], -1).astype(np.float32)
+        else:
+            # spherical → cartesian per the E57 standard (Astm E2807
+            # 8.4.4.3): range r, azimuth θ in the xy plane from +x,
+            # elevation φ from the xy plane toward +z. The reference
+            # reader SKIPS spherical-only scans (e57.rs:56); decoding
+            # them here is strictly-better coverage.
+            r = cols["sphericalRange"].astype(np.float64)
+            az = cols["sphericalAzimuth"].astype(np.float64)
+            el = cols["sphericalElevation"].astype(np.float64)
+            ce = np.cos(el)
+            pts = np.stack([r * ce * np.cos(az), r * ce * np.sin(az),
+                            r * np.sin(el)], -1).astype(np.float32)
         all_pts.append(pts)
         if "intensity" in cols and len(cols["intensity"]):
             all_inten.append(cols["intensity"].astype(np.float32))
@@ -285,9 +304,12 @@ def read_point_cloud(path, **_) -> PointCloud:
 # writing
 # ---------------------------------------------------------------------------
 
-def write_point_cloud(path, cloud: PointCloud, **_) -> None:
+def write_point_cloud(path, cloud: PointCloud, spherical: bool = False,
+                      **_) -> None:
     """Write a single-scan E57 with double Float cartesian fields
-    (+ intensity when present)."""
+    (+ intensity when present). ``spherical=True`` writes
+    sphericalRange/Azimuth/Elevation instead (the scanner-native
+    representation; the reader converts back)."""
     pts = cloud.to_numpy().astype(np.float64)
     n = len(pts)
     has_int = "intensity" in cloud.attrs
@@ -295,8 +317,16 @@ def write_point_cloud(path, cloud: PointCloud, **_) -> None:
              if has_int else None)
 
     # --- binary CompressedVector section (logical bytes) ---------------
-    field_arrays = [pts[:, 0], pts[:, 1], pts[:, 2]]
-    field_names = ["cartesianX", "cartesianY", "cartesianZ"]
+    if spherical:
+        r = np.linalg.norm(pts, axis=1)
+        az = np.arctan2(pts[:, 1], pts[:, 0])
+        el = np.arctan2(pts[:, 2], np.linalg.norm(pts[:, :2], axis=1))
+        field_arrays = [r, az, el]
+        field_names = ["sphericalRange", "sphericalAzimuth",
+                       "sphericalElevation"]
+    else:
+        field_arrays = [pts[:, 0], pts[:, 1], pts[:, 2]]
+        field_names = ["cartesianX", "cartesianY", "cartesianZ"]
     if has_int:
         field_arrays.append(inten)
         field_names.append("intensity")
