@@ -34,6 +34,57 @@ class TestLas:
         with pytest.raises(InvalidDataError):
             tc.read_point_cloud(p)
 
+    def test_laz_roundtrip(self, tmp_path, rng):
+        """LASzip-compressed write → read through the native codec
+        (chunked compressor 2, POINT10+RGB12 v2 items)."""
+        n = 120_000   # > chunk size, exercises multi-chunk + threads
+        walk = np.cumsum(rng.normal(0, 0.05, (n, 3)), axis=0)
+        pts = walk.astype(np.float32)
+        inten = rng.uniform(0, 1, n).astype(np.float32)
+        col = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        pc = tc.PointCloud.from_numpy(pts, intensity=inten, colors=col)
+        p = tmp_path / "scan.laz"
+        tc.write_point_cloud(p, pc)
+        las_p = tmp_path / "scan.las"
+        tc.write_point_cloud(las_p, pc)
+        assert p.stat().st_size < 0.7 * las_p.stat().st_size  # compresses
+        back = tc.read_point_cloud(p)
+        ref = tc.read_point_cloud(las_p)
+        np.testing.assert_array_equal(back.to_numpy(), ref.to_numpy())
+        np.testing.assert_array_equal(back.attr_to_numpy("colors"),
+                                      ref.attr_to_numpy("colors"))
+        np.testing.assert_allclose(back.to_numpy(), pts, atol=2e-3)
+
+    def test_laz_gps_time_fmt3(self, tmp_path, rng):
+        """gps_time attribute promotes to point format 3 and survives
+        the GPSTIME11 v2 codec bit-exactly."""
+        n = 5000
+        pts = np.cumsum(rng.normal(0, 0.1, (n, 3)), 0).astype(np.float32)
+        gps = (3.0e5 + np.cumsum(rng.uniform(1e-6, 2e-4, n))).astype(
+            np.float64)
+        pc = tc.PointCloud.from_numpy(pts, gps_time=gps)
+        p = tmp_path / "t.laz"
+        tc.write_point_cloud(p, pc)
+        back = tc.read_point_cloud(p)
+        # PointCloud attrs are float32 — the codec itself is bit-exact
+        # on the f64 records, so expect the f32-quantised values back
+        np.testing.assert_array_equal(
+            back.attr_to_numpy("gps_time"),
+            gps.astype(np.float32))
+
+    def test_laz_corrupt_stream(self, tmp_path, rng):
+        """Corrupting the chunk table pointer raises, not crashes."""
+        pc = tc.PointCloud.from_numpy(
+            rng.normal(0, 1, (1000, 3)).astype(np.float32))
+        p = tmp_path / "c.laz"
+        tc.write_point_cloud(p, pc)
+        blob = bytearray(p.read_bytes())
+        off = int.from_bytes(blob[96:100], "little")
+        blob[off:off + 8] = (2 ** 62).to_bytes(8, "little")
+        p.write_bytes(bytes(blob))
+        with pytest.raises(Exception):
+            tc.read_point_cloud(p)
+
 
 def _cdr_string(s: str) -> bytes:
     b = s.encode() + b"\x00"

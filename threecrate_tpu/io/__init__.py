@@ -40,7 +40,8 @@ REGISTRY.register("pcap", cloud_reader=lidar.read_velodyne_pcap)
 REGISTRY.register("lvx", cloud_reader=lidar.read_livox_lvx)
 REGISTRY.register("las", cloud_reader=las.read_point_cloud,
                   cloud_writer=las.write_point_cloud)
-REGISTRY.register("laz", cloud_reader=las.read_point_cloud)
+REGISTRY.register("laz", cloud_reader=las.read_point_cloud,
+                  cloud_writer=las.write_point_cloud)
 REGISTRY.register("db3", cloud_reader=rosbag.read_point_cloud)
 REGISTRY.register("mcap", cloud_reader=rosbag.read_point_cloud_mcap)
 REGISTRY.register("e57", cloud_reader=e57.read_point_cloud,

@@ -105,5 +105,85 @@ def decode_velodyne_batch(packets: np.ndarray, dist_resolution: float):
     return dist, az, inten
 
 
+# ---------------------------------------------------------------------------
+# LASzip codec (separate shared object: tc_laz.cpp)
+# ---------------------------------------------------------------------------
+
+_LAZ_SRC = os.path.join(_HERE, "tc_laz.cpp")
+_LAZ_SO = os.path.join(_HERE, "libtc_laz.so")
+_laz_lib: Optional[ctypes.CDLL] = None
+
+
+def _load_laz() -> Optional[ctypes.CDLL]:
+    global _laz_lib
+    with _lock:
+        if _laz_lib is not None:
+            return _laz_lib
+        if not os.path.exists(_LAZ_SO) or \
+                os.path.getmtime(_LAZ_SO) < os.path.getmtime(_LAZ_SRC):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     "-pthread", "-o", _LAZ_SO, _LAZ_SRC],
+                    check=True, capture_output=True, timeout=240)
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_LAZ_SO)
+        except OSError:
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.tc_laz_decompress.restype = ctypes.c_long
+        lib.tc_laz_decompress.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_uint, ctypes.c_int, u8p, ctypes.c_int]
+        lib.tc_laz_compress.restype = ctypes.c_long
+        lib.tc_laz_compress.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint, ctypes.c_long, u8p, ctypes.c_long]
+        _laz_lib = lib
+        return lib
+
+
+def laz_decompress(file_bytes: bytes, point_off: int, n_points: int,
+                   chunk_size: int, point_format: int,
+                   rec_len: int) -> Optional[np.ndarray]:
+    """Decompress a LAZ point block → (n, rec_len) uint8 records, or
+    None when the native codec is unavailable. Raises ValueError on a
+    corrupt/unsupported stream."""
+    lib = _load_laz()
+    if lib is None:
+        return None
+    buf = np.frombuffer(file_bytes, np.uint8)
+    out = np.zeros(n_points * rec_len, np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    r = lib.tc_laz_decompress(
+        buf.ctypes.data_as(u8p), len(buf), point_off, n_points,
+        chunk_size, point_format, out.ctypes.data_as(u8p), rec_len)
+    if r != 0:
+        raise ValueError(f"LASzip decode failed (code {r})")
+    return out.reshape(n_points, rec_len)
+
+
+def laz_compress(records: np.ndarray, point_format: int,
+                 chunk_size: int, block_file_off: int) -> Optional[bytes]:
+    """Compress (n, rec_len) uint8 records → LAZ point block bytes
+    ([i64 chunk-table pos][chunks][table]), or None when unavailable."""
+    lib = _load_laz()
+    if lib is None:
+        return None
+    records = np.ascontiguousarray(records, np.uint8)
+    n, rec_len = records.shape
+    cap = n * rec_len * 2 + (n // max(chunk_size, 1) + 2) * 64 + 65536
+    out = np.zeros(cap, np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    r = lib.tc_laz_compress(
+        records.ctypes.data_as(u8p), n, rec_len, point_format,
+        chunk_size, block_file_off, out.ctypes.data_as(u8p), cap)
+    if r < 0:
+        raise ValueError(f"LASzip encode failed (code {r})")
+    return out[:r].tobytes()
+
+
 # try to load eagerly so HAS_NATIVE reflects reality at import time
 _load()
