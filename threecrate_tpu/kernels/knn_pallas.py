@@ -77,20 +77,89 @@ def _kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
         neg = jnp.where(chosen, -jnp.inf, neg)
 
 
+def _normal_from_cov_lanes(cxx, cyy, czz, cxy, cxz, cyz):
+    """Smallest-eigenpair of per-lane symmetric 3x3 covariances via
+    cyclic Jacobi rotations — runs inside the kernel without
+    materialising (N, 3, 3) matrices in HBM, and uses only
+    add/mul/div/sqrt (Pallas TPU does not lower acos, ruling out the
+    trigonometric closed form; Jacobi is also better-conditioned at
+    the planar case, where the trig form sits on a double root).
+    4 sweeps × 3 rotations give f32-exact eigenpairs for 3x3.
+    Returns (nx, ny, nz, curvature = λ0/Σλ)."""
+    trace = jnp.maximum(cxx + cyy + czz, 1e-12)
+    # work on a scaled copy for conditioning
+    a00, a11, a22 = cxx / trace, cyy / trace, czz / trace
+    a01, a02, a12 = cxy / trace, cxz / trace, cyz / trace
+    one = jnp.ones_like(a00)
+    zero = jnp.zeros_like(a00)
+    v00, v01, v02 = one, zero, zero
+    v10, v11, v12 = zero, one, zero
+    v20, v21, v22 = zero, zero, one
+
+    def rot(app, aqq, apq, theta_den):
+        # tangent of the annihilating rotation, stable form
+        theta = theta_den / (2.0 * jnp.where(apq == 0.0, 1.0, apq))
+        sgn = jnp.where(theta >= 0.0, 1.0, -1.0)
+        t = sgn / (jnp.abs(theta) + jnp.sqrt(theta * theta + 1.0))
+        t = jnp.where(jnp.abs(apq) > 1e-30, t, 0.0)
+        c = 1.0 / jnp.sqrt(t * t + 1.0)
+        s = t * c
+        return t, c, s
+
+    for _ in range(4):
+        # pivot (0,1)
+        t, c, s = rot(a00, a11, a01, a11 - a00)
+        a00, a11 = a00 - t * a01, a11 + t * a01
+        a01 = zero
+        a02, a12 = c * a02 - s * a12, s * a02 + c * a12
+        v00, v01 = c * v00 - s * v01, s * v00 + c * v01
+        v10, v11 = c * v10 - s * v11, s * v10 + c * v11
+        v20, v21 = c * v20 - s * v21, s * v20 + c * v21
+        # pivot (0,2)
+        t, c, s = rot(a00, a22, a02, a22 - a00)
+        a00, a22 = a00 - t * a02, a22 + t * a02
+        a02 = zero
+        a01, a12 = c * a01 - s * a12, s * a01 + c * a12
+        v00, v02 = c * v00 - s * v02, s * v00 + c * v02
+        v10, v12 = c * v10 - s * v12, s * v10 + c * v12
+        v20, v22 = c * v20 - s * v22, s * v20 + c * v22
+        # pivot (1,2)
+        t, c, s = rot(a11, a22, a12, a22 - a11)
+        a11, a22 = a11 - t * a12, a22 + t * a12
+        a12 = zero
+        a01, a02 = c * a01 - s * a02, s * a01 + c * a02
+        v01, v02 = c * v01 - s * v02, s * v01 + c * v02
+        v11, v12 = c * v11 - s * v12, s * v11 + c * v12
+        v21, v22 = c * v21 - s * v22, s * v21 + c * v22
+
+    # smallest eigenvalue column of V
+    m01 = (a00 <= a11) & (a00 <= a22)
+    m1 = (~m01) & (a11 <= a22)
+    lam = jnp.where(m01, a00, jnp.where(m1, a11, a22))
+    vx = jnp.where(m01, v00, jnp.where(m1, v01, v02))
+    vy = jnp.where(m01, v10, jnp.where(m1, v11, v12))
+    vz = jnp.where(m01, v20, jnp.where(m1, v21, v22))
+    curv = jnp.maximum(lam, 0.0)      # trace-scaled: λ0/Σλ already
+    inv = 1.0 / jnp.sqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-30))
+    return vx * inv, vy * inv, vz * inv, curv
+
+
 def _moments_kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
                     mom_out, *, k: int):
-    """Fused k-NN-select + covariance-moment accumulation.
+    """Fully-fused k-NN-select → covariance → normal kernel.
 
-    Emits, per query point, the raw moments of its k nearest window
-    candidates *centered at the query*: count, Σd, Σd⊗d (upper
-    triangle) — plus the k-th best negated squared distance, 11 lanes.
-    The consumer (normal estimation) needs ONLY these sums, so neighbor
-    ids never leave VMEM: no (k, N) outputs, no merge, no (N, k, 3)
-    coordinate gather, no (N, k) reductions. Centering at the query
-    keeps the E[dd]−E[d]E[d] covariance subtraction far from f32
-    cancellation (|d| ≈ neighbor spacing). The k-th distance lane lets
-    a multi-pass caller pick, per point, the pass whose window found
-    the tighter neighborhood (moments from different passes cannot be
+    Per query point: select the k nearest window candidates (k rounds
+    of max-extraction), accumulate their covariance moments *centered
+    at the query* in VMEM, and solve the smallest eigenpair in-lane.
+    Emits 6 rows: [nx, ny, nz, curvature, neighbor count, k-th best
+    negated squared distance]. Neither neighbor ids/coords nor the
+    (11, N) moments ever reach HBM — profiling showed the separate
+    covariance+eigensolve stage cost ~58 ms at 1M points purely in
+    HBM round trips of its (N,) temporaries. Centering at the query
+    keeps the E[dd]−E[d]E[d] subtraction far from f32 cancellation
+    (|d| ≈ neighbor spacing). The count / k-th-distance lanes let a
+    multi-pass caller pick, per point, the pass whose window found the
+    tighter neighborhood (outputs from different passes cannot be
     union-merged — overlapping selections would double count).
     """
     t = pl.program_id(0)
@@ -123,32 +192,40 @@ def _moments_kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
         neg = jnp.where(chosen, -jnp.inf, neg)
         kth = m
 
-    mom_out[0, :] = jnp.sum(sel, axis=1)
-    mom_out[1, :] = jnp.sum(sel * dx, axis=1)
-    mom_out[2, :] = jnp.sum(sel * dy, axis=1)
-    mom_out[3, :] = jnp.sum(sel * dz, axis=1)
-    mom_out[4, :] = jnp.sum(sel * dx * dx, axis=1)
-    mom_out[5, :] = jnp.sum(sel * dy * dy, axis=1)
-    mom_out[6, :] = jnp.sum(sel * dz * dz, axis=1)
-    mom_out[7, :] = jnp.sum(sel * dx * dy, axis=1)
-    mom_out[8, :] = jnp.sum(sel * dx * dz, axis=1)
-    mom_out[9, :] = jnp.sum(sel * dy * dz, axis=1)
-    mom_out[10, :] = kth
+    cnt_raw = jnp.sum(sel, axis=1)
+    cnt = jnp.maximum(cnt_raw, 1e-12)
+    m1x = jnp.sum(sel * dx, axis=1) / cnt
+    m1y = jnp.sum(sel * dy, axis=1) / cnt
+    m1z = jnp.sum(sel * dz, axis=1) / cnt
+    cxx = jnp.sum(sel * dx * dx, axis=1) / cnt - m1x * m1x
+    cyy = jnp.sum(sel * dy * dy, axis=1) / cnt - m1y * m1y
+    czz = jnp.sum(sel * dz * dz, axis=1) / cnt - m1z * m1z
+    cxy = jnp.sum(sel * dx * dy, axis=1) / cnt - m1x * m1y
+    cxz = jnp.sum(sel * dx * dz, axis=1) / cnt - m1x * m1z
+    cyz = jnp.sum(sel * dy * dz, axis=1) / cnt - m1y * m1z
+    nx, ny, nz, curv = _normal_from_cov_lanes(cxx, cyy, czz,
+                                              cxy, cxz, cyz)
+    mom_out[0, :] = nx
+    mom_out[1, :] = ny
+    mom_out[2, :] = nz
+    mom_out[3, :] = curv
+    mom_out[4, :] = cnt_raw
+    mom_out[5, :] = kth
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
-def window_moments_tiles(sorted_pts_t: jnp.ndarray,
+def window_normals_tiles(sorted_pts_t: jnp.ndarray,
                          sorted_valid: jnp.ndarray,
                          k: int, tile: int = 256,
                          interpret: bool = False) -> jnp.ndarray:
-    """Per-point covariance moments of the k nearest window candidates.
+    """Per-point PCA normals of the k nearest window candidates, fully
+    fused (select + covariance + eigensolve in VMEM).
 
     sorted_pts_t: (3, N) float32 Morton-sorted transposed coordinates,
-    N % tile == 0. sorted_valid: (1, N) float32. Returns (11, N)
-    moments in sorted order: [count, Σdx, Σdy, Σdz, Σdx², Σdy², Σdz²,
-    Σdxdy, Σdxdz, Σdydz, kth-neg-d²] with d = neighbor − query. The
-    query itself is included in its own neighborhood (d = 0), matching
-    the exact-kNN normals path.
+    N % tile == 0. sorted_valid: (1, N) float32. Returns (6, N) in
+    sorted order: [nx, ny, nz (unit, unoriented), curvature λ0/Σλ,
+    neighbor count, kth-neg-d²]. The query itself is included in its
+    own neighborhood (d = 0), matching the exact-kNN normals path.
     """
     n = sorted_pts_t.shape[1]
     assert n % tile == 0, "pad to a tile multiple first"
@@ -169,13 +246,13 @@ def window_moments_tiles(sorted_pts_t: jnp.ndarray,
         grid=(n_tiles,),
         in_specs=win_specs(3) + win_specs(1),
         out_specs=[
-            pl.BlockSpec((11, tile), lambda t: (0, t),
+            pl.BlockSpec((6, tile), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
         ],
     )
     (mom,) = pl.pallas_call(
         functools.partial(_moments_kernel, k=k),
-        out_shape=[jax.ShapeDtypeStruct((11, n), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((6, n), jnp.float32)],
         grid_spec=grid_spec,
         interpret=interpret,
     )(sorted_pts_t, sorted_pts_t, sorted_pts_t,

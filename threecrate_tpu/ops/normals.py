@@ -35,11 +35,15 @@ class NormalEstimationConfig:
     """Mirrors NormalEstimationConfig (normals.rs:17-37).
 
     ``method``: "exact" = blockwise brute-force kNN; "window" = Morton
-    sliding-window approximate kNN (>99% recall, the large-N fast path);
-    "window_fast" = single-pass fused-moments window kernel (fastest;
-    neighbor sets ~97% exact, normal error vs exact still fractions of
-    a degree — see tests/test_normals.py); "auto" picks window above
-    ``AUTO_WINDOW_THRESHOLD`` points.
+    sliding-window kNN with union-merged passes (near-exact: ~0.1 deg
+    mean / sub-degree p99 vs exact); "window_fast" = the fully-fused
+    window kernel (select + covariance + eigensolve in VMEM, 2 passes,
+    per-point pick-tighter-window; ~1.5x faster than "window"). On
+    noisy scan data "window_fast" matches exact-kNN quality (0.12 deg
+    mean, noise-dominated), but on noise-free surfaces ~1% of points
+    land in partial windows that only a union merge would repair
+    (p99 can reach ~15 deg there) — hence it is opt-in. "auto" picks
+    "window" above ``AUTO_WINDOW_THRESHOLD`` points.
     """
 
     k_neighbors: int = 10
@@ -122,19 +126,26 @@ def _estimate_window_fused(points, mask, k, viewpoint, orient):
                                              "n_passes"))
 def _estimate_window_moments(points, mask, k, viewpoint, orient,
                              tile=256, n_passes=2):
-    """Fully-fused window normals: the pallas kernel emits per-point
-    covariance MOMENTS (count, Σd, Σd⊗d centered at the query, plus the
-    k-th neighbor distance) directly, so neighbor ids/coords never
-    reach HBM — no id merge, no (N, k, 3) gather, no (N, k) reductions.
+    """Fully-fused, fully sort-resident window normals.
 
-    Multi-pass handling differs from the id path: moments from two
-    passes cannot be union-merged (overlapping picks double count), so
-    each point keeps the moments of whichever pass found the TIGHTER
-    neighborhood (more neighbors, then smaller k-th distance). Pass-B
-    rows carry their pass-A row index through the sort, so realignment
-    is one sort-inverse plus an (N, 11) row gather — no scatters until
-    the three small per-point outputs at the end."""
-    from ..kernels.knn_pallas import window_moments_tiles
+    The pallas kernel selects each point's k window neighbors,
+    accumulates their query-centered covariance and solves the smallest
+    eigenpair entirely in VMEM, emitting just (6, N): normal, curvature,
+    count, k-th distance. The pipeline never gathers or scatters —
+    profiling showed the (N, 3) order-restoring scatters cost ~54 ms
+    and the XLA-side covariance+eigensolve ~58 ms at 1M, vs ~8 ms for
+    a payload-carrying device sort:
+
+    * pass A: one sort carries coordinates + mask + original row id;
+    * pass B: re-sorts pass-A columns by the shifted Morton key with
+      the pass-A row index as payload; its kernel output rides a third
+      sort (key = pass-A row) back into pass-A order;
+    * per point, keep whichever pass found the TIGHTER neighborhood
+      (more neighbors, then smaller k-th distance) — outputs of
+      different passes cannot be union-merged;
+    * one final sort (key = original row id) restores input order.
+    """
+    from ..kernels.knn_pallas import window_normals_tiles
     from . import morton
 
     n = points.shape[0]
@@ -151,7 +162,7 @@ def _estimate_window_moments(points, mask, k, viewpoint, orient,
     _, ax, ay, az, am, perm_a = jax.lax.sort(
         (keys, pts[:, 0], pts[:, 1], pts[:, 2],
          mask_p.astype(jnp.float32), iota), num_keys=1)
-    mom = window_moments_tiles(
+    out = window_normals_tiles(
         jnp.stack([ax, ay, az], axis=0), am[None, :], k, tile,
         interpret=interp)
 
@@ -160,45 +171,34 @@ def _estimate_window_moments(points, mask, k, viewpoint, orient,
         keys_b = morton.morton_keys(pts_a_rows, am > 0.5, pass_index=p)
         _, bx, by, bz, bm, row_a = jax.lax.sort(
             (keys_b, ax, ay, az, am, iota), num_keys=1)
-        mom_b = window_moments_tiles(
+        out_b = window_normals_tiles(
             jnp.stack([bx, by, bz], axis=0), bm[None, :], k, tile,
             interpret=interp)
-        _, inv_b = jax.lax.sort((row_a, iota), num_keys=1)
-        mom_b_a = mom_b.T[inv_b].T                    # back to pass-A order
-        better = (mom_b_a[0] > mom[0]) | ((mom_b_a[0] == mom[0])
-                                          & (mom_b_a[10] > mom[10]))
-        mom = jnp.where(better[None, :], mom_b_a, mom)
+        # ride pass-B outputs back to pass-A order as sort payloads
+        _, b0, b1, b2, b3, b4, b5 = jax.lax.sort(
+            (row_a, out_b[0], out_b[1], out_b[2], out_b[3], out_b[4],
+             out_b[5]), num_keys=1)
+        out_b_a = jnp.stack([b0, b1, b2, b3, b4, b5], axis=0)
+        better = (out_b_a[4] > out[4]) | ((out_b_a[4] == out[4])
+                                          & (out_b_a[5] > out[5]))
+        out = jnp.where(better[None, :], out_b_a, out)
 
-    cnt = jnp.maximum(mom[0], 1e-12)
-    m1x, m1y, m1z = mom[1] / cnt, mom[2] / cnt, mom[3] / cnt
-    cxx = mom[4] / cnt - m1x * m1x
-    cyy = mom[5] / cnt - m1y * m1y
-    czz = mom[6] / cnt - m1z * m1z
-    cxy = mom[7] / cnt - m1x * m1y
-    cxz = mom[8] / cnt - m1x * m1z
-    cyz = mom[9] / cnt - m1y * m1z
-    cov = jnp.stack([
-        jnp.stack([cxx, cxy, cxz], -1),
-        jnp.stack([cxy, cyy, cyz], -1),
-        jnp.stack([cxz, cyz, czz], -1)], -2)
-    normal_s, _ = linalg.smallest_eigenvector_sym3x3(cov)
-    vals = linalg.eigvals_sym3x3(cov)
-    tot = jnp.maximum(jnp.sum(vals, axis=-1), 1e-12)
-    curv_s = jnp.maximum(vals[..., 0], 0.0) / tot
-    valid_s = (am > 0.5) & (mom[0] >= 3)
+    normal_s = jnp.stack([out[0], out[1], out[2]], axis=1)
+    curv_s = out[3]
+    valid_s = (am > 0.5) & (out[4] >= 3)
     if orient:
-        q = jnp.stack([ax, ay, az], axis=1)
-        to_vp = viewpoint[None, :] - q
+        to_vp = viewpoint[None, :] - pts_a_rows
         flip = jnp.sum(normal_s * to_vp, axis=-1) < 0
         normal_s = jnp.where(flip[:, None], -normal_s, normal_s)
     normal_s = jnp.where(valid_s[:, None], normal_s, 0.0)
     curv_s = jnp.where(valid_s, curv_s, 0.0)
 
-    safe = jnp.clip(perm_a, 0, n_pad - 1)
-    normal = jnp.zeros((n_pad, 3), jnp.float32).at[safe].set(normal_s)[:n]
-    curv = jnp.zeros((n_pad,), jnp.float32).at[safe].set(curv_s)[:n]
-    valid = jnp.zeros((n_pad,), bool).at[safe].set(valid_s)[:n]
-    return normal, curv, valid & mask
+    # restore input order: one more payload sort keyed by original row
+    _, nx, ny, nz, curv, vf = jax.lax.sort(
+        (perm_a, normal_s[:, 0], normal_s[:, 1], normal_s[:, 2], curv_s,
+         valid_s.astype(jnp.float32)), num_keys=1)
+    normal = jnp.stack([nx, ny, nz], axis=1)[:n]
+    return normal, curv[:n], (vf[:n] > 0.5) & mask
 
 
 @functools.partial(jax.jit, static_argnames=("k", "use_radius", "orient",
