@@ -477,13 +477,16 @@ def knn_window(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
             negT, idxT = out[0], out[1]
             pass_neg = negT.T[:n]                   # (n, kk) sorted order
             pass_idx = idxT.T[:n]
-            orig_neg = jnp.zeros((n, kk), jnp.float32).at[perm].set(pass_neg)
-            orig_idx = jnp.zeros((n, kk), jnp.int32).at[perm].set(pass_idx)
+            # original order via inverse-permutation ROW gathers — (N, k)
+            # scatters measured ~90 ms each at 1M, row gathers ~free
+            _, posof = jax.lax.sort(
+                (perm, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+            orig_neg = pass_neg[posof]
+            orig_idx = pass_idx[posof]
             orig_pts = None
             if return_points:
                 crd = out[2].T[:n].reshape(n, kk, 3)
-                orig_pts = jnp.zeros((n, kk, 3), jnp.float32
-                                     ).at[perm].set(crd)
+                orig_pts = crd[posof]
             if p == 0 and kk == k:
                 best_neg, best_idx = orig_neg, orig_idx
                 best_pts = orig_pts if return_points else best_pts
@@ -535,9 +538,12 @@ def knn_window(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
         top_idx = perm_p[sorted_pos]
         pass_neg = top_neg.reshape(n_pad, kk)[:n]
         pass_idx = top_idx.reshape(n_pad, kk)[:n]
-        # back to original point order
-        orig_neg = jnp.zeros((n, kk), jnp.float32).at[perm].set(pass_neg)
-        orig_idx = jnp.zeros((n, kk), jnp.int32).at[perm].set(pass_idx)
+        # back to original point order (inverse-perm row gather, not a
+        # scatter — see the pallas branch above)
+        _, posof = jax.lax.sort(
+            (perm, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+        orig_neg = pass_neg[posof]
+        orig_idx = pass_idx[posof]
 
         if p == 0 and kk == k:
             best_neg, best_idx = orig_neg, orig_idx
@@ -749,11 +755,12 @@ def knn_window_cross(db_points: jnp.ndarray, db_mask: jnp.ndarray,
             interpret=jax.default_backend() != "tpu")
         pass_neg = negT.T[:n]
         pass_idx = idxT.T[:n]
-        # keep only query rows, addressed by original query index
-        orig_neg = jnp.zeros((n, k), jnp.float32).at[perm].set(pass_neg)
-        orig_idx = jnp.zeros((n, k), jnp.int32).at[perm].set(pass_idx)
-        q_neg = orig_neg[n_db:]
-        q_idx = orig_idx[n_db:]
+        # keep only query rows, addressed by original query index —
+        # inverse-perm row gather (scatters measured ~90 ms at 1M)
+        _, posof = jax.lax.sort(
+            (perm, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+        q_neg = pass_neg[posof[n_db:]]
+        q_idx = pass_idx[posof[n_db:]]
         if p == 0:
             best_neg, best_idx = q_neg, q_idx
         else:
