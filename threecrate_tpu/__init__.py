@@ -11,7 +11,7 @@ device-mesh sharding instead of KD-trees, rayon and compute shaders.
 
 __version__ = "0.1.0"
 
-from . import core, ops, utils
+from . import core, models, ops, utils
 from .core import (
     CameraIntrinsics,
     OrganizedPointCloud,
