@@ -39,11 +39,14 @@ class NormalEstimationConfig:
     mean / sub-degree p99 vs exact); "window_fast" = the fully-fused
     window kernel (select + covariance + eigensolve in VMEM, 2 passes,
     per-point pick-tighter-window; ~1.5x faster than "window"). On
-    noisy scan data "window_fast" matches exact-kNN quality (0.12 deg
-    mean, noise-dominated), but on noise-free surfaces ~1% of points
-    land in partial windows that only a union merge would repair
-    (p99 can reach ~15 deg there) — hence it is opt-in. "auto" picks
-    "window" above ``AUTO_WINDOW_THRESHOLD`` points.
+    outdoor-scan-like data "window_fast" matches exact-kNN quality
+    (0.12 deg mean, noise-dominated), but it inherits the quality of
+    the BEST single pass rather than the union: where per-pass window
+    recall drops (noise-free surfaces: ~1% tail to ~15 deg; thin noisy
+    slabs whose thickness ~ point spacing: broad degradation), only
+    the union merge of "window" repairs it — hence "window_fast" is
+    opt-in. "auto" picks "window" above ``AUTO_WINDOW_THRESHOLD``
+    points.
     """
 
     k_neighbors: int = 10
@@ -51,6 +54,10 @@ class NormalEstimationConfig:
     consistent_orientation: bool = True
     viewpoint: Optional[Tuple[float, float, float]] = None
     method: str = "auto"
+    # "window_fast" only: number of Morton passes. 2 (default) matches
+    # exact-kNN quality on noisy scans; 1 is ~1.7x faster (110 ms vs
+    # 188 ms at 1M on v5e) at ~+0.6 deg mean error on scan data.
+    window_passes: int = 2
 
 
 AUTO_WINDOW_THRESHOLD = 65536
@@ -202,11 +209,13 @@ def _estimate_window_moments(points, mask, k, viewpoint, orient,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "use_radius", "orient",
-                                             "window", "moments"))
+                                             "window", "moments",
+                                             "window_passes"))
 def _estimate(points, mask, k, use_radius, radius, viewpoint, orient,
-              window=False, moments=False):
+              window=False, moments=False, window_passes=2):
     if moments and not use_radius:
-        return _estimate_window_moments(points, mask, k, viewpoint, orient)
+        return _estimate_window_moments(points, mask, k, viewpoint, orient,
+                                        n_passes=window_passes)
     if window and not use_radius:
         return _estimate_window_fused(points, mask, k, viewpoint, orient)
     # One kNN pass serves both modes: radius mode masks slots beyond the
@@ -290,6 +299,9 @@ def estimate_normals_detailed(cloud: PointCloud,
         raise ValueError(
             f"unknown normal-estimation method {config.method!r}; "
             "expected auto | exact | window | window_fast")
+    if config.window_passes < 1:
+        raise ValueError("window_passes must be >= 1, got "
+                         f"{config.window_passes}")
     vp = (jnp.asarray(config.viewpoint, jnp.float32)
           if config.viewpoint is not None else default_viewpoint(cloud))
     window = (config.method == "window"
@@ -301,7 +313,8 @@ def estimate_normals_detailed(cloud: PointCloud,
         cloud.points, cloud.mask, config.k_neighbors,
         config.radius is not None,
         jnp.float32(config.radius if config.radius is not None else 0.0),
-        vp, config.consistent_orientation, window, moments)
+        vp, config.consistent_orientation, window, moments,
+        int(config.window_passes))
     return NormalResult(normal, curv, valid)
 
 
