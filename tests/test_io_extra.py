@@ -423,3 +423,21 @@ class TestE57:
         p.write_bytes(bytes(physical))
         back = tc.read_point_cloud(p)
         np.testing.assert_allclose(back.to_numpy(), pts, atol=scale)
+
+
+class TestTczRegistry:
+    def test_extension_dispatch_roundtrip(self, tmp_path, rng):
+        """.tcz routes through the registry; points survive on the
+        quantisation lattice (order is Morton, not input order)."""
+        pts = rng.uniform(-10, 10, (4000, 3)).astype(np.float32)
+        p = tmp_path / "c.tcz"
+        tc.write_point_cloud(p, tc.PointCloud.from_numpy(pts))
+        back = tc.read_point_cloud(p).to_numpy()
+        assert len(back) == 4000
+        p64 = pts.astype(np.float64)
+        mn, ext = p64.min(0), np.maximum(np.ptp(p64, 0), 1e-12)
+        s = ((1 << 14) - 1) / ext
+        qa = set(map(tuple, np.round((p64 - mn) * s).astype(np.int64)))
+        qb = set(map(tuple, np.round((back.astype(np.float64) - mn) * s
+                                     ).astype(np.int64)))
+        assert qa == qb

@@ -16,7 +16,8 @@ import numpy as np
 
 from ..core.mesh import TriangleMesh
 from ..core.point_cloud import PointCloud
-from . import artifacts, e57, gltf, las, lidar, mmap, obj, pcd, ply, rosbag, stl, xyz_csv
+from . import (artifacts, compression, e57, gltf, las, lidar, mmap, obj,
+               pcd, ply, rosbag, stl, xyz_csv)
 from .registry import REGISTRY, IoRegistry
 
 # -- wire the default registry (lib.rs:95-158 lazy_static block) ----------
@@ -44,6 +45,8 @@ REGISTRY.register("laz", cloud_reader=las.read_point_cloud,
                   cloud_writer=las.write_point_cloud)
 REGISTRY.register("db3", cloud_reader=rosbag.read_point_cloud)
 REGISTRY.register("mcap", cloud_reader=rosbag.read_point_cloud_mcap)
+REGISTRY.register("tcz", cloud_reader=compression.read_point_cloud,
+                  cloud_writer=compression.write_point_cloud)
 REGISTRY.register("e57", cloud_reader=e57.read_point_cloud,
                   cloud_writer=e57.write_point_cloud)
 REGISTRY.register("glb", mesh_reader=gltf.read_mesh_glb,

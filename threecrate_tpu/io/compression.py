@@ -127,3 +127,17 @@ def decompress_point_cloud(data: bytes) -> PointCloud:
 # encode/decode/pipeline surface, not the bitstream).
 compress_draco = compress_point_cloud
 decompress_draco = decompress_point_cloud
+
+
+def read_point_cloud(path, **_) -> PointCloud:
+    """File-level .tcz reader (registry entry)."""
+    with open(path, "rb") as f:
+        return decompress_point_cloud(f.read())
+
+
+def write_point_cloud(path, cloud: PointCloud,
+                      config: "CompressionConfig" = None, **_) -> None:
+    """File-level .tcz writer (registry entry)."""
+    cfg = config if config is not None else CompressionConfig()
+    with open(path, "wb") as f:
+        f.write(compress_point_cloud(cloud, cfg))
