@@ -113,25 +113,52 @@ def _fpfh(points, mask, normals_arr, radius, max_neighbors, n_bins,
                                          exclude_self=True)
     nbr_idx, nbr_ok, nbr_dist = res.indices, res.mask, res.distances
 
-    p1 = points[:, None, :]
-    n1 = normals_arr[:, None, :]
-    p2 = points[nbr_idx]
-    n2 = normals_arr[nbr_idx]
-    f1, f2, f3, f4 = pair_features(p1, n1, p2, n2)
-    w = nbr_ok.astype(jnp.float32)
+    # Both heavy stages run as lax.map over fixed row blocks: the
+    # one-hot histograms and the neighbor-SPFH weighting materialise
+    # (block, k, bins) instead of (N, k, bins) — at 1M x k=32 the
+    # unblocked form is ~4 GB of intermediates per stage and crashes
+    # the XLA compiler; blocked, the working set is a few tens of MB
+    # regardless of N.
+    n = points.shape[0]
+    block = 16384
+    n_blk = -(-n // block)
+    pad = n_blk * block - n
+
+    def blocked(a, fill=0):
+        a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
+                    constant_values=fill)
+        return a.reshape((n_blk, block) + a.shape[1:])
+
+    idx_b = blocked(nbr_idx)
+    ok_b = blocked(nbr_ok)
+    dist_b = blocked(nbr_dist, fill=1.0)
+    pts_b = blocked(points)
+    nrm_b = blocked(normals_arr)
+
+    def spfh_block(args):
+        idx, ok, q_pts, q_nrm = args
+        f1, f2, f3, _ = pair_features(q_pts[:, None, :], q_nrm[:, None, :],
+                                      points[idx], normals_arr[idx])
+        w = ok.astype(jnp.float32)
+        h1 = _hist(f1, -jnp.pi, jnp.pi, n_bins, w)
+        h2 = _hist(f2, -1.0, 1.0, n_bins, w)
+        h3 = _hist(f3, -1.0, 1.0, n_bins, w)
+        cnt = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
+        return jnp.concatenate([h1, h2, h3], axis=-1) / cnt
 
     # SPFH per point (features.rs:81-125): 3 concatenated histograms
-    h1 = _hist(f1, -jnp.pi, jnp.pi, n_bins, w)
-    h2 = _hist(f2, -1.0, 1.0, n_bins, w)
-    h3 = _hist(f3, -1.0, 1.0, n_bins, w)
-    cnt = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
-    spfh = jnp.concatenate([h1, h2, h3], axis=-1) / cnt   # (N, 33)
+    spfh = jax.lax.map(spfh_block, (idx_b, ok_b, pts_b, nrm_b)
+                       ).reshape(n_blk * block, 3 * n_bins)[:n]
+
+    def fpfh_block(args):
+        idx, ok, dist, own = args
+        inv_d = jnp.where(ok & (dist > 1e-12), 1.0 / dist, 0.0)
+        k_eff = jnp.maximum(jnp.sum(ok, axis=1), 1)[:, None]
+        return own + jnp.einsum("nk,nkd->nd", inv_d, spfh[idx]) / k_eff
 
     # FPFH = SPFH(p) + 1/k Σ (1/dᵢ)·SPFH(qᵢ) (features.rs:209-256)
-    inv_d = jnp.where(nbr_ok & (nbr_dist > 1e-12), 1.0 / nbr_dist, 0.0)
-    nbr_spfh = spfh[nbr_idx]                               # (N, k, 33)
-    k_eff = jnp.maximum(jnp.sum(nbr_ok, axis=1), 1)[:, None]
-    fpfh = spfh + jnp.einsum("nk,nkd->nd", inv_d, nbr_spfh) / k_eff
+    fpfh = jax.lax.map(fpfh_block, (idx_b, ok_b, dist_b, blocked(spfh))
+                       ).reshape(n_blk * block, 3 * n_bins)[:n]
 
     # per-sub-histogram renormalisation to 100 (PCL convention)
     out = []
