@@ -201,17 +201,22 @@ def extract_fpfh_features(cloud: PointCloud,
 # SHOT / USC
 # ---------------------------------------------------------------------------
 
-def _shot_lrf(points, nbr_idx, nbr_ok, nbr_dist, radius):
+def _shot_lrf(points, nbr_idx, nbr_ok, nbr_dist, radius, own=None):
     """Sign-disambiguated local reference frame (features.rs:294-420):
     eigenvectors of the (R − d)-weighted neighborhood covariance, x/z
-    signs flipped toward the majority of neighbors."""
+    signs flipped toward the majority of neighbors. ``own`` — the query
+    rows themselves (defaults to ``points``; passed explicitly when the
+    caller processes a row block while ``points`` stays the full set).
+    """
+    if own is None:
+        own = points
     nbr = points[nbr_idx]                          # (N, k, 3)
     w = jnp.where(nbr_ok, jnp.maximum(radius - nbr_dist, 0.0), 0.0)
     mean, cov = linalg.weighted_covariance(nbr, w)
     _, vecs = linalg.eigh3x3(cov)
     z = vecs[..., :, 0]   # smallest eigval → normal-ish axis
     x = vecs[..., :, 2]   # largest → dominant tangent
-    d = nbr - points[:, None, :]
+    d = nbr - own[:, None, :]
     # disambiguate: majority vote of neighbor displacement projections
     zs = jnp.sum(jnp.where(nbr_ok, jnp.einsum("nkj,nj->nk", d, z), 0.0), 1)
     xs = jnp.sum(jnp.where(nbr_ok, jnp.einsum("nkj,nj->nk", d, x), 0.0), 1)
@@ -241,48 +246,70 @@ def _shot(points, mask, normals_arr, radius, max_neighbors, n_cos_bins,
                                          radius, max_neighbors,
                                          exclude_self=True)
     nbr_idx, nbr_ok, nbr_dist = res.indices, res.mask, res.distances
-    x, y, z = _shot_lrf(points, nbr_idx, nbr_ok, nbr_dist, radius)
 
-    d = points[nbr_idx] - points[:, None, :]       # (N, k, 3)
-    lx = jnp.einsum("nkj,nj->nk", d, x)
-    ly = jnp.einsum("nkj,nj->nk", d, y)
-    lz = jnp.einsum("nkj,nj->nk", d, z)
-    r = jnp.sqrt(lx * lx + ly * ly + lz * lz)
-    az = jnp.arctan2(ly, lx)                       # [-π, π]
-    el = lz / jnp.maximum(r, 1e-12)                # cos-elevation ∈ [-1, 1]
+    # As in _fpfh: the (rows, k, desc_dim) one-hot intermediates are
+    # the memory hog (352-d SHOT at 1M x k=32 would be ~45 GB), so the
+    # whole per-point descriptor computation maps over fixed row blocks.
+    n = points.shape[0]
+    block = 16384
+    n_blk = -(-n // block)
+    pad = n_blk * block - n
 
-    az_bin = jnp.clip(((az + jnp.pi) / (2 * jnp.pi) * 8).astype(jnp.int32),
-                      0, 7)
-    el_bin = (el >= 0).astype(jnp.int32)           # 2 elevation shells
-    w = nbr_ok.astype(jnp.float32) * (r > 1e-9)
+    def blocked(a, fill=0):
+        a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
+                    constant_values=fill)
+        return a.reshape((n_blk, block) + a.shape[1:])
 
-    if variant == "shot":
-        rad_bin = (r >= 0.5 * radius).astype(jnp.int32)   # 2 radial shells
-        vol = (az_bin * 2 + el_bin) * 2 + rad_bin          # (N, k) ∈ [0, 32)
-        cosn = jnp.einsum("nkj,nj->nk", normals_arr[nbr_idx], z)
-        # soft (linear) binning along the cosine dimension, PCL-style:
-        # each neighbor votes into the two adjacent bins weighted by
-        # its fractional position
-        pos = jnp.clip((cosn + 1.0) / 2.0 * n_cos_bins - 0.5,
-                       0.0, n_cos_bins - 1.0)
-        lo = jnp.floor(pos).astype(jnp.int32)
-        hi = jnp.minimum(lo + 1, n_cos_bins - 1)
-        frac = pos - lo
-        dim = 32 * n_cos_bins
-        oh_lo = jax.nn.one_hot(vol * n_cos_bins + lo, dim,
-                               dtype=jnp.float32)
-        oh_hi = jax.nn.one_hot(vol * n_cos_bins + hi, dim,
-                               dtype=jnp.float32)
-        desc = jnp.einsum("nk,nkb->nb", w * (1 - frac), oh_lo) \
-            + jnp.einsum("nk,nkb->nb", w * frac, oh_hi)
-    else:  # usc: 8 radial shells, pure density
-        rad_bin = jnp.clip((r / radius * 8).astype(jnp.int32), 0, 7)
-        flat = (az_bin * 2 + el_bin) * 8 + rad_bin          # ∈ [0, 128)
-        dim = USC_DIM
-        onehot = jax.nn.one_hot(flat, dim, dtype=jnp.float32)
-        desc = jnp.einsum("nk,nkb->nb", w, onehot)
-    norm = jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-12)
-    desc = desc / norm
+    def shot_block(args):
+        idx, ok, dist, own = args
+        x, y, z = _shot_lrf(points, idx, ok, dist, radius, own)
+
+        d = points[idx] - own[:, None, :]             # (B, k, 3)
+        lx = jnp.einsum("nkj,nj->nk", d, x)
+        ly = jnp.einsum("nkj,nj->nk", d, y)
+        lz = jnp.einsum("nkj,nj->nk", d, z)
+        r = jnp.sqrt(lx * lx + ly * ly + lz * lz)
+        az = jnp.arctan2(ly, lx)                      # [-π, π]
+        el = lz / jnp.maximum(r, 1e-12)               # cos-elevation
+        az_bin = jnp.clip(((az + jnp.pi) / (2 * jnp.pi) * 8
+                           ).astype(jnp.int32), 0, 7)
+        el_bin = (el >= 0).astype(jnp.int32)          # 2 elevation shells
+        w = ok.astype(jnp.float32) * (r > 1e-9)
+
+        if variant == "shot":
+            rad_bin = (r >= 0.5 * radius).astype(jnp.int32)  # 2 shells
+            vol = (az_bin * 2 + el_bin) * 2 + rad_bin        # ∈ [0, 32)
+            cosn = jnp.einsum("nkj,nj->nk", normals_arr[idx], z)
+            # soft (linear) binning along the cosine dimension,
+            # PCL-style: each neighbor votes into the two adjacent bins
+            # weighted by its fractional position
+            pos = jnp.clip((cosn + 1.0) / 2.0 * n_cos_bins - 0.5,
+                           0.0, n_cos_bins - 1.0)
+            lo = jnp.floor(pos).astype(jnp.int32)
+            hi = jnp.minimum(lo + 1, n_cos_bins - 1)
+            frac = pos - lo
+            dim = 32 * n_cos_bins
+            oh_lo = jax.nn.one_hot(vol * n_cos_bins + lo, dim,
+                                   dtype=jnp.float32)
+            oh_hi = jax.nn.one_hot(vol * n_cos_bins + hi, dim,
+                                   dtype=jnp.float32)
+            desc = jnp.einsum("nk,nkb->nb", w * (1 - frac), oh_lo) \
+                + jnp.einsum("nk,nkb->nb", w * frac, oh_hi)
+        else:  # usc: 8 radial shells, pure density
+            rad_bin = jnp.clip((r / radius * 8).astype(jnp.int32), 0, 7)
+            flat = (az_bin * 2 + el_bin) * 8 + rad_bin       # ∈ [0, 128)
+            desc = jnp.einsum("nk,nkb->nb", w,
+                              jax.nn.one_hot(flat, USC_DIM,
+                                             dtype=jnp.float32))
+        norm = jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True),
+                           1e-12)
+        return desc / norm
+
+    dim = 32 * n_cos_bins if variant == "shot" else USC_DIM
+    desc = jax.lax.map(
+        shot_block,
+        (blocked(nbr_idx), blocked(nbr_ok), blocked(nbr_dist, fill=1.0),
+         blocked(points))).reshape(n_blk * block, dim)[:n]
     valid = mask & (jnp.sum(nbr_ok, axis=1) >= 5)
     return jnp.where(valid[:, None], desc, 0.0), valid
 
