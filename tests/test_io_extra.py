@@ -441,3 +441,58 @@ class TestTczRegistry:
         qb = set(map(tuple, np.round((back.astype(np.float64) - mn) * s
                                      ).astype(np.int64)))
         assert qa == qb
+
+
+class TestLaszipAdversarial:
+    """Bit-exactness of the native LASzip codec under hostile records
+    (exercised at the ctypes layer to control raw record bytes)."""
+
+    def _roundtrip(self, rec, fmt, rec_len, chunk=1000):
+        import ctypes
+        from threecrate_tpu.native import _load_laz
+        lib = _load_laz()
+        if lib is None:
+            pytest.skip("native codec unavailable")
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        n = len(rec)
+        flat = np.ascontiguousarray(rec.reshape(-1))
+        out = np.zeros(n * rec_len * 3 + (1 << 16), np.uint8)
+        blen = lib.tc_laz_compress(
+            flat.ctypes.data_as(u8p), n, rec_len, fmt, chunk, 500,
+            out.ctypes.data_as(u8p), len(out))
+        assert blen > 0
+        fb = np.zeros(500 + blen, np.uint8)
+        fb[500:500 + blen] = out[:blen]
+        dec = np.zeros(n * rec_len, np.uint8)
+        r = lib.tc_laz_decompress(
+            fb.ctypes.data_as(u8p), len(fb), 500, n, chunk, fmt,
+            dec.ctypes.data_as(u8p), rec_len)
+        assert r == 0
+        np.testing.assert_array_equal(dec, flat)
+
+    def test_extreme_values(self, rng):
+        n = 3333
+        rec = np.zeros((n, 34), np.uint8)
+        xyz = rng.integers(-2**31, 2**31, (n, 3), dtype=np.int64
+                           ).astype("<i4")
+        rec[:, :12] = xyz.view(np.uint8).reshape(n, 12)
+        rec[:, 12:20] = rng.integers(0, 256, (n, 8), dtype=np.uint8)
+        gps = rng.choice([0.0, 1e308, -1e-300, 3.14, np.inf, -np.inf],
+                         n).astype("<f8")
+        rec[:, 20:28] = gps.view(np.uint8).reshape(n, 8)
+        rec[:, 28:34] = rng.integers(0, 256, (n, 6), dtype=np.uint8)
+        self._roundtrip(rec, 3, 34)
+
+    def test_constant_points_and_nan_gps(self, rng):
+        n = 2000
+        rec = np.zeros((n, 34), np.uint8)
+        rec[:] = rng.integers(0, 256, (1, 34), dtype=np.uint8)
+        self._roundtrip(rec, 3, 34)
+        rec[:, 20:28] = np.full(n, np.nan, "<f8").view(np.uint8
+                                                       ).reshape(n, 8)
+        self._roundtrip(rec, 3, 34)
+
+    def test_chunk_size_one(self, rng):
+        n = 129
+        rec = rng.integers(0, 256, (n, 20), dtype=np.uint8)
+        self._roundtrip(rec, 0, 20, chunk=1)
