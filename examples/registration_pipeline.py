@@ -11,6 +11,9 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+import jax
+
+jax.config.update("jax_platforms", "cpu")   # demo shapes are host-scale
 import threecrate_tpu as tc
 
 

@@ -11,6 +11,9 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax.numpy as jnp
+import jax
+
+jax.config.update("jax_platforms", "cpu")   # demo shapes are host-scale
 import threecrate_tpu as tc
 from threecrate_tpu.reconstruction import VolumetricGrid, marching_cubes
 
