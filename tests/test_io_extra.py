@@ -496,3 +496,17 @@ class TestLaszipAdversarial:
         n = 129
         rec = rng.integers(0, 256, (n, 20), dtype=np.uint8)
         self._roundtrip(rec, 0, 20, chunk=1)
+
+
+def test_las_writer_rejects_int32_overflow(tmp_path):
+    import pytest
+    from threecrate_tpu import PointCloud
+    from threecrate_tpu.core.errors import InvalidDataError
+    from threecrate_tpu.io import las
+    # 5000 km extent at the default 1e-3 scale overflows int32
+    pts = np.array([[0, 0, 0], [5.0e6, 0, 0]], np.float32)
+    cloud = PointCloud.from_numpy(pts)
+    with pytest.raises(InvalidDataError, match="int32"):
+        las.write_point_cloud(tmp_path / "x.las", cloud, scale=1e-3)
+    # a coarser scale fits
+    las.write_point_cloud(tmp_path / "ok.las", cloud, scale=10.0)

@@ -181,3 +181,16 @@ class TestWindowParity:
         np.testing.assert_allclose(nm[500:], 0.0)
         # real points: mostly the z plane
         assert np.abs(nm[:500, 2]).mean() > 0.95
+
+
+def test_window_method_with_radius_raises():
+    import pytest
+    from threecrate_tpu import PointCloud
+    from threecrate_tpu.ops import normals
+    pts = np.random.default_rng(0).uniform(0, 1, (64, 3)).astype(np.float32)
+    cloud = PointCloud.from_numpy(pts)
+    for m in ("window", "window_fast"):
+        cfg = normals.NormalEstimationConfig(
+            k_neighbors=8, radius=0.3, method=m)
+        with pytest.raises(ValueError, match="radius"):
+            normals.estimate_normals_detailed(cloud, cfg)

@@ -102,3 +102,73 @@ class TestBatchShardedIcp:
         t = np.asarray(t)
         for b in range(2):
             np.testing.assert_allclose(t[b][:3, 3], offsets[b], atol=5e-3)
+
+
+class TestShardedNormals:
+    def test_matches_single_device(self):
+        from threecrate_tpu.ops.normals import estimate_normals_detailed, \
+            NormalEstimationConfig
+        from threecrate_tpu.parallel import make_sharded_normals
+        mesh = make_mesh(8)
+        pts = surface_cloud(2048)
+        fn = make_sharded_normals(mesh, k=10, viewpoint=(0.0, 0.0, 10.0))
+        nrm = fn(put_sharded(jnp.asarray(pts), mesh),
+                 put_sharded(jnp.ones(2048, bool), mesh))
+        nrm = np.asarray(nrm)
+        # unit length everywhere
+        np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0,
+                                   atol=1e-4)
+        # agrees with the single-device exact path
+        cloud = PointCloud.from_numpy(pts)
+        ref = estimate_normals_detailed(cloud, NormalEstimationConfig(
+            k_neighbors=10, method="exact",
+            viewpoint=(0.0, 0.0, 10.0)))
+        dots = np.abs(np.sum(nrm * np.asarray(ref.normals)[:2048], axis=1))
+        ang = np.degrees(np.arccos(np.clip(dots, -1, 1)))
+        assert np.mean(ang) < 1.0
+        assert np.percentile(ang, 99) < 5.0
+
+    def test_masked_rows_zero(self):
+        from threecrate_tpu.parallel import make_sharded_normals
+        mesh = make_mesh(8)
+        pts = surface_cloud(1024)
+        mask = np.ones(1024, bool)
+        mask[100:200] = False
+        fn = make_sharded_normals(mesh, k=8)
+        nrm = np.asarray(fn(put_sharded(jnp.asarray(pts), mesh),
+                            put_sharded(jnp.asarray(mask), mesh)))
+        assert np.all(nrm[100:200] == 0.0)
+        assert np.all(np.abs(np.linalg.norm(nrm[mask], axis=1) - 1) < 1e-4)
+
+
+class TestShardedVoxel:
+    def test_matches_single_device(self):
+        from threecrate_tpu.ops.filtering import voxel_grid_filter
+        from threecrate_tpu.parallel import make_sharded_voxel_filter
+        mesh = make_mesh(8)
+        pts = surface_cloud(2048)
+        fn = make_sharded_voxel_filter(mesh, voxel_size=0.3)
+        cent, vmask = fn(put_sharded(jnp.asarray(pts), mesh),
+                         put_sharded(jnp.ones(2048, bool), mesh))
+        cent = np.asarray(cent)[np.asarray(vmask)]
+        ref = voxel_grid_filter(PointCloud.from_numpy(pts), 0.3)
+        ref_pts = np.asarray(ref.points)[np.asarray(ref.mask)]
+        assert cent.shape[0] == ref_pts.shape[0]
+        # same centroid multiset (sort rows lexicographically)
+        a = cent[np.lexsort(cent.T)]
+        b = ref_pts[np.lexsort(ref_pts.T)]
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_cross_shard_voxels_merge(self):
+        # identical coordinates scattered over every shard must fold to
+        # a single voxel
+        from threecrate_tpu.parallel import make_sharded_voxel_filter
+        mesh = make_mesh(8)
+        pts = np.tile(np.array([[0.1, 0.1, 0.1]], np.float32), (1024, 1))
+        fn = make_sharded_voxel_filter(mesh, voxel_size=1.0)
+        cent, vmask = fn(put_sharded(jnp.asarray(pts), mesh),
+                         put_sharded(jnp.ones(1024, bool), mesh))
+        assert int(np.asarray(vmask).sum()) == 1
+        np.testing.assert_allclose(
+            np.asarray(cent)[np.asarray(vmask)][0], [0.1, 0.1, 0.1],
+            atol=1e-6)

@@ -178,6 +178,12 @@ def write_point_cloud(path, cloud: PointCloud, scale: float = 1e-3,
     fields += [("r", "<u2"), ("g", "<u2"), ("b", "<u2")]
     rec = np.zeros(n, np.dtype(fields))
     q = np.round((pts - offset) / scale).astype(np.int64)
+    if q.size and (q.min() < np.iinfo(np.int32).min
+                   or q.max() > np.iinfo(np.int32).max):
+        raise InvalidDataError(
+            "LAS quantized coordinates exceed the int32 record range "
+            f"(extent {pts.min(0)}..{pts.max(0)} at scale {scale}); "
+            "pass a coarser `scale` or recenter the cloud")
     rec["x"], rec["y"], rec["z"] = q[:, 0], q[:, 1], q[:, 2]
     rec["flags"] = 0x09                      # return 1 of 1
     if "intensity" in cloud.attrs:

@@ -41,6 +41,7 @@ class VoxelGridResult(NamedTuple):
 def _voxel_grid(points, mask, attrs_list, voxel_size):
     n = points.shape[0]
     mn = jnp.min(jnp.where(mask[:, None], points, jnp.inf), axis=0)
+    mn = jnp.where(jnp.isfinite(mn), mn, 0.0)  # all-masked cloud
     rel = points - mn
     coords = jnp.floor(rel / voxel_size).astype(jnp.int32)
     coords = jnp.where(mask[:, None], coords, _SENTINEL)
@@ -67,7 +68,10 @@ def _voxel_grid(points, mask, attrs_list, voxel_size):
             sorted_valid.astype(jnp.float32), seg, num_segments=n)
         return sums / jnp.maximum(cnts, 1.0)[:, None]
 
-    out_points = seg_mean(points[perm])
+    # accumulate coordinates RELATIVE to the cloud minimum (f32 segment
+    # sums of absolute georeferenced coords — e.g. UTM, ~1e6 — lose more
+    # than the voxel fraction promised in the docstring), then shift back
+    out_points = seg_mean(rel[perm]) + mn
     out_attrs = [seg_mean(a[perm]) for a in attrs_list]
     out_mask = jnp.arange(n) < num_voxels
 

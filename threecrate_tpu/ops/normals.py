@@ -304,6 +304,12 @@ def estimate_normals_detailed(cloud: PointCloud,
     if config.window_passes < 1:
         raise ValueError("window_passes must be >= 1, got "
                          f"{config.window_passes}")
+    if config.radius is not None and config.method in ("window",
+                                                       "window_fast"):
+        raise ValueError(
+            f"method={config.method!r} is a k-NN window search and cannot "
+            "honor radius=; use method='exact' (radius search) or drop the "
+            "radius")
     vp = (jnp.asarray(config.viewpoint, jnp.float32)
           if config.viewpoint is not None else default_viewpoint(cloud))
     window = (config.method == "window"

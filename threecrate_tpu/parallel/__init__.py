@@ -16,7 +16,9 @@ from .sharded import (
     make_sharded_batch_icp,
     make_sharded_icp,
     make_sharded_knn,
+    make_sharded_normals,
     make_sharded_outlier_stats,
+    make_sharded_voxel_filter,
     ring_knn_local,
 )
 
@@ -24,6 +26,8 @@ __all__ = [
     "POINTS_AXIS", "make_mesh", "put_replicated", "put_sharded",
     "replicated_spec", "shard_cloud_spec",
     "global_stats_local", "icp_sharded_loop", "icp_sharded_step",
-    "make_sharded_batch_icp", "make_sharded_icp", "make_sharded_knn", "make_sharded_outlier_stats",
+    "make_sharded_batch_icp", "make_sharded_icp", "make_sharded_knn",
+    "make_sharded_normals", "make_sharded_outlier_stats",
+    "make_sharded_voxel_filter",
     "ring_knn_local",
 ]

@@ -25,6 +25,13 @@ def make_mesh(n_devices: Optional[int] = None,
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) are available; for host-side "
+                "testing set XLA_FLAGS=--xla_force_host_platform_device_"
+                f"count={n_devices} with JAX_PLATFORMS=cpu before jax "
+                "initialises")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 

@@ -254,6 +254,141 @@ def make_sharded_knn(mesh: Mesh, k: int, axis_name: str = POINTS_AXIS):
     return jax.jit(_run)
 
 
+def make_sharded_normals(mesh: Mesh, k: int = 10,
+                         viewpoint=(0.0, 0.0, 0.0),
+                         orient: bool = True,
+                         axis_name: str = POINTS_AXIS):
+    """Jitted distributed normal estimation over a points-sharded cloud.
+
+    The flagship workload (normals.rs:238-357) at multi-chip scale:
+    each device keeps its query shard resident, ring-permutes database
+    shards (``ring_knn_local`` carries the matched *coordinates*, so no
+    cross-shard gather is ever needed), then fits the tangent plane
+    locally — covariance + smallest eigenvector per point, all
+    shard-local compute after the ring. Returns unit normals (N, 3)
+    sharded like the input (0 rows where masked/degenerate).
+    """
+    from ..ops.normals import _pca_normals
+
+    spec_pts = P(axis_name)
+    vp = jnp.asarray(viewpoint, jnp.float32)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec_pts, spec_pts),
+        out_specs=spec_pts,
+        check_vma=False)
+    def _run(pts, mask):
+        # k+1 ring-kNN over the same cloud: the self match occupies one
+        # column; PCA over the remaining k mirrors the local exact path.
+        neg, nbr_pts, _ = ring_knn_local(pts, pts, mask, k + 1, axis_name)
+        nbr_ok = neg > -jnp.inf
+        normal, _ = _pca_normals(nbr_pts, nbr_ok, pts, vp, orient)
+        valid = mask & (jnp.sum(nbr_ok, axis=1) >= 3)
+        return jnp.where(valid[:, None], normal, 0.0)
+
+    return jax.jit(_run)
+
+
+def make_sharded_voxel_filter(mesh: Mesh, voxel_size: float,
+                              axis_name: str = POINTS_AXIS):
+    """Jitted distributed voxel-grid downsample over a points-sharded
+    cloud (filtering.rs:103-118 at multi-chip scale).
+
+    Two-level segment reduction: each shard sorts its points by voxel
+    key and segment-sums *relative* coordinates into a local voxel
+    table (≤ shard-size rows — the compression happens before any
+    communication), the compacted tables ``all_gather`` along the ring
+    axis, and a replicated second merge combines duplicate keys across
+    shards. Output: (N, 3) centroid array + bool mask, sharded like the
+    input (valid centroids packed to the front of shard 0 onward).
+    """
+    spec_pts = P(axis_name)
+    vsize = jnp.float32(voxel_size)
+    SENT = jnp.int32(2**31 - 1)
+
+    def _key_sorted_segments(coords3, payload_cols):
+        """Sort rows by (z,y,x) key; segment-sum payloads over key runs.
+        Returns (sorted keys (n,3), run-start mask, summed payloads,
+        counts) — invalid rows sink to the end with sentinel keys."""
+        n = coords3.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        ops = (coords3[:, 2], coords3[:, 1], coords3[:, 0], idx)
+        sz, sy, sx, perm = jax.lax.sort(ops, num_keys=3)
+        skey = jnp.stack([sx, sy, sz], 1)
+        svalid = sz != SENT
+        new_run = jnp.any(skey != jnp.roll(skey, 1, axis=0), axis=1)
+        new_run = new_run.at[0].set(True) & svalid
+        seg = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+        seg = jnp.where(svalid, jnp.maximum(seg, 0), n - 1)
+        sums = [jax.ops.segment_sum(
+            jnp.where(svalid[:, None] if p.ndim == 2 else svalid,
+                      p[perm], 0.0), seg, num_segments=n)
+            for p in payload_cols]
+        cnt = jax.ops.segment_sum(svalid.astype(jnp.float32), seg,
+                                  num_segments=n)
+        nrun = jnp.sum(new_run).astype(jnp.int32)
+        # compact keys to segment slots: key of each run start
+        run_keys = jnp.full((n, 3), SENT, jnp.int32).at[seg].set(
+            jnp.where(svalid[:, None], skey, SENT))
+        run_valid = jnp.arange(n) < nrun
+        run_keys = jnp.where(run_valid[:, None], run_keys, SENT)
+        return run_keys, run_valid, sums, cnt
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec_pts, spec_pts),
+        out_specs=(spec_pts, spec_pts),
+        check_vma=False)
+    def _run(pts, mask):
+        ns = pts.shape[0]
+        nd = jax.lax.axis_size(axis_name)
+        me = jax.lax.axis_index(axis_name)
+        # global min corner (pmin over the ring) → f32-safe relative sums
+        local_mn = jnp.min(jnp.where(mask[:, None], pts, jnp.inf), 0)
+        mn = jax.lax.pmin(local_mn, axis_name)
+        mn = jnp.where(jnp.isfinite(mn), mn, 0.0)
+        rel = pts - mn
+        coords = jnp.floor(rel / vsize).astype(jnp.int32)
+        coords = jnp.where(mask[:, None], coords, SENT)
+
+        # level 1: local reduce (compression before communication)
+        keys1, valid1, (sum1,), cnt1 = _key_sorted_segments(coords, [rel])
+        # level 2: all_gather the (ns,·) tables → (nd*ns,·) replicated
+        keys_g = jax.lax.all_gather(keys1, axis_name).reshape(nd * ns, 3)
+        sums_g = jax.lax.all_gather(sum1, axis_name).reshape(nd * ns, 3)
+        cnt_g = jax.lax.all_gather(cnt1, axis_name).reshape(nd * ns)
+        # merge duplicate keys across shards: sort + segment-sum again,
+        # payloads are (sum, cnt) so duplicate voxels combine exactly
+        n2 = nd * ns
+        idx = jnp.arange(n2, dtype=jnp.int32)
+        sz, sy, sx, ssx, ssy, ssz, scnt = jax.lax.sort(
+            (keys_g[:, 2], keys_g[:, 1], keys_g[:, 0],
+             sums_g[:, 0], sums_g[:, 1], sums_g[:, 2], cnt_g), num_keys=3)
+        skey = jnp.stack([sx, sy, sz], 1)
+        svalid = sz != SENT
+        new_run = jnp.any(skey != jnp.roll(skey, 1, 0), 1)
+        new_run = new_run.at[0].set(True) & svalid
+        seg = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+        seg = jnp.where(svalid, jnp.maximum(seg, 0), n2 - 1)
+        ssum = jnp.stack([ssx, ssy, ssz], 1)
+        msum = jax.ops.segment_sum(
+            jnp.where(svalid[:, None], ssum, 0.0), seg, num_segments=n2)
+        mcnt = jax.ops.segment_sum(
+            jnp.where(svalid, scnt, 0.0), seg, num_segments=n2)
+        nvox = jnp.sum(new_run).astype(jnp.int32)
+        cent = msum / jnp.maximum(mcnt, 1.0)[:, None] + mn
+        out_mask = jnp.arange(n2) < nvox
+        cent = jnp.where(out_mask[:, None], cent, 0.0)
+        # emit this device's slice of the merged (replicated) table so
+        # the global output is (N, 3) sharded like the input
+        start = me * ns
+        return (jax.lax.dynamic_slice(cent, (start, 0), (ns, 3)),
+                jax.lax.dynamic_slice(out_mask, (start,), (ns,)))
+
+    return jax.jit(_run)
+
+
 def make_sharded_outlier_stats(mesh: Mesh, k: int,
                                axis_name: str = POINTS_AXIS):
     """Jitted distributed statistical-outlier pass: per-point mean kNN

@@ -10,7 +10,6 @@ serialisable ``ProgressiveMesh{base_mesh, vertex_splits, counts}``
 from __future__ import annotations
 
 import dataclasses
-import pickle
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -111,15 +110,71 @@ class ProgressiveMesh:
         steps = np.linspace(0, len(self.splits), n_levels).astype(int)
         return [self.mesh_at(s) for s in steps]
 
-    # -- serialisation (progressive.rs is serde+bincode) -------------------
+    # -- serialisation (progressive.rs is serde+bincode; like it, this is
+    # a DATA-ONLY container — flat arrays in an npz, never pickle, so
+    # loading an untrusted file cannot execute code) -----------------------
     def save(self, path) -> None:
+        s = self.splits
+        rf_counts = np.array([len(x.removed_faces) for x in s], np.int64)
+        rm_counts = np.array([len(x.remapped) for x in s], np.int64)
+        rf_ids = np.array([fi for x in s for fi, _ in x.removed_faces],
+                          np.int64)
+        rf_corners = (np.array(
+            [c for x in s for _, c in x.removed_faces], np.int64)
+            .reshape(-1, 3))
+        rm_pairs = (np.array(
+            [p for x in s for p in x.remapped], np.int64).reshape(-1, 2))
         with open(path, "wb") as f:
-            pickle.dump(self, f)
+            np.savez(
+                f,
+                magic=np.frombuffer(b"TCPM", np.uint8), version=np.int64(1),
+                base_vertices=self.base_vertices,
+                base_faces=self.base_faces,
+                base_face_alive=self.base_face_alive,
+                full_counts=np.array(
+                    [self.full_vertex_count, self.full_face_count],
+                    np.int64),
+                kept=np.array([x.kept for x in s], np.int64),
+                removed=np.array([x.removed for x in s], np.int64),
+                kept_old_pos=(np.array(
+                    [x.kept_old_pos for x in s], np.float64)
+                    .reshape(-1, 3)),
+                removed_pos=(np.array(
+                    [x.removed_pos for x in s], np.float64).reshape(-1, 3)),
+                rf_counts=rf_counts, rf_ids=rf_ids, rf_corners=rf_corners,
+                rm_counts=rm_counts, rm_pairs=rm_pairs)
 
     @classmethod
     def load(cls, path) -> "ProgressiveMesh":
-        with open(path, "rb") as f:
-            out = pickle.load(f)
-        if not isinstance(out, cls):
-            raise InvalidDataError("not a ProgressiveMesh file")
-        return out
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                if bytes(z["magic"].tobytes()) != b"TCPM":
+                    raise InvalidDataError("not a ProgressiveMesh file")
+                rf_off = np.concatenate(
+                    [[0], np.cumsum(z["rf_counts"])]).astype(np.int64)
+                rm_off = np.concatenate(
+                    [[0], np.cumsum(z["rm_counts"])]).astype(np.int64)
+                kept, removed = z["kept"], z["removed"]
+                kop, rp = z["kept_old_pos"], z["removed_pos"]
+                rf_ids, rf_corners = z["rf_ids"], z["rf_corners"]
+                rm_pairs = z["rm_pairs"]
+                splits = [
+                    VertexSplit(
+                        kept=int(kept[i]), removed=int(removed[i]),
+                        kept_old_pos=kop[i], removed_pos=rp[i],
+                        removed_faces=[
+                            (int(rf_ids[j]), rf_corners[j])
+                            for j in range(rf_off[i], rf_off[i + 1])],
+                        remapped=[
+                            (int(a), int(b))
+                            for a, b in rm_pairs[rm_off[i]:rm_off[i + 1]]])
+                    for i in range(len(kept))]
+                fc = z["full_counts"]
+                return cls(z["base_vertices"], z["base_faces"],
+                           z["base_face_alive"], splits,
+                           int(fc[0]), int(fc[1]))
+        except InvalidDataError:
+            raise
+        except Exception as e:
+            raise InvalidDataError(
+                f"not a ProgressiveMesh file: {e}") from e
