@@ -1,5 +1,5 @@
 # dev commands (the reference ships a justfile; same idea)
-.PHONY: test test-fast bench dataset-bench native lint clean
+.PHONY: test test-fast bench dataset-bench native native-all ci lint clean
 
 test:
 	python -m pytest tests/ -q
@@ -15,6 +15,12 @@ dataset-bench:
 
 native:
 	g++ -O3 -shared -fPIC -std=c++17 -o threecrate_tpu/native/libtc_native.so threecrate_tpu/native/tc_native.cpp
+
+native-all: native
+	g++ -O3 -shared -fPIC -std=c++17 -o threecrate_tpu/native/libtc_laz.so threecrate_tpu/native/tc_laz.cpp
+
+# the exact steps .github/workflows/test.yml runs (local CI dry run)
+ci: native-all lint test
 
 lint:
 	python -m compileall -q threecrate_tpu

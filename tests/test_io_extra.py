@@ -510,3 +510,94 @@ def test_las_writer_rejects_int32_overflow(tmp_path):
         las.write_point_cloud(tmp_path / "x.las", cloud, scale=1e-3)
     # a coarser scale fits
     las.write_point_cloud(tmp_path / "ok.las", cloud, scale=10.0)
+
+
+class TestLivoxLvx2:
+    """Synthesized LVX2 containers (LivoxLvx2Reader, lidar.rs:772-880)."""
+
+    @staticmethod
+    def _make_lvx2(frames, device_count=1, header_size=28):
+        """frames: list of list of (data_type, xyz_m (n,3) ndarray)."""
+        out = bytearray()
+        out += struct.pack("<I", 0x20200903)          # magic
+        out += b"\x02\x00\x00\x00"                    # version
+        out += struct.pack("<I", header_size)         # header_size
+        out += struct.pack("<Q", 0)                   # file_size (unused)
+        out += struct.pack("<I", 50)                  # frame_duration
+        out += struct.pack("<BB", device_count, 1)    # device_count, data_type
+        out += b"\x00" * (header_size - len(out))
+        for _ in range(device_count):
+            out += b"SN".ljust(16, b"\x00") + b"\x00" + b"\x00" * 24
+        data_block_start = len(out)
+
+        def pack_points(dtype, xyz):
+            body = bytearray()
+            for x, y, z in xyz:
+                if dtype == 0:
+                    body += struct.pack("<hhhBB", round(x * 100),
+                                        round(y * 100), round(z * 100), 42, 0)
+                elif dtype == 1:
+                    body += struct.pack("<iiiBB", round(x * 1000),
+                                        round(y * 1000), round(z * 1000),
+                                        77, 0)
+                else:  # spherical
+                    r = float(np.linalg.norm([x, y, z]))
+                    theta = float(np.degrees(np.arccos(z / max(r, 1e-9))))
+                    phi = float(np.degrees(np.arctan2(y, x))) % 360.0
+                    body += struct.pack("<IHHBB", round(r * 1000),
+                                        round(theta * 100), round(phi * 100),
+                                        9, 0)
+            return bytes(body)
+
+        rel = 0
+        for i, packets in enumerate(frames):
+            frame = bytearray()
+            for dtype, xyz in packets:
+                body = pack_points(dtype, xyz)
+                frame += struct.pack("<BBIBI", 0, 8, len(xyz), dtype,
+                                     len(body))
+                frame += body
+            frame_len = 24 + len(frame)
+            nxt = 0 if i == len(frames) - 1 else rel + frame_len
+            out += struct.pack("<QQQ", rel, nxt, i)
+            out += frame
+            rel += frame_len
+        return bytes(out), data_block_start
+
+    def test_cartesian_formats_roundtrip(self, tmp_path, rng):
+        xyz16 = rng.uniform(-20, 20, (50, 3)).astype(np.float32)
+        xyz32 = rng.uniform(-20, 20, (60, 3)).astype(np.float32)
+        blob, _ = self._make_lvx2([[(0, xyz16)], [(1, xyz32)]])
+        p = tmp_path / "rec.lvx2"
+        p.write_bytes(blob)
+        pc = tc.read_point_cloud(p)
+        got = pc.to_numpy()
+        assert got.shape == (110, 3)
+        np.testing.assert_allclose(got[:50], xyz16, atol=6e-3)   # cm quant
+        np.testing.assert_allclose(got[50:], xyz32, atol=6e-4)   # mm quant
+        inten = pc.attr_to_numpy("intensity")
+        assert (inten[:50] == 42).all() and (inten[50:] == 77).all()
+
+    def test_spherical_format(self, tmp_path, rng):
+        xyz = rng.uniform(1, 20, (40, 3)).astype(np.float32)
+        blob, _ = self._make_lvx2([[(2, xyz)]])
+        p = tmp_path / "sph.lvx2"
+        p.write_bytes(blob)
+        got = tc.read_point_cloud(p).to_numpy()
+        # 0.01-degree angular quantisation at ~35 m range
+        np.testing.assert_allclose(got, xyz, atol=2e-2)
+
+    def test_bad_magic_rejected(self, tmp_path):
+        p = tmp_path / "bad.lvx2"
+        p.write_bytes(b"\x00" * 64)
+        with pytest.raises(Exception, match="LVX2|magic"):
+            tc.read_point_cloud(p)
+
+    def test_max_frames(self, tmp_path, rng):
+        from threecrate_tpu.io.lidar import read_livox_lvx2
+        xyz = rng.uniform(-5, 5, (10, 3)).astype(np.float32)
+        blob, _ = self._make_lvx2([[(1, xyz)], [(1, xyz)], [(1, xyz)]])
+        p = tmp_path / "multi.lvx2"
+        p.write_bytes(blob)
+        assert len(read_livox_lvx2(p, max_frames=2).to_numpy()) == 20
+        assert len(read_livox_lvx2(p).to_numpy()) == 30

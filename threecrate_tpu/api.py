@@ -134,3 +134,14 @@ def voxel_downsample(cloud: Union[PointCloud, np.ndarray],
                      voxel_size: float) -> PointCloud:
     """Open3D-style alias for voxel_grid_filter."""
     return voxel_grid_filter(as_point_cloud(cloud), voxel_size)
+
+
+# the flat tc.* surface = every public framework name defined or
+# re-exported above (keeps star-import from leaking np/typing imports);
+# tools/gen_stub.py derives threecrate_tpu/__init__.pyi from this
+__all__ = sorted(
+    n for n, v in list(globals().items())
+    if not n.startswith("_") and n != "point_cloud_ops"
+    and (getattr(v, "__module__", "").startswith("threecrate_tpu")
+         or isinstance(v, (int, float, str)))
+)

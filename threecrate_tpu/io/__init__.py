@@ -39,6 +39,7 @@ REGISTRY.register("bin", cloud_reader=lidar.read_kitti_bin,
                   cloud_writer=lidar.write_kitti_bin)
 REGISTRY.register("pcap", cloud_reader=lidar.read_velodyne_pcap)
 REGISTRY.register("lvx", cloud_reader=lidar.read_livox_lvx)
+REGISTRY.register("lvx2", cloud_reader=lidar.read_livox_lvx2)
 REGISTRY.register("las", cloud_reader=las.read_point_cloud,
                   cloud_writer=las.write_point_cloud)
 REGISTRY.register("laz", cloud_reader=las.read_point_cloud,

@@ -300,3 +300,95 @@ def read_livox_lvx(path, max_frames: Optional[int] = None, **_) -> PointCloud:
         raise InvalidDataError("no points decoded from LVX")
     return PointCloud.from_numpy(np.concatenate(pts_l),
                                  intensity=np.concatenate(int_l))
+
+
+# ---------------------------------------------------------------------------
+# Livox LVX2 (Avia / HAP / Mid-360 recordings)
+# ---------------------------------------------------------------------------
+
+LVX2_MAGIC = 0x20200903
+_LVX2_DEVICE_INFO_SIZE = 41   # sn(16) + extrinsic_enable(1) + 6×f32
+_LVX2_FRAME_HEADER_SIZE = 24  # cur u64 + next u64 + frame_index u64
+_LVX2_PKT_HEADER_SIZE = 11    # dev u8, lidar_type u8, point_num u32, data_type u8, data_length u32
+# point layouts per data_type (LivoxLvx2Reader, lidar.rs:722-770)
+_LVX2_POINT_SIZE = {0: 8, 1: 14, 2: 10}
+
+
+def _lvx2_decode_points(dtype: int, body: bytes
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """(xyz meters (n,3) f32, reflectivity (n,) f32) of one packet body."""
+    sz = _LVX2_POINT_SIZE[dtype]
+    n = len(body) // sz
+    raw = np.frombuffer(body[:n * sz], np.uint8).reshape(n, sz)
+    if dtype == 0:      # i16 x,y,z in 10 mm units + refl + tag
+        xyz = raw[:, :6].copy().view("<i2").astype(np.float32) * 0.01
+        refl = raw[:, 6].astype(np.float32)
+    elif dtype == 1:    # i32 x,y,z in mm + refl + tag
+        xyz = raw[:, :12].copy().view("<i4").astype(np.float32) / 1000.0
+        refl = raw[:, 12].astype(np.float32)
+    else:               # spherical: depth u32 mm, theta/phi u16 cdeg, refl, tag
+        depth = raw[:, 0:4].copy().view("<u4")[:, 0].astype(np.float32) / 1000.0
+        theta = np.deg2rad(
+            raw[:, 4:6].copy().view("<u2")[:, 0].astype(np.float32) * 0.01)
+        phi = np.deg2rad(
+            raw[:, 6:8].copy().view("<u2")[:, 0].astype(np.float32) * 0.01)
+        sin_t = np.sin(theta)
+        xyz = np.stack([depth * sin_t * np.cos(phi),
+                        depth * sin_t * np.sin(phi),
+                        depth * np.cos(theta)], -1).astype(np.float32)
+        refl = raw[:, 8].astype(np.float32)
+    return xyz, refl
+
+
+def read_livox_lvx2(path, max_frames: Optional[int] = None, **_) -> PointCloud:
+    """LivoxLvx2Reader (lidar.rs:772-880): the updated Livox recording
+    container (Avia/HAP/Mid-360). Public header (magic 0x20200903,
+    header_size at byte 8, device_count at byte 24) → 41-byte device
+    infos → frames of 11-byte-headed packets, point data types
+    0 (cartesian i16, cm), 1 (cartesian i32, mm) and 2 (spherical)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 28:
+        raise InvalidDataError("LVX2 file is too small")
+    magic, = struct.unpack_from("<I", data, 0)
+    if magic != LVX2_MAGIC:
+        raise InvalidDataError(f"not a valid LVX2 file (magic={magic:#010x})")
+    header_size, = struct.unpack_from("<I", data, 8)
+    device_count = data[24]
+    data_block_start = header_size + device_count * _LVX2_DEVICE_INFO_SIZE
+    if data_block_start > len(data):
+        raise InvalidDataError("LVX2 device info section past end of file")
+
+    pts_l: List[np.ndarray] = []
+    int_l: List[np.ndarray] = []
+    pos = data_block_start
+    n_frames = 0
+    while pos + _LVX2_FRAME_HEADER_SIZE <= len(data):
+        next_offset, = struct.unpack_from("<Q", data, pos + 8)
+        frame_end = (len(data) if next_offset == 0
+                     else min(data_block_start + next_offset, len(data)))
+        pkg = pos + _LVX2_FRAME_HEADER_SIZE
+        while pkg + _LVX2_PKT_HEADER_SIZE <= frame_end:
+            dtype = data[pkg + 6]
+            data_length, = struct.unpack_from("<I", data, pkg + 7)
+            body_start = pkg + _LVX2_PKT_HEADER_SIZE
+            body_end = body_start + data_length
+            if body_end > len(data):
+                break
+            if dtype in _LVX2_POINT_SIZE and \
+                    data_length >= _LVX2_POINT_SIZE[dtype]:
+                xyz, refl = _lvx2_decode_points(
+                    dtype, data[body_start:body_end])
+                pts_l.append(xyz)
+                int_l.append(refl)
+            pkg = body_end
+        n_frames += 1
+        if max_frames is not None and n_frames >= max_frames:
+            break
+        if next_offset == 0 or data_block_start + next_offset <= pos:
+            break
+        pos = data_block_start + next_offset
+    if not pts_l:
+        raise InvalidDataError("no points decoded from LVX2")
+    return PointCloud.from_numpy(np.concatenate(pts_l),
+                                 intensity=np.concatenate(int_l))

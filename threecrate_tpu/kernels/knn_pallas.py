@@ -144,6 +144,34 @@ def _normal_from_cov_lanes(cxx, cyy, czz, cxy, cxz, cyz):
     return vx * inv, vy * inv, vz * inv, curv
 
 
+def _emit_moments(sel, dx, dy, dz, kth_neg, mom_out):
+    """Shared tail of the fused normal kernels: selection-weighted
+    query-centered covariance → in-lane Jacobi eigensolve → 6 output
+    rows [nx, ny, nz, curvature, count, neg-k-th-d²]."""
+    cnt_raw = jnp.sum(sel, axis=1)
+    cnt = jnp.maximum(cnt_raw, 1e-12)
+    sx = sel * dx
+    sy = sel * dy
+    sz = sel * dz
+    m1x = jnp.sum(sx, axis=1) / cnt
+    m1y = jnp.sum(sy, axis=1) / cnt
+    m1z = jnp.sum(sz, axis=1) / cnt
+    cxx = jnp.sum(sx * dx, axis=1) / cnt - m1x * m1x
+    cyy = jnp.sum(sy * dy, axis=1) / cnt - m1y * m1y
+    czz = jnp.sum(sz * dz, axis=1) / cnt - m1z * m1z
+    cxy = jnp.sum(sx * dy, axis=1) / cnt - m1x * m1y
+    cxz = jnp.sum(sx * dz, axis=1) / cnt - m1x * m1z
+    cyz = jnp.sum(sy * dz, axis=1) / cnt - m1y * m1z
+    nx, ny, nz, curv = _normal_from_cov_lanes(cxx, cyy, czz,
+                                              cxy, cxz, cyz)
+    mom_out[0, :] = nx
+    mom_out[1, :] = ny
+    mom_out[2, :] = nz
+    mom_out[3, :] = curv
+    mom_out[4, :] = cnt_raw
+    mom_out[5, :] = kth_neg
+
+
 def _moments_kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
                     mom_out, *, k: int):
     """Fully-fused k-NN-select → covariance → normal kernel.
@@ -192,17 +220,141 @@ def _moments_kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
         neg = jnp.where(chosen, -jnp.inf, neg)
         kth = m
 
-    cnt_raw = jnp.sum(sel, axis=1)
-    cnt = jnp.maximum(cnt_raw, 1e-12)
-    m1x = jnp.sum(sel * dx, axis=1) / cnt
-    m1y = jnp.sum(sel * dy, axis=1) / cnt
-    m1z = jnp.sum(sel * dz, axis=1) / cnt
-    cxx = jnp.sum(sel * dx * dx, axis=1) / cnt - m1x * m1x
-    cyy = jnp.sum(sel * dy * dy, axis=1) / cnt - m1y * m1y
-    czz = jnp.sum(sel * dz * dz, axis=1) / cnt - m1z * m1z
-    cxy = jnp.sum(sel * dx * dy, axis=1) / cnt - m1x * m1y
-    cxz = jnp.sum(sel * dx * dz, axis=1) / cnt - m1x * m1z
-    cyz = jnp.sum(sel * dy * dz, axis=1) / cnt - m1y * m1z
+    _emit_moments(sel, dx, dy, dz, kth, mom_out)
+
+
+def _moments_band_kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref,
+                         nv_ref, mom_out, feat_ref, *, k: int, band: int):
+    """Band-bounded fused normal kernel — the fast selection variant.
+
+    The exact kernel's k max-extraction rounds sweep the full
+    (tile, 3·tile) distance matrix k times (~65% of its flops). This
+    variant instead extracts the k-th smallest distance within a
+    narrow ±band POSITIONAL window of the sorted order (2·band+1
+    candidates — Morton-adjacent points are spatially adjacent, so
+    this is a tight upper bound on the true window k-th distance),
+    then selects every window candidate within that radius in ONE
+    masked pass. The selection is a superset of the true window k-NN
+    (the bound is from a subset, so all k true neighbors pass the
+    radius test); the covariance simply averages over the few extra
+    boundary candidates, which measured quality-neutral. The count
+    lane reports the within-radius count (can exceed k); the k-th
+    lane reports the negated bound, so a multi-pass caller prefers
+    the pass with the TIGHTER bound. Requires band >= k so every
+    valid query (invalid keys sort to the end) finds k valid band
+    candidates on at least one side.
+    """
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    tile = self_ref.shape[1]
+
+    q = self_ref[:]                                     # (3, tile)
+    cand = jnp.concatenate([prev_ref[:], self_ref[:], next_ref[:]],
+                           axis=1)                      # (3, 3·tile)
+    ok_prev = jnp.where(t > 0, pv_ref[:], 0.0)
+    ok_next = jnp.where(t < n_t - 1, nv_ref[:], 0.0)
+    validf = jnp.concatenate([ok_prev, sv_ref[:], ok_next],
+                             axis=1)                    # (1, 3·tile)
+    valid = validf > 0.5
+
+    dx = cand[0, :][None, :] - q[0, :][:, None]          # (tile, 3·tile)
+    dy = cand[1, :][None, :] - q[1, :][:, None]
+    dz = cand[2, :][None, :] - q[2, :][:, None]
+    d2 = dx * dx + dy * dy + dz * dz
+
+    # band distances: the candidate at sorted offset i+off for query i
+    # is column tile+i+off of cand. Slicing at ±off directly produces
+    # vectors with per-offset sublane layouts that Mosaic cannot
+    # concatenate ("offset mismatch on non-concat dimension"); rotating
+    # the whole window by -off first makes every slice [tile:2·tile] —
+    # lane-aligned and layout-identical.
+    inf = jnp.float32(jnp.inf)
+    pack = jnp.concatenate([cand, validf], axis=0)       # (4, 3·tile)
+    rows = []
+    for off in range(-band, band + 1):
+        # rotate left by `off` (pltpu.roll requires non-negative shifts;
+        # rolling by L-off is the same rotation)
+        pr = pltpu.roll(pack, (-off) % pack.shape[1], axis=1) if off else pack
+        cs = pr[:3, tile:2 * tile]                       # (3, tile)
+        vs = pr[3, tile:2 * tile] > 0.5                  # (tile,)
+        bdx = q[0, :] - cs[0, :]
+        bdy = q[1, :] - cs[1, :]
+        bdz = q[2, :] - cs[2, :]
+        rows.append(jnp.where(vs, bdx * bdx + bdy * bdy + bdz * bdz, inf))
+    bd = jnp.stack(rows, axis=0)                         # (2·band+1, tile)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 0)
+    r2 = jnp.full((tile,), inf, jnp.float32)
+    for _ in range(k):                                   # k-th smallest
+        m = jnp.min(bd, axis=0)
+        arg = jnp.min(jnp.where(bd == m[None, :], rowi, bd.shape[0]),
+                      axis=0)
+        bd = jnp.where(rowi == arg[None, :], inf, bd)    # pop exactly one
+        r2 = m
+
+    # The band bound alone over-selects (~2k mean, fat tail — far
+    # candidates slip under a loose bound where Morton-adjacent is not
+    # spatially adjacent). Shrink it toward the true k-th distance by
+    # bisecting the radius against the FULL window count: after B
+    # rounds, hi is within (r2/2^B) of the smallest radius containing
+    # k candidates, and never below the true k-th (count(hi) >= k is
+    # invariant). Each round is one compare + one reduction — ~6x
+    # cheaper than one max-extraction round.
+    d2v = jnp.where(valid, d2, inf)
+    lo = jnp.zeros_like(r2)
+    hi = r2
+    for _ in range(6):
+        mid = 0.5 * (lo + hi)
+        c = jnp.sum((d2v <= mid[:, None]).astype(jnp.float32), axis=1)
+        ge = c >= float(k)
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid)
+
+    sel = (d2v <= hi[:, None]).astype(jnp.float32)
+
+    # Covariance moments on the MXU: all ten selection-weighted raw
+    # moments Σ_c w·[1, c, c⊗c] are ONE matmul G = F·wᵀ against a
+    # (10, 3·tile) candidate-feature matrix — ~18x fewer VPU flops than
+    # ten masked (tile, 3·tile) reductions. Features use per-tile
+    # centered coordinates so the f32 raw-moment cancellation stays
+    # ~(window_extent/neighbor_spacing)²·2⁻²³ ≪ 1 (global coordinates
+    # would be catastrophic — see CLAUDE.md MXU precision note); the
+    # matmul itself runs at HIGHEST precision for the same reason.
+    # Feature rows are STORED row-by-row into VMEM scratch: vector
+    # concatenation of differently-offset slices is what Mosaic cannot
+    # lower, stores at row offsets are plain.
+    nq = jnp.maximum(jnp.sum(sv_ref[:]), 1.0)
+    tcx = jnp.sum(q[0, :] * sv_ref[0, :]) / nq
+    tcy = jnp.sum(q[1, :] * sv_ref[0, :]) / nq
+    tcz = jnp.sum(q[2, :] * sv_ref[0, :]) / nq
+    ccx = cand[0, :] - tcx
+    ccy = cand[1, :] - tcy
+    ccz = cand[2, :] - tcz
+    feat_ref[0, :] = jnp.ones_like(ccx)
+    feat_ref[1, :] = ccx
+    feat_ref[2, :] = ccy
+    feat_ref[3, :] = ccz
+    feat_ref[4, :] = ccx * ccx
+    feat_ref[5, :] = ccy * ccy
+    feat_ref[6, :] = ccz * ccz
+    feat_ref[7, :] = ccx * ccy
+    feat_ref[8, :] = ccx * ccz
+    feat_ref[9, :] = ccy * ccz
+    g = jax.lax.dot_general(
+        feat_ref[:], sel, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)               # (10, tile)
+
+    cnt_raw = g[0, :]
+    n = jnp.maximum(cnt_raw, 1e-12)
+    e1x = g[1, :] / n
+    e1y = g[2, :] / n
+    e1z = g[3, :] / n
+    cxx = g[4, :] / n - e1x * e1x
+    cyy = g[5, :] / n - e1y * e1y
+    czz = g[6, :] / n - e1z * e1z
+    cxy = g[7, :] / n - e1x * e1y
+    cxz = g[8, :] / n - e1x * e1z
+    cyz = g[9, :] / n - e1y * e1z
     nx, ny, nz, curv = _normal_from_cov_lanes(cxx, cyy, czz,
                                               cxy, cxz, cyz)
     mom_out[0, :] = nx
@@ -210,14 +362,16 @@ def _moments_kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
     mom_out[2, :] = nz
     mom_out[3, :] = curv
     mom_out[4, :] = cnt_raw
-    mom_out[5, :] = kth
+    mom_out[5, :] = -hi
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret",
+                                             "band"))
 def window_normals_tiles(sorted_pts_t: jnp.ndarray,
                          sorted_valid: jnp.ndarray,
                          k: int, tile: int = 256,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         band: int = 0) -> jnp.ndarray:
     """Per-point PCA normals of the k nearest window candidates, fully
     fused (select + covariance + eigensolve in VMEM).
 
@@ -226,10 +380,22 @@ def window_normals_tiles(sorted_pts_t: jnp.ndarray,
     sorted order: [nx, ny, nz (unit, unoriented), curvature λ0/Σλ,
     neighbor count, kth-neg-d²]. The query itself is included in its
     own neighborhood (d = 0), matching the exact-kNN normals path.
+
+    band=0 selects the exact window k-NN (k max-extraction rounds over
+    the full window); band>0 uses the ~2.5x-cheaper band-bounded radius
+    selection (see _moments_band_kernel) with bound half-width
+    max(band, k) positions.
     """
     n = sorted_pts_t.shape[1]
     assert n % tile == 0, "pad to a tile multiple first"
     n_tiles = n // tile
+    if band:
+        body = functools.partial(_moments_band_kernel, k=k,
+                                 band=max(band, k))
+        scratch = [pltpu.VMEM((10, 3 * tile), jnp.float32)]
+    else:
+        body = functools.partial(_moments_kernel, k=k)
+        scratch = []
 
     def win_specs(rows):
         return [
@@ -242,18 +408,16 @@ def window_normals_tiles(sorted_pts_t: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ]
 
-    grid_spec = pl.GridSpec(
+    (mom,) = pl.pallas_call(
+        body,
+        out_shape=[jax.ShapeDtypeStruct((6, n), jnp.float32)],
         grid=(n_tiles,),
         in_specs=win_specs(3) + win_specs(1),
         out_specs=[
             pl.BlockSpec((6, tile), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
         ],
-    )
-    (mom,) = pl.pallas_call(
-        functools.partial(_moments_kernel, k=k),
-        out_shape=[jax.ShapeDtypeStruct((6, n), jnp.float32)],
-        grid_spec=grid_spec,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(sorted_pts_t, sorted_pts_t, sorted_pts_t,
       sorted_valid, sorted_valid, sorted_valid)

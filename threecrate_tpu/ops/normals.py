@@ -132,9 +132,9 @@ def _estimate_window_fused(points, mask, k, viewpoint, orient):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "orient", "tile",
-                                             "n_passes"))
+                                             "n_passes", "band"))
 def _estimate_window_moments(points, mask, k, viewpoint, orient,
-                             tile=256, n_passes=2):
+                             tile=256, n_passes=2, band=16):
     """Fully-fused, fully sort-resident window normals.
 
     The pallas kernel selects each point's k window neighbors,
@@ -173,7 +173,7 @@ def _estimate_window_moments(points, mask, k, viewpoint, orient,
          mask_p.astype(jnp.float32), iota), num_keys=1)
     out = window_normals_tiles(
         jnp.stack([ax, ay, az], axis=0), am[None, :], k, tile,
-        interpret=interp)
+        interpret=interp, band=band)
 
     pts_a_rows = jnp.stack([ax, ay, az], axis=1)
     for p in range(1, n_passes):
@@ -182,14 +182,18 @@ def _estimate_window_moments(points, mask, k, viewpoint, orient,
             (keys_b, ax, ay, az, am, iota), num_keys=1)
         out_b = window_normals_tiles(
             jnp.stack([bx, by, bz], axis=0), bm[None, :], k, tile,
-            interpret=interp)
+            interpret=interp, band=band)
         # ride pass-B outputs back to pass-A order as sort payloads
         _, b0, b1, b2, b3, b4, b5 = jax.lax.sort(
             (row_a, out_b[0], out_b[1], out_b[2], out_b[3], out_b[4],
              out_b[5]), num_keys=1)
         out_b_a = jnp.stack([b0, b1, b2, b3, b4, b5], axis=0)
-        better = (out_b_a[4] > out[4]) | ((out_b_a[4] == out[4])
-                                          & (out_b_a[5] > out[5]))
+        # pick-tighter: prefer the pass that found k neighbors (band
+        # selection can report counts > k — more is NOT tighter there),
+        # then the smaller k-th distance / radius bound
+        ca = jnp.minimum(out[4], float(k))
+        cb = jnp.minimum(out_b_a[4], float(k))
+        better = (cb > ca) | ((cb == ca) & (out_b_a[5] > out[5]))
         out = jnp.where(better[None, :], out_b_a, out)
 
     normal_s = jnp.stack([out[0], out[1], out[2]], axis=1)
@@ -212,12 +216,13 @@ def _estimate_window_moments(points, mask, k, viewpoint, orient,
 
 @functools.partial(jax.jit, static_argnames=("k", "use_radius", "orient",
                                              "window", "moments",
-                                             "window_passes"))
+                                             "window_passes", "window_band"))
 def _estimate(points, mask, k, use_radius, radius, viewpoint, orient,
-              window=False, moments=False, window_passes=2):
+              window=False, moments=False, window_passes=2, window_band=16):
     if moments and not use_radius:
         return _estimate_window_moments(points, mask, k, viewpoint, orient,
-                                        n_passes=window_passes)
+                                        n_passes=window_passes,
+                                        band=window_band)
     if window and not use_radius:
         return _estimate_window_fused(points, mask, k, viewpoint, orient)
     # One kNN pass serves both modes: radius mode masks slots beyond the
