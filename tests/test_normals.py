@@ -2,6 +2,7 @@
 (reference fixtures: normals.rs:398-409, registration.rs:1148-1165)."""
 
 import numpy as np
+import pytest
 
 from threecrate_tpu import PointCloud
 from threecrate_tpu.ops import normals
@@ -194,3 +195,78 @@ def test_window_method_with_radius_raises():
             k_neighbors=8, radius=0.3, method=m)
         with pytest.raises(ValueError, match="radius"):
             normals.estimate_normals_detailed(cloud, cfg)
+
+
+class TestWindowUnion:
+    """The fused in-kernel 2-window UNION ("window_fast" +
+    window_merge='union', _estimate_window_union): repairs the
+    pick-tighter failure mode (points whose window is partial in one
+    pass) while staying fully fused."""
+
+    @staticmethod
+    def _surface(n, noise=0.0, seed=0):
+        rng = np.random.default_rng(seed)
+        xy = rng.uniform(-2, 2, (n, 2)).astype(np.float32)
+        z = 0.4 * np.sin(xy[:, 0] * 2.0) + 0.3 * np.cos(xy[:, 1] * 1.7)
+        pts = np.stack([xy[:, 0], xy[:, 1], z], -1).astype(np.float32)
+        if noise:
+            pts += rng.normal(0, noise, pts.shape).astype(np.float32)
+        return pts
+
+    def _angles(self, pc, cfg_kw):
+        exact = normals.estimate_normals_detailed(
+            pc, normals.NormalEstimationConfig(k_neighbors=10,
+                                               method="exact"))
+        got = normals.estimate_normals_detailed(
+            pc, normals.NormalEstimationConfig(k_neighbors=10,
+                                               method="window_fast",
+                                               **cfg_kw))
+        e = np.asarray(exact.normals)
+        g = np.asarray(got.normals)
+        real = np.asarray(pc.mask)
+        v = np.asarray(exact.valid) & np.asarray(got.valid) & real
+        assert v.sum() > 0.99 * real.sum()
+        dots = np.abs((e[v] * g[v]).sum(1)).clip(0, 1)
+        return np.degrees(np.arccos(dots))
+
+    def test_union_repairs_noise_free_surface(self):
+        """On a noise-free surface the union merge must beat
+        pick-tighter by a wide margin (the documented caveat)."""
+        pc = PointCloud.from_numpy(self._surface(30000))
+        tighter = self._angles(pc, dict(window_merge="tighter"))
+        union = self._angles(pc, dict(window_merge="union"))
+        assert union.mean() < 3.0, union.mean()
+        assert union.mean() < 0.25 * tighter.mean(), \
+            (union.mean(), tighter.mean())
+
+    def test_union_matches_exact_on_scan(self):
+        rng = np.random.default_rng(7)
+        n = 20000
+        ang = rng.uniform(0, 2 * np.pi, n)
+        r = np.abs(rng.normal(0, 25, n)) + 2
+        pts = np.stack([r * np.cos(ang), r * np.sin(ang),
+                        rng.normal(0, 0.05, n)], -1).astype(np.float32)
+        pc = PointCloud.from_numpy(pts)
+        union = self._angles(pc, dict(window_merge="union"))
+        assert union.mean() < 3.0, union.mean()
+
+    def test_union_sums_are_consistent(self):
+        """Union central sums = pass-A sums + pass-B exclusive sums:
+        the merged count must be >= each pass's own count and the
+        normals unit-length wherever valid."""
+        pc = PointCloud.from_numpy(self._surface(5000, noise=0.01))
+        res = normals.estimate_normals_detailed(
+            pc, normals.NormalEstimationConfig(
+                k_neighbors=10, method="window_fast",
+                window_merge="union"))
+        nrm = np.asarray(res.normals)
+        v = np.asarray(res.valid)
+        lens = np.linalg.norm(nrm[v], axis=1)
+        assert (np.abs(lens - 1) < 1e-3).all()
+
+    def test_bad_merge_value_rejected(self):
+        pc = PointCloud.from_numpy(self._surface(1000))
+        with pytest.raises(ValueError, match="window_merge"):
+            normals.estimate_normals_detailed(
+                pc, normals.NormalEstimationConfig(
+                    method="window_fast", window_merge="nope"))

@@ -77,6 +77,88 @@ def _kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
         neg = jnp.where(chosen, -jnp.inf, neg)
 
 
+def _union_a_kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref,
+                    nv_ref, out_ref, feat_ref, *, k: int, band: int):
+    """Union-mode pass A: band-bounded radius selection, but emit the
+    QUERY-CENTERED central sums (frame-free, addable across passes)
+    plus the radius — no eigensolve yet. 11 rows:
+    [cnt, S1(3), S2(6), hiA]."""
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    tile = self_ref.shape[1]
+    q = self_ref[:]
+    cand = jnp.concatenate([prev_ref[:], self_ref[:], next_ref[:]], axis=1)
+    ok_prev = jnp.where(t > 0, pv_ref[:], 0.0)
+    ok_next = jnp.where(t < n_t - 1, nv_ref[:], 0.0)
+    validf = jnp.concatenate([ok_prev, sv_ref[:], ok_next], axis=1)
+
+    d2v, hi = _band_bound(q, cand, validf, k, band, tile)
+    sel = (d2v <= hi[:, None]).astype(jnp.float32)
+    tcx, tcy, tcz = _store_features(feat_ref, cand, sv_ref[:], q)
+    g = _mxu_moments(feat_ref, sel)
+    sums = _query_centered_sums(g, q[0, :] - tcx, q[1, :] - tcy,
+                                q[2, :] - tcz)
+    for j, row in enumerate(sums):
+        out_ref[j, :] = row
+    out_ref[10, :] = hi
+
+
+def _union_b_kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
+                    pp_ref, sp_ref, np_ref, hia_ref, out_ref, feat_ref,
+                    *, k: int, band: int):
+    """Union-mode pass B over the shifted-grid sorted order.
+
+    Inputs additionally carry each candidate's PASS-A POSITION (the
+    sort payload) and each query's pass-A radius hiA. Emits 21 rows:
+
+    * S_excl (10): central sums over candidates within hiA that lie
+      OUTSIDE the query's pass-A window (|posA tile delta| > 1) —
+      directly addable to pass A's sums for an exact two-window UNION
+      at radius hiA (no double counting: window membership partitions
+      the candidates);
+    * S_full (10): central sums over the full pass-B window at pass
+      B's own radius hiB — used alone when hiB < hiA (pass A's window
+      was poor; its far selected points must be dropped, exactly the
+      failure pick-tighter repairs);
+    * hiB (1).
+
+    The caller picks per query: hiB < hiA → S_full, else S_A + S_excl.
+    """
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    tile = self_ref.shape[1]
+    q = self_ref[:]
+    cand = jnp.concatenate([prev_ref[:], self_ref[:], next_ref[:]], axis=1)
+    ok_prev = jnp.where(t > 0, pv_ref[:], 0.0)
+    ok_next = jnp.where(t < n_t - 1, nv_ref[:], 0.0)
+    validf = jnp.concatenate([ok_prev, sv_ref[:], ok_next], axis=1)
+
+    d2v, hib = _band_bound(q, cand, validf, k, band, tile)
+
+    # pass-A window membership: tile index = posA >> log2(tile)
+    shift = int(tile).bit_length() - 1
+    pos_c = jnp.concatenate([pp_ref[:], sp_ref[:], np_ref[:]], axis=1)
+    tile_c = jax.lax.shift_right_logical(pos_c, shift)     # (1, 3·tile)
+    tile_q = jax.lax.shift_right_logical(sp_ref[0, :], shift)  # (tile,)
+    dtile = tile_c - tile_q[:, None]
+    in_win_a = (dtile >= -1) & (dtile <= 1)
+
+    hia = hia_ref[0, :]                                    # (tile,)
+    sel_excl = ((d2v <= hia[:, None]) & ~in_win_a).astype(jnp.float32)
+    sel_full = (d2v <= hib[:, None]).astype(jnp.float32)
+
+    tcx, tcy, tcz = _store_features(feat_ref, cand, sv_ref[:], q)
+    qx = q[0, :] - tcx
+    qy = q[1, :] - tcy
+    qz = q[2, :] - tcz
+    for base, sel in ((0, sel_excl), (10, sel_full)):
+        sums = _query_centered_sums(_mxu_moments(feat_ref, sel),
+                                    qx, qy, qz)
+        for j, row in enumerate(sums):
+            out_ref[base + j, :] = row
+    out_ref[20, :] = hib
+
+
 def _normal_from_cov_lanes(cxx, cyy, czz, cxy, cxz, cyz):
     """Smallest-eigenpair of per-lane symmetric 3x3 covariances via
     cyclic Jacobi rotations — runs inside the kernel without
@@ -223,6 +305,133 @@ def _moments_kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
     _emit_moments(sel, dx, dy, dz, kth, mom_out)
 
 
+def _band_bound(q, cand, validf, k: int, band: int, tile: int):
+    """Shared selection-radius machinery of the band kernels.
+
+    Returns (d2v, hi): the validity-masked (tile, 3·tile) squared
+    distances and, per query, a radius hi with count(d2v <= hi) >= k
+    that is within r_band/2^6 of the k-th-smallest window distance.
+    Bound source: the k-th smallest distance within a ±band POSITIONAL
+    window of the sorted order (Morton-adjacent ⇒ spatially adjacent),
+    tightened by 6 bisection rounds against the full window count.
+    """
+    valid = validf > 0.5
+    dx = cand[0, :][None, :] - q[0, :][:, None]          # (tile, 3·tile)
+    dy = cand[1, :][None, :] - q[1, :][:, None]
+    dz = cand[2, :][None, :] - q[2, :][:, None]
+    d2 = dx * dx + dy * dy + dz * dz
+
+    # band distances: the candidate at sorted offset i+off for query i
+    # is column tile+i+off of cand. Slicing at ±off directly produces
+    # vectors with per-offset sublane layouts that Mosaic cannot
+    # concatenate ("offset mismatch on non-concat dimension"); rotating
+    # the whole window by -off first makes every slice [tile:2·tile] —
+    # lane-aligned and layout-identical.
+    inf = jnp.float32(jnp.inf)
+    pack = jnp.concatenate([cand, validf], axis=0)       # (4, 3·tile)
+    rows = []
+    for off in range(-band, band + 1):
+        # rotate left by `off` (pltpu.roll requires non-negative shifts;
+        # rolling by L-off is the same rotation)
+        pr = pltpu.roll(pack, (-off) % pack.shape[1], axis=1) if off else pack
+        cs = pr[:3, tile:2 * tile]                       # (3, tile)
+        vs = pr[3, tile:2 * tile] > 0.5                  # (tile,)
+        bdx = q[0, :] - cs[0, :]
+        bdy = q[1, :] - cs[1, :]
+        bdz = q[2, :] - cs[2, :]
+        rows.append(jnp.where(vs, bdx * bdx + bdy * bdy + bdz * bdz, inf))
+    bd = jnp.stack(rows, axis=0)                         # (2·band+1, tile)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 0)
+    r2 = jnp.full((q.shape[1],), inf, jnp.float32)
+    for _ in range(k):                                   # k-th smallest
+        m = jnp.min(bd, axis=0)
+        arg = jnp.min(jnp.where(bd == m[None, :], rowi, bd.shape[0]),
+                      axis=0)
+        bd = jnp.where(rowi == arg[None, :], inf, bd)    # pop exactly one
+        r2 = m
+
+    # The band bound alone over-selects (~2k mean, fat tail — far
+    # candidates slip under a loose bound where Morton-adjacent is not
+    # spatially adjacent). Shrink it toward the true k-th distance by
+    # bisecting the radius against the FULL window count: after B
+    # rounds, hi is within (r2/2^B) of the smallest radius containing
+    # k candidates, and never below the true k-th (count(hi) >= k is
+    # invariant). Each round is one compare + one reduction — ~6x
+    # cheaper than one max-extraction round.
+    d2v = jnp.where(valid, d2, inf)
+    lo = jnp.zeros_like(r2)
+    hi = r2
+    for _ in range(6):
+        mid = 0.5 * (lo + hi)
+        c = jnp.sum((d2v <= mid[:, None]).astype(jnp.float32), axis=1)
+        ge = c >= float(k)
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid)
+    return d2v, hi
+
+
+def _store_features(feat_ref, cand, sv, q):
+    """Fill the (10, 3·tile) candidate-feature scratch [1, c, c⊗c] in
+    per-tile-centered coordinates; returns the center (tcx, tcy, tcz).
+
+    Covariance moments on the MXU: all ten selection-weighted raw
+    moments Σ_c w·[1, c, c⊗c] are ONE matmul G = F·wᵀ against this
+    feature matrix — ~18x fewer VPU flops than ten masked
+    (tile, 3·tile) reductions. Per-tile centering keeps the f32
+    raw-moment cancellation ~(window_extent/neighbor_spacing)²·2⁻²³ ≪ 1
+    (global coordinates would be catastrophic — see CLAUDE.md MXU
+    precision note); the matmul itself must run at HIGHEST precision
+    for the same reason. Feature rows are STORED row-by-row into VMEM
+    scratch: vector concatenation of differently-offset slices is what
+    Mosaic cannot lower, stores at row offsets are plain.
+    """
+    nq = jnp.maximum(jnp.sum(sv), 1.0)
+    tcx = jnp.sum(q[0, :] * sv[0, :]) / nq
+    tcy = jnp.sum(q[1, :] * sv[0, :]) / nq
+    tcz = jnp.sum(q[2, :] * sv[0, :]) / nq
+    ccx = cand[0, :] - tcx
+    ccy = cand[1, :] - tcy
+    ccz = cand[2, :] - tcz
+    feat_ref[0, :] = jnp.ones_like(ccx)
+    feat_ref[1, :] = ccx
+    feat_ref[2, :] = ccy
+    feat_ref[3, :] = ccz
+    feat_ref[4, :] = ccx * ccx
+    feat_ref[5, :] = ccy * ccy
+    feat_ref[6, :] = ccz * ccz
+    feat_ref[7, :] = ccx * ccy
+    feat_ref[8, :] = ccx * ccz
+    feat_ref[9, :] = ccy * ccz
+    return tcx, tcy, tcz
+
+
+def _mxu_moments(feat_ref, sel):
+    """G[j, q] = Σ_c sel[q, c]·feature_j[c] — one MXU matmul."""
+    return jax.lax.dot_general(
+        feat_ref[:], sel, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)               # (10, tile)
+
+
+def _query_centered_sums(g, qx, qy, qz):
+    """Shift tile-centered raw moment sums to query-centered CENTRAL
+    sums S1 = Σw(c−q), S2 = Σw(c−q)(c−q)ᵀ — the frame-free form that
+    makes sums from different passes (different tile centers) directly
+    addable. qx/qy/qz are the query coords in the SAME tile-centered
+    frame as g."""
+    cnt = g[0, :]
+    s1x = g[1, :] - cnt * qx
+    s1y = g[2, :] - cnt * qy
+    s1z = g[3, :] - cnt * qz
+    s2xx = g[4, :] - 2.0 * qx * g[1, :] + cnt * qx * qx
+    s2yy = g[5, :] - 2.0 * qy * g[2, :] + cnt * qy * qy
+    s2zz = g[6, :] - 2.0 * qz * g[3, :] + cnt * qz * qz
+    s2xy = g[7, :] - qx * g[2, :] - qy * g[1, :] + cnt * qx * qy
+    s2xz = g[8, :] - qx * g[3, :] - qz * g[1, :] + cnt * qx * qz
+    s2yz = g[9, :] - qy * g[3, :] - qz * g[2, :] + cnt * qy * qz
+    return (cnt, s1x, s1y, s1z, s2xx, s2yy, s2zz, s2xy, s2xz, s2yz)
+
+
 def _moments_band_kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref,
                          nv_ref, mom_out, feat_ref, *, k: int, band: int):
     """Band-bounded fused normal kernel — the fast selection variant.
@@ -255,94 +464,11 @@ def _moments_band_kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref,
     ok_next = jnp.where(t < n_t - 1, nv_ref[:], 0.0)
     validf = jnp.concatenate([ok_prev, sv_ref[:], ok_next],
                              axis=1)                    # (1, 3·tile)
-    valid = validf > 0.5
 
-    dx = cand[0, :][None, :] - q[0, :][:, None]          # (tile, 3·tile)
-    dy = cand[1, :][None, :] - q[1, :][:, None]
-    dz = cand[2, :][None, :] - q[2, :][:, None]
-    d2 = dx * dx + dy * dy + dz * dz
-
-    # band distances: the candidate at sorted offset i+off for query i
-    # is column tile+i+off of cand. Slicing at ±off directly produces
-    # vectors with per-offset sublane layouts that Mosaic cannot
-    # concatenate ("offset mismatch on non-concat dimension"); rotating
-    # the whole window by -off first makes every slice [tile:2·tile] —
-    # lane-aligned and layout-identical.
-    inf = jnp.float32(jnp.inf)
-    pack = jnp.concatenate([cand, validf], axis=0)       # (4, 3·tile)
-    rows = []
-    for off in range(-band, band + 1):
-        # rotate left by `off` (pltpu.roll requires non-negative shifts;
-        # rolling by L-off is the same rotation)
-        pr = pltpu.roll(pack, (-off) % pack.shape[1], axis=1) if off else pack
-        cs = pr[:3, tile:2 * tile]                       # (3, tile)
-        vs = pr[3, tile:2 * tile] > 0.5                  # (tile,)
-        bdx = q[0, :] - cs[0, :]
-        bdy = q[1, :] - cs[1, :]
-        bdz = q[2, :] - cs[2, :]
-        rows.append(jnp.where(vs, bdx * bdx + bdy * bdy + bdz * bdz, inf))
-    bd = jnp.stack(rows, axis=0)                         # (2·band+1, tile)
-    rowi = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 0)
-    r2 = jnp.full((tile,), inf, jnp.float32)
-    for _ in range(k):                                   # k-th smallest
-        m = jnp.min(bd, axis=0)
-        arg = jnp.min(jnp.where(bd == m[None, :], rowi, bd.shape[0]),
-                      axis=0)
-        bd = jnp.where(rowi == arg[None, :], inf, bd)    # pop exactly one
-        r2 = m
-
-    # The band bound alone over-selects (~2k mean, fat tail — far
-    # candidates slip under a loose bound where Morton-adjacent is not
-    # spatially adjacent). Shrink it toward the true k-th distance by
-    # bisecting the radius against the FULL window count: after B
-    # rounds, hi is within (r2/2^B) of the smallest radius containing
-    # k candidates, and never below the true k-th (count(hi) >= k is
-    # invariant). Each round is one compare + one reduction — ~6x
-    # cheaper than one max-extraction round.
-    d2v = jnp.where(valid, d2, inf)
-    lo = jnp.zeros_like(r2)
-    hi = r2
-    for _ in range(6):
-        mid = 0.5 * (lo + hi)
-        c = jnp.sum((d2v <= mid[:, None]).astype(jnp.float32), axis=1)
-        ge = c >= float(k)
-        hi = jnp.where(ge, mid, hi)
-        lo = jnp.where(ge, lo, mid)
-
+    d2v, hi = _band_bound(q, cand, validf, k, band, tile)
     sel = (d2v <= hi[:, None]).astype(jnp.float32)
-
-    # Covariance moments on the MXU: all ten selection-weighted raw
-    # moments Σ_c w·[1, c, c⊗c] are ONE matmul G = F·wᵀ against a
-    # (10, 3·tile) candidate-feature matrix — ~18x fewer VPU flops than
-    # ten masked (tile, 3·tile) reductions. Features use per-tile
-    # centered coordinates so the f32 raw-moment cancellation stays
-    # ~(window_extent/neighbor_spacing)²·2⁻²³ ≪ 1 (global coordinates
-    # would be catastrophic — see CLAUDE.md MXU precision note); the
-    # matmul itself runs at HIGHEST precision for the same reason.
-    # Feature rows are STORED row-by-row into VMEM scratch: vector
-    # concatenation of differently-offset slices is what Mosaic cannot
-    # lower, stores at row offsets are plain.
-    nq = jnp.maximum(jnp.sum(sv_ref[:]), 1.0)
-    tcx = jnp.sum(q[0, :] * sv_ref[0, :]) / nq
-    tcy = jnp.sum(q[1, :] * sv_ref[0, :]) / nq
-    tcz = jnp.sum(q[2, :] * sv_ref[0, :]) / nq
-    ccx = cand[0, :] - tcx
-    ccy = cand[1, :] - tcy
-    ccz = cand[2, :] - tcz
-    feat_ref[0, :] = jnp.ones_like(ccx)
-    feat_ref[1, :] = ccx
-    feat_ref[2, :] = ccy
-    feat_ref[3, :] = ccz
-    feat_ref[4, :] = ccx * ccx
-    feat_ref[5, :] = ccy * ccy
-    feat_ref[6, :] = ccz * ccz
-    feat_ref[7, :] = ccx * ccy
-    feat_ref[8, :] = ccx * ccz
-    feat_ref[9, :] = ccy * ccz
-    g = jax.lax.dot_general(
-        feat_ref[:], sel, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)               # (10, tile)
+    tcx, tcy, tcz = _store_features(feat_ref, cand, sv_ref[:], q)
+    g = _mxu_moments(feat_ref, sel)
 
     cnt_raw = g[0, :]
     n = jnp.maximum(cnt_raw, 1e-12)
@@ -422,6 +548,87 @@ def window_normals_tiles(sorted_pts_t: jnp.ndarray,
     )(sorted_pts_t, sorted_pts_t, sorted_pts_t,
       sorted_valid, sorted_valid, sorted_valid)
     return mom
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret",
+                                             "band"))
+def window_union_a_tiles(sorted_pts_t, sorted_valid, k: int,
+                         tile: int = 256, interpret: bool = False,
+                         band: int = 16) -> jnp.ndarray:
+    """Union-mode pass A (see _union_a_kernel): (11, N) query-centered
+    central sums + selection radius, in sorted order."""
+    n = sorted_pts_t.shape[1]
+    assert n % tile == 0 and tile & (tile - 1) == 0
+    n_tiles = n // tile
+
+    def win_specs(rows):
+        return [
+            pl.BlockSpec((rows, tile), lambda t: (0, jnp.maximum(t - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, tile),
+                         lambda t: (0, jnp.minimum(t + 1, n_tiles - 1)),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    (out,) = pl.pallas_call(
+        functools.partial(_union_a_kernel, k=k, band=max(band, k)),
+        out_shape=[jax.ShapeDtypeStruct((11, n), jnp.float32)],
+        grid=(n_tiles,),
+        in_specs=win_specs(3) + win_specs(1),
+        out_specs=[pl.BlockSpec((11, tile), lambda t: (0, t),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((10, 3 * tile), jnp.float32)],
+        interpret=interpret,
+    )(sorted_pts_t, sorted_pts_t, sorted_pts_t,
+      sorted_valid, sorted_valid, sorted_valid)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret",
+                                             "band"))
+def window_union_b_tiles(sorted_pts_t, sorted_valid, sorted_pos_a,
+                         hi_a, k: int, tile: int = 256,
+                         interpret: bool = False,
+                         band: int = 16) -> jnp.ndarray:
+    """Union-mode pass B (see _union_b_kernel): (21, N) exclusive +
+    full central sums + pass-B radius, in pass-B sorted order.
+
+    sorted_pos_a: (1, N) int32 pass-A position of each column.
+    hi_a: (1, N) float32 pass-A selection radius of each column.
+    """
+    n = sorted_pts_t.shape[1]
+    assert n % tile == 0 and tile & (tile - 1) == 0
+    n_tiles = n // tile
+
+    def win_specs(rows):
+        return [
+            pl.BlockSpec((rows, tile), lambda t: (0, jnp.maximum(t - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, tile),
+                         lambda t: (0, jnp.minimum(t + 1, n_tiles - 1)),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    self_spec = [pl.BlockSpec((1, tile), lambda t: (0, t),
+                              memory_space=pltpu.VMEM)]
+    (out,) = pl.pallas_call(
+        functools.partial(_union_b_kernel, k=k, band=max(band, k)),
+        out_shape=[jax.ShapeDtypeStruct((21, n), jnp.float32)],
+        grid=(n_tiles,),
+        in_specs=win_specs(3) + win_specs(1) + win_specs(1) + self_spec,
+        out_specs=[pl.BlockSpec((21, tile), lambda t: (0, t),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((10, 3 * tile), jnp.float32)],
+        interpret=interpret,
+    )(sorted_pts_t, sorted_pts_t, sorted_pts_t,
+      sorted_valid, sorted_valid, sorted_valid,
+      sorted_pos_a, sorted_pos_a, sorted_pos_a,
+      hi_a)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile", "interpret",
