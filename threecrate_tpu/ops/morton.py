@@ -47,6 +47,28 @@ PASS_SHIFTS = (
 )
 
 
+def frame(points: jnp.ndarray, mask: jnp.ndarray):
+    """(mn, scale) of the masked cloud's isotropic Morton lattice — so
+    OTHER points (e.g. a moving source cloud) can be encoded into the
+    SAME lattice as a fixed target (keys_in_frame)."""
+    big = jnp.float32(3e38)
+    mn = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
+    mx = jnp.max(jnp.where(mask[:, None], points, -big), axis=0)
+    ext = jnp.maximum(mx - mn, 1e-6)
+    scale = (GRID - 1) / (2.0 * jnp.max(ext))
+    return mn, scale
+
+
+def keys_in_frame(points: jnp.ndarray, mask: jnp.ndarray,
+                  mn: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """Morton keys of ``points`` in a fixed lattice frame (see
+    ``frame``); out-of-frame coordinates clamp to the boundary cells.
+    Invalid points get INT32_MAX (sort to the end)."""
+    rel = (points - mn) * scale
+    cells = jnp.clip(rel.astype(jnp.int32), 0, GRID - 1)
+    return jnp.where(mask, morton_encode(cells), jnp.int32(2**31 - 1))
+
+
 def morton_keys(points: jnp.ndarray, mask: jnp.ndarray,
                 pass_index: int = 0) -> jnp.ndarray:
     """Morton keys over the masked bounding box for one search pass.

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from ..core.errors import InvalidDataError
 from ..core.point_cloud import PointCloud
 from ..core.transform import Transform, se3_exp, skew
+from ..utils import padding
 from . import filtering, linalg, neighbors
 
 
@@ -82,24 +83,84 @@ def _icp_p2p(src, src_mask, tgt, tgt_mask, init, max_iterations,
              conv_thresh, max_corr_dist, window=False):
     n = src.shape[0]
 
+    # -- static-sort correspondence setup (once per CALL, not per
+    # iteration). Both clouds are Morton-sorted here, outside the
+    # while_loop: the target never moves, and the SOURCE sort stays
+    # spatially coherent under the rigid motion ICP applies ("nearby
+    # in array ⇒ nearby in space" is motion-invariant), so neither
+    # sort ever goes stale. The round-1 formulation re-sorted the 2M
+    # src∪tgt union twice per iteration — 46 ms/iter at 1M; this one
+    # runs the matching kernel from fixed sorted arrays with a
+    # data-dependent target window (searchsorted tile-mean keys →
+    # scalar-prefetch BlockSpecs) — no per-iteration sorts at all.
+    if window:
+        from ..kernels.icp_pallas import W_TILES, icp_match_tiles
+        from . import morton
+
+        tile = 128
+        interp = jax.default_backend() != "tpu"
+        ns_pad = padding.round_up(src.shape[0], tile)
+        nt_pad = max(padding.round_up(tgt.shape[0], tile), W_TILES * tile)
+        src_p = jnp.pad(src.astype(jnp.float32),
+                        ((0, ns_pad - src.shape[0]), (0, 0)))
+        sm_p = jnp.pad(src_mask, (0, ns_pad - src.shape[0]))
+        tgt_p = jnp.pad(tgt.astype(jnp.float32),
+                        ((0, nt_pad - tgt.shape[0]), (0, 0)))
+        tm_p = jnp.pad(tgt_mask, (0, nt_pad - tgt.shape[0]))
+
+        mn_t, scale_t = morton.frame(tgt_p, tm_p)
+        keys_t = morton.keys_in_frame(tgt_p, tm_p, mn_t, scale_t)
+        keys_t_sorted, tx, ty, tz, tvf = jax.lax.sort(
+            (keys_t, tgt_p[:, 0], tgt_p[:, 1], tgt_p[:, 2],
+             tm_p.astype(jnp.float32)), num_keys=1)
+        tgt_sorted_t = jnp.stack([tx, ty, tz], axis=0)
+        # source sorted ONCE at its init pose, in the TARGET's lattice
+        # (aligned lattices keep src tiles contiguous in target order)
+        src_init = linalg.transform_points(init, src_p)
+        keys_s = morton.keys_in_frame(src_init, sm_p, mn_t, scale_t)
+        _, sx, sy, sz, svf = jax.lax.sort(
+            (keys_s, src_p[:, 0], src_p[:, 1], src_p[:, 2],
+             sm_p.astype(jnp.float32)), num_keys=1)
+        src_sorted = jnp.stack([sx, sy, sz], axis=1)      # (Ns, 3)
+        n_src_tiles = ns_pad // tile
+        n_tgt_tiles = nt_pad // tile
+        svf_tiles = svf.reshape(n_src_tiles, tile)
+        tile_w = jnp.maximum(jnp.sum(svf_tiles, axis=1), 1e-6)
+        max_d2 = max_corr_dist * max_corr_dist
+
     def corr_and_fit(t_mat):
-        moved = linalg.transform_points(t_mat, src)
         if window:
-            # fully sort-resident correspondence: the weighted Kabsch /
-            # MSE sums are order-independent, so no row order is ever
-            # restored (the gather/scatter formulation paid ~450 ms per
-            # iteration in reorders at 1M points)
-            own, matched, neg, is_q = \
-                neighbors.icp_correspond_window_sorted(
-                    tgt, tgt_mask, moved, src_mask)
-            d2 = jnp.maximum(-neg, 0.0)
-            ok = is_q & jnp.isfinite(d2) \
-                & (d2 <= max_corr_dist * max_corr_dist)
+            moved = linalg.transform_points(t_mat, src_sorted)
+            reps = jnp.sum(moved.reshape(n_src_tiles, tile, 3)
+                           * svf_tiles[:, :, None], axis=1) \
+                / tile_w[:, None]
+            rep_keys = morton.keys_in_frame(
+                reps, jnp.ones(n_src_tiles, bool), mn_t, scale_t)
+            pos = jnp.searchsorted(keys_t_sorted, rep_keys)
+            blk = jnp.clip(pos // tile - (W_TILES - 1) // 2, 0,
+                           max(n_tgt_tiles - W_TILES, 0)).astype(jnp.int32)
+            out = icp_match_tiles(moved.T, svf[None, :], tgt_sorted_t,
+                                  tvf[None, :], blk, tile=tile,
+                                  interpret=interp)
+            matched = out[0:3].T                           # (Ns, 3)
+            d2 = out[3]
+            w_raw = out[4] > 0.5
+            # trimmed-ICP gate: per-tile windows are approximate near
+            # Morton discontinuities, so a small fraction of points
+            # match a non-nearest target at inflated distance. Gating
+            # at 16x the median matched d² drops exactly those gross
+            # mismatches (classic trimmed ICP) while keeping every
+            # genuine correspondence; the user's
+            # max_correspondence_distance still applies on top.
+            med = jnp.percentile(jnp.where(w_raw, d2, jnp.inf), 50.0)
+            gate = 16.0 * med                              # inf-safe
+            ok = w_raw & (d2 <= gate) & (d2 <= max_d2)
             w = ok.astype(jnp.float32)
-            delta = linalg.kabsch(own, matched, w)
+            delta = linalg.kabsch(moved, matched, w)
             n_ok = jnp.maximum(jnp.sum(w), 1.0)
             mse = jnp.sum(jnp.where(ok, d2, 0.0)) / n_ok
             return delta, mse, jnp.sum(ok).astype(jnp.int32)
+        moved = linalg.transform_points(t_mat, src)
         res = _correspondence(tgt, tgt_mask, moved, src_mask, False)
         idx = res.indices[:, 0]
         dist = res.distances[:, 0]
@@ -119,7 +180,8 @@ def _icp_p2p(src, src_mask, tgt, tgt_mask, init, max_iterations,
     def body(state):
         t_mat, prev_mse, mse, it, conv, _ = state
         delta, new_mse, n_corr = corr_and_fit(t_mat)
-        new_t = delta @ t_mat
+        new_t = jnp.matmul(delta, t_mat,
+                           precision=jax.lax.Precision.HIGHEST)
         converged = jnp.abs(new_mse - mse) < conv_thresh
         return (new_t, mse, new_mse, it + 1, converged, n_corr)
 
@@ -188,8 +250,9 @@ def _icp_p2plane(src, src_mask, tgt, tgt_mask, tgt_normals, init,
         r = jnp.sum((moved - q) * nrm, axis=1)           # signed plane dist
         a = jnp.concatenate([jnp.cross(moved, nrm), nrm], axis=1)  # (N, 6)
         aw = a * w[:, None]
-        h = aw.T @ a                                      # 6x6 (one matmul)
-        g = -(aw.T @ r)
+        hi = jax.lax.Precision.HIGHEST
+        h = jnp.matmul(aw.T, a, precision=hi)             # 6x6 (one matmul)
+        g = -jnp.matmul(aw.T, r, precision=hi)
         xi = linalg.solve_psd(h, g, damping=1e-6)
         delta = se3_exp(xi)
         n_ok = jnp.maximum(jnp.sum(w), 1.0)
@@ -204,7 +267,9 @@ def _icp_p2plane(src, src_mask, tgt, tgt_mask, tgt_normals, init,
         t_mat, prev, mse, it, conv, _ = state
         delta, new_mse, n_corr = step(t_mat)
         converged = jnp.abs(new_mse - mse) < conv_thresh
-        return (delta @ t_mat, mse, new_mse, it + 1, converged, n_corr)
+        new_t = jnp.matmul(delta, t_mat,
+                           precision=jax.lax.Precision.HIGHEST)
+        return (new_t, mse, new_mse, it + 1, converged, n_corr)
 
     state0 = (init, jnp.float32(jnp.inf), jnp.float32(jnp.inf),
               jnp.int32(0), jnp.bool_(False), jnp.int32(0))
