@@ -52,7 +52,8 @@ class RgbImageView:
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "bilinear"))
 def _project_sample(points, mask, img, intr, w2c, h, w, bilinear):
-    cam = points @ w2c[:3, :3].T + w2c[:3, 3]
+    cam = jnp.matmul(points, w2c[:3, :3].T,
+                     precision=jax.lax.Precision.HIGHEST) + w2c[:3, 3]
     z = cam[:, 2]
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
     u = cam[:, 0] / jnp.maximum(z, 1e-9) * fx + cx

@@ -112,7 +112,8 @@ def _gicp_loop(src, src_mask, src_cov, tgt, tgt_mask, tgt_cov, init,
         g = jnp.einsum("nak,na->k", wj, r,
                        precision=jax.lax.Precision.HIGHEST)     # (6,)
         xi = -linalg.solve_psd(h, g, damping=1e-6)
-        new_t = se3_exp(xi) @ t_mat
+        new_t = jnp.matmul(se3_exp(xi), t_mat,
+                           precision=jax.lax.Precision.HIGHEST)
         d2 = jnp.einsum("na,nab,nb->n", r, w_mat, r)
         n_ok = jnp.maximum(jnp.sum(w), 1.0)
         mse = jnp.sum(jnp.where(ok, jnp.sum(r * r, 1), 0.0)) / n_ok

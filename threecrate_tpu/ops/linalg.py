@@ -19,6 +19,12 @@ import jax.numpy as jnp
 
 _EPS = 1e-12
 
+# TPU MXU matmuls default to bf16 passes (~4e-3 relative error) —
+# catastrophic for metric geometry (coordinates of ~1e1-1e6 m magnitude
+# feed rigid fits that must resolve 1e-6 m). Every matmul/einsum in this
+# module forces full f32.
+_HI = jax.lax.Precision.HIGHEST
+
 
 def eigvals_sym3x3(a: jnp.ndarray) -> jnp.ndarray:
     """Eigenvalues of symmetric ``(..., 3, 3)`` matrices, ascending.
@@ -120,7 +126,8 @@ def weighted_covariance(points: jnp.ndarray, weights: jnp.ndarray
     wsum = jnp.maximum(jnp.sum(w, axis=-2), _EPS)
     mean = jnp.sum(points * w, axis=-2) / wsum
     d = (points - mean[..., None, :]) * jnp.sqrt(w)
-    cov = jnp.einsum("...ki,...kj->...ij", d, d) / wsum[..., None]
+    cov = jnp.einsum("...ki,...kj->...ij", d, d,
+                     precision=_HI) / wsum[..., None]
     return mean, cov
 
 
@@ -140,13 +147,40 @@ def kabsch(source: jnp.ndarray, target: jnp.ndarray, weights: jnp.ndarray
     mu_t = jnp.sum(target * w[:, None], axis=0) / wsum
     ds = source - mu_s
     dt = target - mu_t
-    h = jnp.einsum("ni,nj,n->ij", ds, dt, w)
+    h = jnp.einsum("ni,nj,n->ij", ds, dt, w, precision=_HI)
     u, _, vt = jnp.linalg.svd(h)
-    d = jnp.sign(jnp.linalg.det(vt.T @ u.T))
+    d = jnp.sign(jnp.linalg.det(
+        jnp.matmul(vt.T, u.T, precision=_HI)))
     diag = jnp.diag(jnp.array([1.0, 1.0, 1.0], source.dtype)).at[2, 2].set(d)
-    r = vt.T @ diag @ u.T
-    t = mu_t - r @ mu_s
+    r = jnp.matmul(jnp.matmul(vt.T, diag, precision=_HI), u.T,
+                   precision=_HI)
+    t = mu_t - jnp.matmul(r, mu_s, precision=_HI)
     m = jnp.eye(4, dtype=source.dtype)
+    m = m.at[:3, :3].set(r)
+    m = m.at[:3, 3].set(t)
+    return m
+
+
+def kabsch_from_sums(wsum: jnp.ndarray, sum_s: jnp.ndarray,
+                     sum_t: jnp.ndarray, sum_st: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """``kabsch`` from precomputed weighted sums: Σw, Σw·s (3,),
+    Σw·t (3,), Σw·s⊗t (3, 3) — the form a fused correspondence kernel
+    emits as per-tile partials, so the (N, 3) correspondence arrays
+    never exist in HBM. Identical math: H = Σw(s−μs)(t−μt)ᵀ
+    = Σw·s⊗t − wsum·μs⊗μt."""
+    wsum = jnp.maximum(wsum, _EPS)
+    mu_s = sum_s / wsum
+    mu_t = sum_t / wsum
+    h = sum_st - wsum * jnp.outer(mu_s, mu_t)
+    u, _, vt = jnp.linalg.svd(h)
+    d = jnp.sign(jnp.linalg.det(
+        jnp.matmul(vt.T, u.T, precision=_HI)))
+    diag = jnp.diag(jnp.array([1.0, 1.0, 1.0], h.dtype)).at[2, 2].set(d)
+    r = jnp.matmul(jnp.matmul(vt.T, diag, precision=_HI), u.T,
+                   precision=_HI)
+    t = mu_t - jnp.matmul(r, mu_s, precision=_HI)
+    m = jnp.eye(4, dtype=h.dtype)
     m = m.at[:3, :3].set(r)
     m = m.at[:3, 3].set(t)
     return m
@@ -166,5 +200,10 @@ def solve_psd(a: jnp.ndarray, b: jnp.ndarray, damping: float = 1e-9) -> jnp.ndar
 
 
 def transform_points(matrix: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
-    """Apply a (4,4) homogeneous matrix to (..., 3) points."""
-    return points @ matrix[:3, :3].T + matrix[:3, 3]
+    """Apply a (4,4) homogeneous matrix to (..., 3) points.
+
+    Forces f32 matmul: at default (bf16) MXU precision every moved
+    point is quantised to ~4e-3 relative error — measured to cap ICP
+    convergence at Rerr ~1e-2 on TPU (round-2 probe)."""
+    return jnp.matmul(points, matrix[:3, :3].T,
+                      precision=_HI) + matrix[:3, 3]

@@ -117,14 +117,16 @@ def _ndt_loop(src, src_mask, gaussians: NdtGaussians, init,
         j = jnp.concatenate([-skew(moved), jnp.broadcast_to(
             jnp.eye(3, dtype=src.dtype), (src.shape[0], 3, 3))], axis=2)
         jtbd = jnp.einsum("nak,na->nk", j, bd)          # (N, 6) JᵀBd
-        grad = jnp.einsum("n,nk->k", s, jtbd)           # ∂(−Σs)/∂ξ = Σ s·JᵀBd
+        grad = jnp.einsum("n,nk->k", s, jtbd,
+                          precision=jax.lax.Precision.HIGHEST)           # ∂(−Σs)/∂ξ = Σ s·JᵀBd
         bj = jnp.einsum("nab,nbk->nak", b, j)
         # Gauss-Newton (PSD) Hessian: Σ s·JᵀBJ. The full Newton form has
         # a −Σ s·(JᵀBd)(JᵀBd)ᵀ correction that makes H indefinite far
         # from the optimum and breaks the Cholesky solve; dropping it is
         # the standard GN-NDT simplification and keeps every step a
         # descent direction.
-        hess = jnp.einsum("n,nak,nal->kl", s, j, bj)
+        hess = jnp.einsum("n,nak,nal->kl", s, j, bj,
+                          precision=jax.lax.Precision.HIGHEST)
         score = jnp.sum(s)
         return score, grad, hess
 
@@ -139,7 +141,8 @@ def _ndt_loop(src, src_mask, gaussians: NdtGaussians, init,
         norm = jnp.linalg.norm(delta)
         scale = jnp.where(norm > step_size, step_size / jnp.maximum(norm, 1e-12), 1.0)
         delta = delta * scale
-        new_t = se3_exp(delta) @ t_mat
+        new_t = jnp.matmul(se3_exp(delta), t_mat,
+                           precision=jax.lax.Precision.HIGHEST)
         return (new_t, it + 1, jnp.linalg.norm(delta), score)
 
     state0 = (init, jnp.int32(0), jnp.float32(jnp.inf), jnp.float32(0.0))

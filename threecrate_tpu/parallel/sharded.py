@@ -111,10 +111,12 @@ def _distributed_kabsch(moved, matched, w, axis_name):
                          precision=jax.lax.Precision.HIGHEST)
     h = jax.lax.psum(h_local, axis_name)
     u, _, vt = jnp.linalg.svd(h)
-    d = jnp.sign(jnp.linalg.det(vt.T @ u.T))
+    d = jnp.sign(jnp.linalg.det(
+        jnp.matmul(vt.T, u.T, precision=jax.lax.Precision.HIGHEST)))
     diag = jnp.diag(jnp.array([1.0, 1.0, 1.0], moved.dtype)).at[2, 2].set(d)
-    r = vt.T @ diag @ u.T
-    t = mu_t - r @ mu_s
+    r = jnp.matmul(jnp.matmul(vt.T, diag, precision=jax.lax.Precision.HIGHEST),
+                   u.T, precision=jax.lax.Precision.HIGHEST)
+    t = mu_t - jnp.matmul(r, mu_s, precision=jax.lax.Precision.HIGHEST)
     m = jnp.eye(4, dtype=moved.dtype)
     m = m.at[:3, :3].set(r)
     m = m.at[:3, 3].set(t)
@@ -150,7 +152,9 @@ def icp_sharded_loop(src, src_mask, tgt, tgt_mask, init, max_iterations,
         delta, new_mse, _ = icp_sharded_step(
             src, src_mask, tgt, tgt_mask, t_mat, max_corr_dist, axis_name)
         converged = jnp.abs(new_mse - mse) < conv_thresh
-        return (delta @ t_mat, mse, new_mse, it + 1, converged)
+        new_t = jnp.matmul(delta, t_mat,
+                           precision=jax.lax.Precision.HIGHEST)
+        return (new_t, mse, new_mse, it + 1, converged)
 
     state0 = (init, jnp.float32(jnp.inf), jnp.float32(jnp.inf),
               jnp.int32(0), jnp.bool_(False))

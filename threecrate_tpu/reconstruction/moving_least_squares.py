@@ -106,10 +106,12 @@ def _mls_project(points, mask, radius, max_neighbors, kernel, order, reg):
 
     b = _basis_terms(u, v, order)                  # (N, k, m)
     bw = b * w[..., None]
-    ata = jnp.einsum("nkm,nkl->nml", bw, b)
+    ata = jnp.einsum("nkm,nkl->nml", bw, b,
+                     precision=jax.lax.Precision.HIGHEST)
     m_dim = b.shape[-1]
     ata = ata + reg * jnp.eye(m_dim, dtype=ata.dtype)
-    atb = jnp.einsum("nkm,nk->nm", bw, h)
+    atb = jnp.einsum("nkm,nk->nm", bw, h,
+                     precision=jax.lax.Precision.HIGHEST)
     coef = jax.vmap(lambda a_, b_: jax.scipy.linalg.cho_solve(
         jax.scipy.linalg.cho_factor(a_), b_))(ata, atb)
 
