@@ -129,7 +129,16 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--max-points", type=int, default=None)
     ap.add_argument("--csv", type=Path, default=None)
+    ap.add_argument("--backend", default="auto",
+                    choices=("auto", "cpu", "tpu"),
+                    help="pin the jax backend (the container may "
+                         "force-register a remote TPU that env vars "
+                         "cannot override; 'cpu' makes local runs fast)")
     args = ap.parse_args()
+
+    if args.backend != "auto":
+        import jax
+        jax.config.update("jax_platforms", args.backend)
 
     import threecrate_tpu as tc
 

@@ -129,11 +129,20 @@ def _decompress_laz(data, header_size, n_vlrs, offset_to_points,
     if compressor not in (1, 2):
         raise UnsupportedError(
             f"LASzip compressor {compressor} (layered LASzip 3, point "
-            "formats 6+) not supported; formats 0-3 are")
+            "formats 6+) not supported; formats 0-3 are. The layered "
+            "POINT14 bitstream is deliberately not guessed at: no "
+            "LASzip-3 reference implementation, spec or sample corpus "
+            "is reachable from this build environment, and a "
+            "non-bit-exact decoder would silently corrupt real files "
+            "— convert with `laszip -i in.laz -o out.las` or write "
+            "point formats 0-3. Uncompressed LAS 1.4 formats 6/7 read "
+            "fine.")
     if fmt not in (0, 1, 2, 3):
         raise UnsupportedError(
             f"compressed LAS point format {fmt} needs the layered "
-            "LASzip 3 codec; only formats 0-3 are supported")
+            "LASzip 3 codec; only formats 0-3 are supported (see "
+            "compressor-3 note: convert with laszip, or use "
+            "uncompressed LAS for formats 6/7)")
     if rec_len != _POINT_FORMATS[fmt]:
         raise UnsupportedError(
             f"LAZ record has {rec_len - _POINT_FORMATS[fmt]} extra "
