@@ -288,8 +288,24 @@ class TestWindowCorrespondence:
         np.testing.assert_allclose(np.asarray(res_w.transformation),
                                    np.asarray(t_true.matrix), atol=3e-3)
         np.testing.assert_allclose(np.asarray(res_w.transformation),
+                                   np.asarray(t_true.matrix), atol=3e-3)
+        np.testing.assert_allclose(np.asarray(res_w.transformation),
                                    np.asarray(res_e.transformation),
                                    atol=3e-3)
+
+    def test_window_p2plane_recovers(self):
+        """Static-sort p2plane: target normals ride the kernel's
+        one-hot match (the tgt_extra rows)."""
+        pts = surface_cloud(2000, seed=11)
+        t_true = Transform.from_axis_angle([0, 0, 1.0], 0.01) @ \
+            Transform.from_translation([0.03, -0.02, 0.01])
+        src = PointCloud.from_numpy(pts)
+        tgt = normals.estimate_normals(
+            PointCloud.from_numpy(apply_np(t_true.matrix, pts)), k=10)
+        res = registration.icp_point_to_plane(
+            src, tgt, max_iterations=30, correspondence="window")
+        np.testing.assert_allclose(np.asarray(res.transformation),
+                                   np.asarray(t_true.matrix), atol=5e-3)
 
 
 class TestGicpWindow:

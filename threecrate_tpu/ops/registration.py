@@ -78,83 +78,112 @@ def _correspondence(tgt, tgt_mask, moved, src_mask, window: bool):
     return neighbors.knn(tgt, tgt_mask, moved, src_mask, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations", "window"))
+def _static_corr_setup(src, src_mask, tgt, tgt_mask, init, max_corr_dist,
+                       w_tiles, tgt_extra=None, tile=128):
+    """Static-sort correspondence: sorts run once per CALL, not per
+    iteration. Both clouds are Morton-sorted here, outside the
+    while_loop: the target never moves, and the SOURCE sort stays
+    spatially coherent under the rigid motion ICP applies ("nearby
+    in array ⇒ nearby in space" is motion-invariant), so neither
+    sort ever goes stale. The round-1 formulation re-sorted the 2M
+    src∪tgt union twice per iteration — 46 ms/iter at 1M; this one
+    runs the matching kernel from fixed sorted arrays with a
+    data-dependent target window (searchsorted tile-mean keys →
+    scalar-prefetch BlockSpecs) — no per-iteration sorts at all.
+
+    tgt_extra: optional (Nt, E) per-target payload (e.g. normals),
+    matched through the kernel's one-hot gather.
+
+    Returns ``match(t_mat) -> (moved, matched, ok, d2, extra)`` over
+    source-sorted rows: ``ok`` combines window validity, a 16x-median
+    trimmed-ICP gate (per-tile windows are approximate near Morton
+    discontinuities; the gate drops exactly those gross mismatches
+    while keeping every genuine correspondence) and the user's
+    max_correspondence_distance; downstream reductions must be
+    order-independent (weighted sums), never order-restoring.
+    """
+    from ..kernels.icp_pallas import icp_match_tiles
+    from . import morton
+
+    interp = jax.default_backend() != "tpu"
+    ns_pad = padding.round_up(src.shape[0], tile)
+    nt_pad = max(padding.round_up(tgt.shape[0], tile), w_tiles * tile)
+    src_p = jnp.pad(src.astype(jnp.float32),
+                    ((0, ns_pad - src.shape[0]), (0, 0)))
+    sm_p = jnp.pad(src_mask, (0, ns_pad - src.shape[0]))
+    tgt_p = jnp.pad(tgt.astype(jnp.float32),
+                    ((0, nt_pad - tgt.shape[0]), (0, 0)))
+    tm_p = jnp.pad(tgt_mask, (0, nt_pad - tgt.shape[0]))
+
+    mn_t, scale_t = morton.frame(tgt_p, tm_p)
+    keys_t = morton.keys_in_frame(tgt_p, tm_p, mn_t, scale_t)
+    ops = [keys_t, tgt_p[:, 0], tgt_p[:, 1], tgt_p[:, 2],
+           tm_p.astype(jnp.float32)]
+    n_extra = 0 if tgt_extra is None else tgt_extra.shape[1]
+    if n_extra:
+        ex_p = jnp.pad(tgt_extra.astype(jnp.float32),
+                       ((0, nt_pad - tgt_extra.shape[0]), (0, 0)))
+        ops += [ex_p[:, j] for j in range(n_extra)]
+    sorted_ops = jax.lax.sort(tuple(ops), num_keys=1)
+    keys_t_sorted, tx, ty, tz, tvf = sorted_ops[:5]
+    tgt_sorted_t = jnp.stack([tx, ty, tz], axis=0)
+    extra_sorted = (jnp.stack(sorted_ops[5:], axis=0) if n_extra else None)
+    # source sorted ONCE at its init pose, in the TARGET's lattice
+    # (aligned lattices keep src tiles contiguous in target order)
+    src_init = linalg.transform_points(init, src_p)
+    keys_s = morton.keys_in_frame(src_init, sm_p, mn_t, scale_t)
+    _, sx, sy, sz, svf = jax.lax.sort(
+        (keys_s, src_p[:, 0], src_p[:, 1], src_p[:, 2],
+         sm_p.astype(jnp.float32)), num_keys=1)
+    src_sorted = jnp.stack([sx, sy, sz], axis=1)      # (Ns, 3)
+    n_src_tiles = ns_pad // tile
+    n_tgt_tiles = nt_pad // tile
+    svf_tiles = svf.reshape(n_src_tiles, tile)
+    tile_w = jnp.maximum(jnp.sum(svf_tiles, axis=1), 1e-6)
+    max_d2 = max_corr_dist * max_corr_dist
+
+    def match(t_mat):
+        moved = linalg.transform_points(t_mat, src_sorted)
+        reps = jnp.sum(moved.reshape(n_src_tiles, tile, 3)
+                       * svf_tiles[:, :, None], axis=1) / tile_w[:, None]
+        rep_keys = morton.keys_in_frame(
+            reps, jnp.ones(n_src_tiles, bool), mn_t, scale_t)
+        pos = jnp.searchsorted(keys_t_sorted, rep_keys)
+        blk = jnp.clip(pos // tile - (w_tiles - 1) // 2, 0,
+                       max(n_tgt_tiles - w_tiles, 0)).astype(jnp.int32)
+        out = icp_match_tiles(moved.T, svf[None, :], tgt_sorted_t,
+                              tvf[None, :], blk, tile=tile,
+                              interpret=interp, w_tiles=w_tiles,
+                              tgt_extra=extra_sorted)
+        matched = out[0:3].T                           # (Ns, 3)
+        w_raw = out[3] > 0.5
+        extra = out[4:4 + n_extra] if n_extra else None
+        # exact d² from the matched coordinates (the kernel's
+        # expanded-form distances select correctly but cannot
+        # resolve the tiny residuals near convergence)
+        diff = moved - matched
+        d2 = jnp.where(w_raw, jnp.sum(diff * diff, axis=1), jnp.inf)
+        med = jnp.percentile(jnp.where(w_raw, d2, jnp.inf), 50.0)
+        gate = 16.0 * med                              # inf-safe
+        ok = w_raw & (d2 <= gate) & (d2 <= max_d2)
+        return moved, matched, ok, d2, extra
+
+    return match
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations", "window",
+                                             "w_tiles"))
 def _icp_p2p(src, src_mask, tgt, tgt_mask, init, max_iterations,
-             conv_thresh, max_corr_dist, window=False):
+             conv_thresh, max_corr_dist, window=False, w_tiles=6):
     n = src.shape[0]
 
-    # -- static-sort correspondence setup (once per CALL, not per
-    # iteration). Both clouds are Morton-sorted here, outside the
-    # while_loop: the target never moves, and the SOURCE sort stays
-    # spatially coherent under the rigid motion ICP applies ("nearby
-    # in array ⇒ nearby in space" is motion-invariant), so neither
-    # sort ever goes stale. The round-1 formulation re-sorted the 2M
-    # src∪tgt union twice per iteration — 46 ms/iter at 1M; this one
-    # runs the matching kernel from fixed sorted arrays with a
-    # data-dependent target window (searchsorted tile-mean keys →
-    # scalar-prefetch BlockSpecs) — no per-iteration sorts at all.
     if window:
-        from ..kernels.icp_pallas import W_TILES, icp_match_tiles
-        from . import morton
-
-        tile = 128
-        interp = jax.default_backend() != "tpu"
-        ns_pad = padding.round_up(src.shape[0], tile)
-        nt_pad = max(padding.round_up(tgt.shape[0], tile), W_TILES * tile)
-        src_p = jnp.pad(src.astype(jnp.float32),
-                        ((0, ns_pad - src.shape[0]), (0, 0)))
-        sm_p = jnp.pad(src_mask, (0, ns_pad - src.shape[0]))
-        tgt_p = jnp.pad(tgt.astype(jnp.float32),
-                        ((0, nt_pad - tgt.shape[0]), (0, 0)))
-        tm_p = jnp.pad(tgt_mask, (0, nt_pad - tgt.shape[0]))
-
-        mn_t, scale_t = morton.frame(tgt_p, tm_p)
-        keys_t = morton.keys_in_frame(tgt_p, tm_p, mn_t, scale_t)
-        keys_t_sorted, tx, ty, tz, tvf = jax.lax.sort(
-            (keys_t, tgt_p[:, 0], tgt_p[:, 1], tgt_p[:, 2],
-             tm_p.astype(jnp.float32)), num_keys=1)
-        tgt_sorted_t = jnp.stack([tx, ty, tz], axis=0)
-        # source sorted ONCE at its init pose, in the TARGET's lattice
-        # (aligned lattices keep src tiles contiguous in target order)
-        src_init = linalg.transform_points(init, src_p)
-        keys_s = morton.keys_in_frame(src_init, sm_p, mn_t, scale_t)
-        _, sx, sy, sz, svf = jax.lax.sort(
-            (keys_s, src_p[:, 0], src_p[:, 1], src_p[:, 2],
-             sm_p.astype(jnp.float32)), num_keys=1)
-        src_sorted = jnp.stack([sx, sy, sz], axis=1)      # (Ns, 3)
-        n_src_tiles = ns_pad // tile
-        n_tgt_tiles = nt_pad // tile
-        svf_tiles = svf.reshape(n_src_tiles, tile)
-        tile_w = jnp.maximum(jnp.sum(svf_tiles, axis=1), 1e-6)
-        max_d2 = max_corr_dist * max_corr_dist
+        static_match = _static_corr_setup(src, src_mask, tgt, tgt_mask,
+                                          init, max_corr_dist, w_tiles)
 
     def corr_and_fit(t_mat):
         if window:
-            moved = linalg.transform_points(t_mat, src_sorted)
-            reps = jnp.sum(moved.reshape(n_src_tiles, tile, 3)
-                           * svf_tiles[:, :, None], axis=1) \
-                / tile_w[:, None]
-            rep_keys = morton.keys_in_frame(
-                reps, jnp.ones(n_src_tiles, bool), mn_t, scale_t)
-            pos = jnp.searchsorted(keys_t_sorted, rep_keys)
-            blk = jnp.clip(pos // tile - (W_TILES - 1) // 2, 0,
-                           max(n_tgt_tiles - W_TILES, 0)).astype(jnp.int32)
-            out = icp_match_tiles(moved.T, svf[None, :], tgt_sorted_t,
-                                  tvf[None, :], blk, tile=tile,
-                                  interpret=interp)
-            matched = out[0:3].T                           # (Ns, 3)
-            d2 = out[3]
-            w_raw = out[4] > 0.5
-            # trimmed-ICP gate: per-tile windows are approximate near
-            # Morton discontinuities, so a small fraction of points
-            # match a non-nearest target at inflated distance. Gating
-            # at 16x the median matched d² drops exactly those gross
-            # mismatches (classic trimmed ICP) while keeping every
-            # genuine correspondence; the user's
-            # max_correspondence_distance still applies on top.
-            med = jnp.percentile(jnp.where(w_raw, d2, jnp.inf), 50.0)
-            gate = 16.0 * med                              # inf-safe
-            ok = w_raw & (d2 <= gate) & (d2 <= max_d2)
+            moved, matched, ok, d2, _ = static_match(t_mat)
             w = ok.astype(jnp.float32)
             delta = linalg.kabsch(moved, matched, w)
             n_ok = jnp.maximum(jnp.sum(w), 1.0)
@@ -235,10 +264,25 @@ def icp(source: PointCloud, target: PointCloud,
 # point-to-plane
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("max_iterations", "window"))
+@functools.partial(jax.jit, static_argnames=("max_iterations", "window",
+                                             "w_tiles"))
 def _icp_p2plane(src, src_mask, tgt, tgt_mask, tgt_normals, init,
-                 max_iterations, conv_thresh, max_corr_dist, window=False):
+                 max_iterations, conv_thresh, max_corr_dist, window=False,
+                 w_tiles=6):
+    if window:
+        # static-sort path: target normals ride the target sort and the
+        # kernel's one-hot match (3 extra payload rows)
+        static_match = _static_corr_setup(src, src_mask, tgt, tgt_mask,
+                                          init, max_corr_dist, w_tiles,
+                                          tgt_extra=tgt_normals)
+
     def step(t_mat):
+        if window:
+            moved, q, ok, d2, extra = static_match(t_mat)
+            nrm = extra.T                                 # (Ns, 3)
+            w = ok.astype(jnp.float32)
+            r = jnp.sum((moved - q) * nrm, axis=1)
+            return _p2plane_fit(moved, nrm, r, w, ok)
         moved = linalg.transform_points(t_mat, src)
         res = _correspondence(tgt, tgt_mask, moved, src_mask, window)
         idx = res.indices[:, 0]
@@ -248,6 +292,9 @@ def _icp_p2plane(src, src_mask, tgt, tgt_mask, tgt_normals, init,
         q = tgt[idx]
         nrm = tgt_normals[idx]
         r = jnp.sum((moved - q) * nrm, axis=1)           # signed plane dist
+        return _p2plane_fit(moved, nrm, r, w, ok)
+
+    def _p2plane_fit(moved, nrm, r, w, ok):
         a = jnp.concatenate([jnp.cross(moved, nrm), nrm], axis=1)  # (N, 6)
         aw = a * w[:, None]
         hi = jax.lax.Precision.HIGHEST
