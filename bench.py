@@ -31,6 +31,12 @@ Two timing disciplines, both reported:
 
 ICP (the other conceded workload) is reported as ms/iteration at 1M
 vs Open3D's published ~10 ms/iter at 121k (= 12.1 Mpt·iter/s).
+
+Additional lines (regression visibility for later rounds): voxel grid
+filter at 1M vs Open3D's published 4.8 Mpts/s, and the library-default
+normals path (the fused 2-window UNION merge "auto" picks above 65k
+points — near-exact quality; the headline "window_fast" line is the
+documented opt-in fast tier).
 """
 
 from __future__ import annotations
@@ -42,6 +48,7 @@ import numpy as np
 
 OPEN3D_NORMALS_MPTS_S = 0.121_000 * 1e6 / 104.543e-3 / 1e6   # = 1.1574
 OPEN3D_ICP_MPT_ITERS_S = 0.121_000 * 1e6 / 10.0e-3 / 1e6     # = 12.1
+OPEN3D_VOXEL_MPTS_S = 4.8   # published 121k-point voxel downsample rate
 
 
 def _kitti_like(n: int, seed: int = 0) -> np.ndarray:
@@ -100,6 +107,44 @@ def main() -> None:
         "value": round(per_iter * 1e3, 2),
         "unit": "ms/iter",
         "vs_baseline": round(icp_tput / OPEN3D_ICP_MPT_ITERS_S, 2),
+    }))
+
+    # ---- voxel grid filter at 1M (0.2 m) ----
+    from threecrate_tpu.ops.filtering import _voxel_grid
+
+    @jax.jit
+    def voxel_scalar(points, m):
+        pts_out, mask_out, _, n_out, _ = _voxel_grid(points, m, [],
+                                                     jnp.float32(0.2))
+        return jnp.sum(jnp.where(mask_out[:, None], pts_out, 0.0)) \
+            + n_out
+    tv = median_time(lambda: voxel_scalar(src, mask), warmup=2, iters=5,
+                     sync_fn=float)
+    print(json.dumps({
+        "metric": "voxel_filter_1M_throughput",
+        "value": round(n / tv / 1e6, 2),
+        "unit": "Mpts/s",
+        "vs_baseline": round(n / tv / 1e6 / OPEN3D_VOXEL_MPTS_S, 2),
+    }))
+
+    # ---- normals: library-default path (union merge) at 1M ----
+    def normals_union_scalar(points, m):
+        mn = jnp.min(jnp.where(m[:, None], points, big), 0)
+        mx = jnp.max(jnp.where(m[:, None], points, -big), 0)
+        vp = (mn + mx) * 0.5 + jnp.array([0.0, 0.0, 1.0]) * \
+            jnp.maximum(mx[2] - mn[2], 1.0)
+        nrm, curv, valid = _estimate(points, m, 10, False, jnp.float32(0.0),
+                                     vp, True, moments=True,
+                                     window_merge="union")
+        return jnp.sum(jnp.abs(nrm)) + jnp.sum(valid)
+
+    tu = median_time(lambda: jax.jit(normals_union_scalar)(src, mask),
+                     warmup=2, iters=5, sync_fn=float)
+    print(json.dumps({
+        "metric": "normals_default_1M_k10_single_dispatch",
+        "value": round(n / tu / 1e6, 3),
+        "unit": "Mpts/s",
+        "vs_baseline": round(n / tu / 1e6 / OPEN3D_NORMALS_MPTS_S, 2),
     }))
 
     # ---- normals: single-dispatch latency (tunnel RPC included) ----
