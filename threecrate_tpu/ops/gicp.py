@@ -75,9 +75,42 @@ def point_covariances(points, mask, k, epsilon, window=False):
     return cov, mask & enough
 
 
+_COV6 = ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))
+
+
+def _cov_to_cols(cov):
+    """(N, 3, 3) symmetric → (N, 6) unique columns [xx yy zz xy xz yz]."""
+    return jnp.stack([cov[:, i, j] for i, j in _COV6], axis=1)
+
+
+def _cols_to_cov(cols):
+    """(6, N) or (N, 6) unique columns → (N, 3, 3) symmetric."""
+    if cols.shape[0] == 6:
+        cols = cols.T
+    xx, yy, zz, xy, xz, yz = (cols[:, i] for i in range(6))
+    return jnp.stack([
+        jnp.stack([xx, xy, xz], -1),
+        jnp.stack([xy, yy, yz], -1),
+        jnp.stack([xz, yz, zz], -1)], -2)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iterations", "window"))
 def _gicp_loop(src, src_mask, src_cov, tgt, tgt_mask, tgt_cov, init,
                max_iterations, conv_thresh, max_corr, window=False):
+    if window:
+        # static-sort correspondence (see registration._static_corr_setup):
+        # sorts run once; per iteration the match kernel gathers the
+        # matched target's 6 covariance columns through its one-hot
+        # argmin, and the source covariances ride the one-time source
+        # sort — the previous formulation re-sorted the src∪tgt union
+        # every iteration (333 ms/iter at 1M).
+        from .registration import _static_corr_setup
+        static_match, src_cov6_s = _static_corr_setup(
+            src, src_mask, tgt, tgt_mask, init, max_corr, 6,
+            tgt_extra=_cov_to_cols(tgt_cov),
+            src_extra=_cov_to_cols(src_cov))
+        src_cov_s = _cols_to_cov(src_cov6_s)
+
     def cond(state):
         _, it, delta_norm, _ = state
         return (it < max_iterations) & (delta_norm >= conv_thresh)
@@ -85,12 +118,20 @@ def _gicp_loop(src, src_mask, src_cov, tgt, tgt_mask, tgt_cov, init,
     def body(state):
         t_mat, it, _, _ = state
         r_mat = t_mat[:3, :3]
-        moved = linalg.transform_points(t_mat, src)
         if window:
-            res = neighbors.knn_window_cross(tgt, tgt_mask, moved,
-                                             src_mask, 1, tile=128)
-        else:
-            res = neighbors.knn(tgt, tgt_mask, moved, src_mask, 1)
+            moved, matched, okb, d2, ex = static_match(t_mat)
+            ok = okb
+            w = ok.astype(jnp.float32)
+            tgt_cov_m = _cols_to_cov(ex)
+            c_s_rot = jnp.einsum("ij,njk,lk->nil", r_mat, src_cov_s,
+                                 r_mat,
+                                 precision=jax.lax.Precision.HIGHEST)
+            m = tgt_cov_m + c_s_rot
+            w_mat = inv3x3(m) * w[:, None, None]
+            r = moved - matched
+            return _gn_update(t_mat, it, moved, r, w_mat, w, ok)
+        moved = linalg.transform_points(t_mat, src)
+        res = neighbors.knn(tgt, tgt_mask, moved, src_mask, 1)
         idx = res.indices[:, 0]
         dist = res.distances[:, 0]
         ok = res.mask[:, 0] & src_mask & (dist <= max_corr)
@@ -103,8 +144,12 @@ def _gicp_loop(src, src_mask, src_cov, tgt, tgt_mask, tgt_cov, init,
         w_mat = inv3x3(m) * w[:, None, None]
 
         r = moved - tgt[idx]                          # (N, 3) residuals
+        return _gn_update(t_mat, it, moved, r, w_mat, w, ok)
+
+    def _gn_update(t_mat, it, moved, r, w_mat, w, ok):
         j = jnp.concatenate([-skew(moved), jnp.broadcast_to(
-            jnp.eye(3, dtype=src.dtype), (src.shape[0], 3, 3))], axis=2)  # (N,3,6)
+            jnp.eye(3, dtype=src.dtype),
+            (moved.shape[0], 3, 3))], axis=2)  # (N,3,6); N padded if window
 
         wj = jnp.einsum("nab,nbk->nak", w_mat, j)
         h = jnp.einsum("nak,nal->kl", j, wj,

@@ -79,7 +79,7 @@ def _correspondence(tgt, tgt_mask, moved, src_mask, window: bool):
 
 
 def _static_corr_setup(src, src_mask, tgt, tgt_mask, init, max_corr_dist,
-                       w_tiles, tgt_extra=None, tile=128):
+                       w_tiles, tgt_extra=None, src_extra=None, tile=128):
     """Static-sort correspondence: sorts run once per CALL, not per
     iteration. Both clouds are Morton-sorted here, outside the
     while_loop: the target never moves, and the SOURCE sort stays
@@ -91,10 +91,13 @@ def _static_corr_setup(src, src_mask, tgt, tgt_mask, init, max_corr_dist,
     data-dependent target window (searchsorted tile-mean keys →
     scalar-prefetch BlockSpecs) — no per-iteration sorts at all.
 
-    tgt_extra: optional (Nt, E) per-target payload (e.g. normals),
-    matched through the kernel's one-hot gather.
+    tgt_extra: optional (Nt, E) per-target payload (e.g. normals or
+    covariance columns), matched through the kernel's one-hot gather.
+    src_extra: optional (Ns, F) per-source payload reordered ONCE into
+    the source-sorted order (a row gather off the sort permutation).
 
-    Returns ``match(t_mat) -> (moved, matched, ok, d2, extra)`` over
+    Returns ``(match, src_extra_sorted)`` where
+    ``match(t_mat) -> (moved, matched, ok, d2, extra)`` over
     source-sorted rows: ``ok`` combines window validity, a 16x-median
     trimmed-ICP gate (per-tile windows are approximate near Morton
     discontinuities; the gate drops exactly those gross mismatches
@@ -132,10 +135,16 @@ def _static_corr_setup(src, src_mask, tgt, tgt_mask, init, max_corr_dist,
     # (aligned lattices keep src tiles contiguous in target order)
     src_init = linalg.transform_points(init, src_p)
     keys_s = morton.keys_in_frame(src_init, sm_p, mn_t, scale_t)
-    _, sx, sy, sz, svf = jax.lax.sort(
+    iota_s = jnp.arange(ns_pad, dtype=jnp.int32)
+    _, sx, sy, sz, svf, perm_s = jax.lax.sort(
         (keys_s, src_p[:, 0], src_p[:, 1], src_p[:, 2],
-         sm_p.astype(jnp.float32)), num_keys=1)
+         sm_p.astype(jnp.float32), iota_s), num_keys=1)
     src_sorted = jnp.stack([sx, sy, sz], axis=1)      # (Ns, 3)
+    src_extra_sorted = None
+    if src_extra is not None:
+        sx_p = jnp.pad(src_extra.astype(jnp.float32),
+                       ((0, ns_pad - src_extra.shape[0]), (0, 0)))
+        src_extra_sorted = sx_p[perm_s]               # one-time row gather
     n_src_tiles = ns_pad // tile
     n_tgt_tiles = nt_pad // tile
     svf_tiles = svf.reshape(n_src_tiles, tile)
@@ -168,7 +177,7 @@ def _static_corr_setup(src, src_mask, tgt, tgt_mask, init, max_corr_dist,
         ok = w_raw & (d2 <= gate) & (d2 <= max_d2)
         return moved, matched, ok, d2, extra
 
-    return match
+    return match, src_extra_sorted
 
 
 @functools.partial(jax.jit, static_argnames=("max_iterations", "window",
@@ -178,8 +187,8 @@ def _icp_p2p(src, src_mask, tgt, tgt_mask, init, max_iterations,
     n = src.shape[0]
 
     if window:
-        static_match = _static_corr_setup(src, src_mask, tgt, tgt_mask,
-                                          init, max_corr_dist, w_tiles)
+        static_match, _ = _static_corr_setup(src, src_mask, tgt, tgt_mask,
+                                             init, max_corr_dist, w_tiles)
 
     def corr_and_fit(t_mat):
         if window:
@@ -272,9 +281,9 @@ def _icp_p2plane(src, src_mask, tgt, tgt_mask, tgt_normals, init,
     if window:
         # static-sort path: target normals ride the target sort and the
         # kernel's one-hot match (3 extra payload rows)
-        static_match = _static_corr_setup(src, src_mask, tgt, tgt_mask,
-                                          init, max_corr_dist, w_tiles,
-                                          tgt_extra=tgt_normals)
+        static_match, _ = _static_corr_setup(src, src_mask, tgt, tgt_mask,
+                                             init, max_corr_dist, w_tiles,
+                                             tgt_extra=tgt_normals)
 
     def step(t_mat):
         if window:
