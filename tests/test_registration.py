@@ -293,6 +293,25 @@ class TestWindowCorrespondence:
                                    np.asarray(res_e.transformation),
                                    atol=3e-3)
 
+    def test_window_stays_converged_when_overiterated(self):
+        """Regression: with conv_thresh=0 the loop must grind at the
+        converged pose instead of entering the trimming-gate limit
+        cycle (at exact convergence d2 is f32 noise; an unfloored
+        16x-median gate shrinks the kept set until the Kabsch fit
+        degenerates and kicks the pose away — seen on hardware at 1M
+        around iteration 15)."""
+        pts = surface_cloud(2000, seed=3)
+        t_true = Transform.from_translation([0.04, -0.02, 0.015])
+        src = PointCloud.from_numpy(pts)
+        tgt = PointCloud.from_numpy(apply_np(t_true.matrix, pts))
+        # start AT the solution: every iteration sits in the noise
+        # regime where the unfloored gate collapses
+        res = registration.icp_point_to_point(
+            src, tgt, max_iterations=80, convergence_threshold=0.0,
+            correspondence="window", init=t_true)
+        np.testing.assert_allclose(np.asarray(res.transformation),
+                                   np.asarray(t_true.matrix), atol=1e-3)
+
     def test_window_p2plane_recovers(self):
         """Static-sort p2plane: target normals ride the kernel's
         one-hot match (the tgt_extra rows)."""

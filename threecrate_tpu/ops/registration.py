@@ -150,6 +150,9 @@ def _static_corr_setup(src, src_mask, tgt, tgt_mask, init, max_corr_dist,
     svf_tiles = svf.reshape(n_src_tiles, tile)
     tile_w = jnp.maximum(jnp.sum(svf_tiles, axis=1), 1e-6)
     max_d2 = max_corr_dist * max_corr_dist
+    # 1/scale_t = lattice cell size; GRID cells span the cloud extent
+    extent = morton.GRID / scale_t
+    noise_floor = (3e-6 * extent) ** 2
 
     def match(t_mat):
         moved = linalg.transform_points(t_mat, src_sorted)
@@ -173,7 +176,14 @@ def _static_corr_setup(src, src_mask, tgt, tgt_mask, init, max_corr_dist,
         diff = moved - matched
         d2 = jnp.where(w_raw, jnp.sum(diff * diff, axis=1), jnp.inf)
         med = jnp.percentile(jnp.where(w_raw, d2, jnp.inf), 50.0)
-        gate = 16.0 * med                              # inf-safe
+        # The gate needs an absolute floor: at exact convergence d² is
+        # pure f32 rounding noise (~(eps·coord)², position-dependent),
+        # and 16x its median is a gate that keeps an ever-shrinking,
+        # spatially biased subset — measured on hardware to degenerate
+        # the Kabsch fit around iteration ~15 and kick the pose into a
+        # limit cycle. The floor (~(3e-6·extent)²) is far above the
+        # noise, far below any real mismatch (≥ neighbor spacing²).
+        gate = jnp.maximum(16.0 * med, noise_floor)    # inf-safe
         ok = w_raw & (d2 <= gate) & (d2 <= max_d2)
         return moved, matched, ok, d2, extra
 
