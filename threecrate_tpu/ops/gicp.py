@@ -106,7 +106,7 @@ def _gicp_loop(src, src_mask, src_cov, tgt, tgt_mask, tgt_cov, init,
         # every iteration (333 ms/iter at 1M).
         from .registration import _static_corr_setup
         static_match, src_cov6_s = _static_corr_setup(
-            src, src_mask, tgt, tgt_mask, init, max_corr, 6,
+            src, src_mask, tgt, tgt_mask, init, max_corr, 4,
             tgt_extra=_cov_to_cols(tgt_cov),
             src_extra=_cov_to_cols(src_cov))
         src_cov_s = _cols_to_cov(src_cov6_s)
