@@ -93,3 +93,111 @@ class TestWindowNormalsTiles:
 @pytest.fixture
 def rng():
     return np.random.default_rng(3)
+
+
+class TestIcpMatchTiles:
+    """Static-sort ICP correspondence kernel (icp_pallas.icp_match_tiles):
+    packed [x,y,z,valid,extra...] target rows, sentinel invalid coords,
+    one-hot payload gather with tie averaging."""
+
+    @staticmethod
+    def _pack_src(pts, valid):
+        return jnp.concatenate(
+            [jnp.asarray(pts, jnp.float32).T,
+             jnp.asarray(valid, jnp.float32)[None, :]], axis=0)
+
+    @staticmethod
+    def _pack_tgt(pts, valid, extra=None):
+        pts = np.asarray(pts, np.float32).copy()
+        pts[~np.asarray(valid, bool)] = 2e19      # sentinel (see caller)
+        rows = [jnp.asarray(pts).T,
+                jnp.asarray(valid, jnp.float32)[None, :]]
+        if extra is not None:
+            rows.append(jnp.asarray(extra, jnp.float32).T)
+        return jnp.concatenate(rows, axis=0)
+
+    def test_exact_nearest_within_window(self, rng):
+        from threecrate_tpu.kernels.icp_pallas import icp_match_tiles
+        ns = 128
+        src = rng.normal(0, 1, (ns, 3)).astype(np.float32)
+        tgt = rng.normal(0, 1, (512, 3)).astype(np.float32)
+        out = icp_match_tiles(self._pack_src(src, np.ones(ns)),
+                              self._pack_tgt(tgt, np.ones(512)),
+                              jnp.zeros(1, jnp.int32), tile=128,
+                              w_tiles=4, interpret=True)
+        out = np.asarray(out)
+        d2 = ((src[:, None] - tgt[None]) ** 2).sum(-1)
+        ref = tgt[np.argmin(d2, axis=1)]
+        np.testing.assert_allclose(out[0:3].T, ref, atol=1e-6)
+        assert (out[3] > 0.5).all()
+
+    def test_extras_gathered_through_match(self, rng):
+        from threecrate_tpu.kernels.icp_pallas import icp_match_tiles
+        ns = 128
+        src = rng.normal(0, 1, (ns, 3)).astype(np.float32)
+        tgt = rng.normal(0, 1, (512, 3)).astype(np.float32)
+        extra = rng.normal(0, 1, (512, 2)).astype(np.float32)
+        out = np.asarray(icp_match_tiles(
+            self._pack_src(src, np.ones(ns)),
+            self._pack_tgt(tgt, np.ones(512), extra),
+            jnp.zeros(1, jnp.int32), tile=128, w_tiles=4, interpret=True))
+        idx = np.argmin(((src[:, None] - tgt[None]) ** 2).sum(-1), axis=1)
+        np.testing.assert_allclose(out[4:6].T, extra[idx], atol=1e-6)
+
+    def test_invalid_targets_never_matched(self, rng):
+        from threecrate_tpu.kernels.icp_pallas import icp_match_tiles
+        ns = 128
+        src = rng.normal(0, 1, (ns, 3)).astype(np.float32)
+        tgt = rng.normal(0, 1, (512, 3)).astype(np.float32)
+        valid = np.zeros(512); valid[:100] = 1
+        out = np.asarray(icp_match_tiles(
+            self._pack_src(src, np.ones(ns)),
+            self._pack_tgt(tgt, valid),
+            jnp.zeros(1, jnp.int32), tile=128, w_tiles=4, interpret=True))
+        d2 = ((src[:, None] - tgt[None, :100]) ** 2).sum(-1)
+        ref = tgt[:100][np.argmin(d2, axis=1)]
+        np.testing.assert_allclose(out[0:3].T, ref, atol=1e-6)
+
+    def test_all_invalid_window_flags_no_match(self, rng):
+        from threecrate_tpu.kernels.icp_pallas import icp_match_tiles
+        ns = 128
+        src = rng.normal(0, 1, (ns, 3)).astype(np.float32)
+        tgt = rng.normal(0, 1, (512, 3)).astype(np.float32)
+        out = np.asarray(icp_match_tiles(
+            self._pack_src(src, np.ones(ns)),
+            self._pack_tgt(tgt, np.zeros(512)),
+            jnp.zeros(1, jnp.int32), tile=128, w_tiles=4, interpret=True))
+        assert (out[3] < 0.5).all()
+
+    def test_exact_ties_average(self):
+        from threecrate_tpu.kernels.icp_pallas import icp_match_tiles
+        ns = 128
+        src = np.zeros((ns, 3), np.float32)
+        tgt = np.zeros((512, 3), np.float32)
+        tgt[:] = [5, 0, 0]
+        tgt[0] = [1, 0, 0]
+        tgt[1] = [-1, 0, 0]            # two exact-tie nearest points
+        out = np.asarray(icp_match_tiles(
+            self._pack_src(src, np.ones(ns)),
+            self._pack_tgt(tgt, np.ones(512)),
+            jnp.zeros(1, jnp.int32), tile=128, w_tiles=4, interpret=True))
+        np.testing.assert_allclose(out[0:3].T,
+                                   np.zeros((ns, 3)), atol=1e-6)
+
+    def test_window_offsets_respected(self, rng):
+        """Each source tile must search ONLY its window: put the true
+        match in tile 3 of the target and point the window there."""
+        from threecrate_tpu.kernels.icp_pallas import icp_match_tiles
+        ns = 128
+        # well-separated sources (spacing 1 >> the 0.01 shift), so each
+        # point's nearest target is unambiguously its own copy
+        src = np.stack([np.arange(ns), np.zeros(ns), np.zeros(ns)],
+                       -1).astype(np.float32)
+        tgt = np.full((1024, 3), 1e6, np.float32)
+        tgt[3 * 128:4 * 128] = src + 0.01       # matches live in tile 3
+        out = np.asarray(icp_match_tiles(
+            self._pack_src(src, np.ones(ns)),
+            self._pack_tgt(tgt, np.ones(1024)),
+            jnp.full((1,), 2, jnp.int32), tile=128, w_tiles=4,
+            interpret=True))
+        np.testing.assert_allclose(out[0:3].T, src + 0.01, atol=1e-5)

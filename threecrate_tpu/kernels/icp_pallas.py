@@ -70,14 +70,14 @@ def _icp_match_kernel(blk_ref, src_ref, *refs, w_tiles: int,
     q = srcp[0:3, :]
     win = jnp.concatenate([r[:] for r in win_refs], axis=1)  # (4+E, W·t)
     cand = win[0:3, :]
-    validf = win[3, :][None, :]
-
+    # invalid targets carry SENTINEL coords (2e19; see the caller), so
+    # their d² overflows to +inf with no validity compare/select sweeps
+    # over the (tile, W·tile) matrix.
     dx = cand[0, :][None, :] - q[0, :][:, None]          # (tile, W·tile)
     dy = cand[1, :][None, :] - q[1, :][:, None]
     dz = cand[2, :][None, :] - q[2, :][:, None]
     s = dx * dx + dy * dy + dz * dz
     inf = jnp.float32(jnp.inf)
-    s = jnp.where(validf > 0.5, s, inf)
 
     m = jnp.min(s, axis=1)                               # (tile,)
     # one-hot of the minima; exact f32 ties (distinct equidistant
@@ -85,15 +85,18 @@ def _icp_match_kernel(blk_ref, src_ref, *refs, w_tiles: int,
     # resolved by averaging the tied payloads
     chosen = ((s == m[:, None]) & (m[:, None] < inf)
               ).astype(jnp.float32)
-    cnt = jnp.maximum(jnp.sum(chosen, axis=1), 1.0)      # (tile,)
 
-    # matched coords + extras in ONE one-hot MXU gather (HIGHEST keeps
-    # the 1.0·payload products f32-exact)
-    pay = jnp.concatenate([cand, win[4:, :]], axis=0) if n_extra else cand
+    # matched coords + extras + the tie COUNT (a ones row) in ONE
+    # one-hot MXU gather (HIGHEST keeps the 1.0·payload products
+    # f32-exact)
+    ones = jnp.ones((1, cand.shape[1]), jnp.float32)
+    pay = jnp.concatenate([cand, win[4:, :], ones], axis=0) \
+        if n_extra else jnp.concatenate([cand, ones], axis=0)
     mt = jax.lax.dot_general(
         chosen, pay, (((1,), (1,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)              # (tile, 3+E)
+        preferred_element_type=jnp.float32)              # (tile, 4+E)
+    cnt = jnp.maximum(mt[:, 3 + n_extra], 1.0)           # (tile,)
     mt = mt / cnt[:, None]
 
     w = (srcp[3, :] > 0.5) & (m < inf)
