@@ -174,3 +174,20 @@ class TestMergeFuzz:
                 cand = np.concatenate([a[r], bb])
                 exp = cand[np.argsort(-cand, kind="stable")[:k]]
                 np.testing.assert_allclose(on[r], exp, atol=1e-6)
+
+
+def test_knn_window_cross_top1_matches_exact():
+    """Generic cross-cloud window kNN (the static-sort ICP kernel
+    superseded its use inside ICP, but it remains the public
+    cross-cloud fast path)."""
+    rng = np.random.default_rng(5)
+    db = rng.normal(0, 1, (600, 3)).astype(np.float32)
+    q = rng.normal(0, 1, (400, 3)).astype(np.float32)
+    res = neighbors.knn_window_cross(
+        jnp.asarray(db), jnp.ones(600, bool), jnp.asarray(q),
+        jnp.ones(400, bool), 1, tile=128)
+    d2 = ((q[:, None] - db[None]) ** 2).sum(-1)
+    ref = d2.min(1)
+    got = np.asarray(res.distances[:, 0]) ** 2
+    agree = np.isclose(got, ref, rtol=1e-4).mean()
+    assert agree > 0.97, agree

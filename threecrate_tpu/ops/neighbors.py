@@ -628,80 +628,6 @@ def knn_window_sorted(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
     return best_neg, best_idx, pts_a_rows, am > 0.5, perm_a
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "n_passes"))
-def icp_correspond_window_sorted(db_points, db_mask, queries, query_mask,
-                                 *, tile: int = 128, n_passes: int = 2):
-    """Top-1 cross-set correspondence, fully sort-resident.
-
-    The profiled killers of the gather/scatter formulation at 2M union
-    points were bool-layout gathers (233 ms), coordinate gathers
-    (127 ms) and element scatters (97 ms) — versus ~1.5 ms device
-    sorts. This variant never gathers or scatters: pass A sorts the
-    (db ∪ query) union with coordinates and flags as sort payloads; the
-    kernel emits the matched candidate *coordinates* (with_coords);
-    later passes re-sort everything INCLUDING pass-A's outputs as
-    payloads and merge elementwise. The result stays in last-pass order
-    — which is fine, because the ICP consumer (weighted Kabsch / MSE)
-    is order-independent masked sums.
-
-    Returns (own (U, 3), matched (U, 3), neg_sq_dist (U,),
-    is_query (U,)) in an arbitrary row order.
-    """
-    from . import morton
-    from ..kernels.knn_pallas import knn_window_tiles
-
-    nt = db_points.shape[0]
-    ns = queries.shape[0]
-    pts = jnp.concatenate([db_points.astype(jnp.float32),
-                           queries.astype(jnp.float32)], axis=0)
-    is_db = jnp.concatenate([db_mask, jnp.zeros((ns,), bool)]
-                            ).astype(jnp.float32)
-    isq_b = query_mask if query_mask is not None else jnp.ones((ns,), bool)
-    is_q = jnp.concatenate([jnp.zeros((nt,), bool), isq_b]
-                           ).astype(jnp.float32)
-    any_valid = jnp.concatenate([db_mask, isq_b])
-
-    u = nt + ns
-    u_pad = padding.round_up(u, tile)
-    if u_pad != u:
-        pts = jnp.pad(pts, ((0, u_pad - u), (0, 0)))
-        is_db = jnp.pad(is_db, (0, u_pad - u))
-        is_q = jnp.pad(is_q, (0, u_pad - u))
-        any_valid = jnp.pad(any_valid, (0, u_pad - u))
-    interp = jax.default_backend() != "tpu"
-    dummy_ids = jnp.zeros((1, u_pad), jnp.int32)
-
-    keys = morton.morton_keys(pts, any_valid, pass_index=0)
-    _, ax, ay, az, adb, aq = jax.lax.sort(
-        (keys, pts[:, 0], pts[:, 1], pts[:, 2], is_db, is_q), num_keys=1)
-    negT, _, crdT = knn_window_tiles(
-        jnp.stack([ax, ay, az], 0), adb[None, :], dummy_ids, 1, tile,
-        interpret=interp, with_coords=True)
-    best_neg = negT[0]
-    best_cx, best_cy, best_cz = crdT[0], crdT[1], crdT[2]
-
-    for p in range(1, n_passes):
-        rows = jnp.stack([ax, ay, az], 1)
-        keys_b = morton.morton_keys(rows, (adb + aq) > 0.5, pass_index=p)
-        # EVERYTHING rides the sort: coords, flags, and pass-A results
-        (_, ax, ay, az, adb, aq, best_neg,
-         best_cx, best_cy, best_cz) = jax.lax.sort(
-            (keys_b, ax, ay, az, adb, aq, best_neg,
-             best_cx, best_cy, best_cz), num_keys=1)
-        negT, _, crdT = knn_window_tiles(
-            jnp.stack([ax, ay, az], 0), adb[None, :], dummy_ids, 1, tile,
-            interpret=interp, with_coords=True)
-        better = negT[0] > best_neg
-        best_neg = jnp.where(better, negT[0], best_neg)
-        best_cx = jnp.where(better, crdT[0], best_cx)
-        best_cy = jnp.where(better, crdT[1], best_cy)
-        best_cz = jnp.where(better, crdT[2], best_cz)
-
-    own = jnp.stack([ax, ay, az], axis=1)
-    matched = jnp.stack([best_cx, best_cy, best_cz], axis=1)
-    return own, matched, best_neg, aq > 0.5
-
-
 @functools.partial(
     jax.jit, static_argnames=("k", "tile", "n_passes"))
 def knn_window_cross(db_points: jnp.ndarray, db_mask: jnp.ndarray,
