@@ -115,7 +115,8 @@ def main() -> None:
     @jax.jit
     def voxel_scalar(points, m):
         pts_out, mask_out, _, n_out, _ = _voxel_grid(points, m, [],
-                                                     jnp.float32(0.2))
+                                                     jnp.float32(0.2),
+                                                     want_inverse=False)
         return jnp.sum(jnp.where(mask_out[:, None], pts_out, 0.0)) \
             + n_out
     tv = median_time(lambda: voxel_scalar(src, mask), warmup=2, iters=5,

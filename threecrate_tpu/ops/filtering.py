@@ -37,8 +37,8 @@ class VoxelGridResult(NamedTuple):
     voxel_index: jnp.ndarray   # (N,) int32: output row each input point fell into
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _voxel_grid(points, mask, attrs_list, voxel_size):
+@functools.partial(jax.jit, static_argnames=("want_inverse",))
+def _voxel_grid(points, mask, attrs_list, voxel_size, want_inverse=True):
     n = points.shape[0]
     mn = jnp.min(jnp.where(mask[:, None], points, jnp.inf), axis=0)
     mn = jnp.where(jnp.isfinite(mn), mn, 0.0)  # all-masked cloud
@@ -75,9 +75,16 @@ def _voxel_grid(points, mask, attrs_list, voxel_size):
     out_attrs = [seg_mean(a[perm]) for a in attrs_list]
     out_mask = jnp.arange(n) < num_voxels
 
-    # map each input point to its output row (for downstream pyramids)
-    inv = jnp.zeros((n,), jnp.int32).at[perm].set(seg)
-    inv = jnp.where(mask, inv, -1)
+    # map each input point to its output row (for downstream pyramids).
+    # The (N,) scatter costs ~60 ms at 1M on v5e and XLA does NOT dead-
+    # code it through the nested jit, so it is opt-in: plain
+    # voxel_grid_filter skips it (want_inverse=False), only the
+    # _detailed variant pays for it.
+    if want_inverse:
+        inv = jnp.zeros((n,), jnp.int32).at[perm].set(seg)
+        inv = jnp.where(mask, inv, -1)
+    else:
+        inv = jnp.zeros((0,), jnp.int32)
     return out_points, out_mask, out_attrs, num_voxels, inv
 
 
@@ -96,7 +103,7 @@ def voxel_grid_filter(cloud: PointCloud, voxel_size: float,
     keys = sorted(cloud.attrs) if average_attrs else []
     pts, mask, attr_vals, _, _ = _voxel_grid(
         cloud.points, cloud.mask, [cloud.attrs[k] for k in keys],
-        jnp.float32(voxel_size))
+        jnp.float32(voxel_size), want_inverse=False)
     return PointCloud(pts, mask, dict(zip(keys, attr_vals)))
 
 
