@@ -154,10 +154,13 @@ class TestShardedVoxel:
         ref = voxel_grid_filter(PointCloud.from_numpy(pts), 0.3)
         ref_pts = np.asarray(ref.points)[np.asarray(ref.mask)]
         assert cent.shape[0] == ref_pts.shape[0]
-        # same centroid multiset (sort rows lexicographically)
+        # same centroid multiset (sort rows lexicographically); the
+        # single-device path now uses the chunked-prefix segmented
+        # reduce whose summation order differs from the per-shard
+        # segment sums — agreement is to f32 rounding, not bit-exact
         a = cent[np.lexsort(cent.T)]
         b = ref_pts[np.lexsort(ref_pts.T)]
-        np.testing.assert_allclose(a, b, atol=1e-5)
+        np.testing.assert_allclose(a, b, atol=1e-4)
 
     def test_cross_shard_voxels_merge(self):
         # identical coordinates scattered over every shard must fold to

@@ -336,3 +336,31 @@ class TestGicpWindow:
         res = gicp_mod.gicp(src, tgt, gicp_mod.GicpConfig(method="window"))
         np.testing.assert_allclose(np.asarray(res.transformation),
                                    np.asarray(t_true.matrix), atol=6e-3)
+
+
+class TestGicpNormalEquations:
+    def test_symbolic_matches_einsum(self):
+        """The expanded Gauss-Newton blocks (gicp._normal_equations)
+        must equal the (N,3,6) einsum formulation they replaced."""
+        from threecrate_tpu.core.transform import skew
+        from threecrate_tpu.ops.gicp import _normal_equations
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        n = 500
+        moved = jnp.asarray(rng.normal(0, 5, (n, 3)).astype(np.float32))
+        r = jnp.asarray(rng.normal(0, 1, (n, 3)).astype(np.float32))
+        wm = rng.normal(0, 1, (n, 3, 3)).astype(np.float32)
+        w_mat = jnp.asarray(wm + wm.transpose(0, 2, 1))
+        j = jnp.concatenate([-skew(moved), jnp.broadcast_to(
+            jnp.eye(3), (n, 3, 3))], axis=2)
+        wj = jnp.einsum("nab,nbk->nak", w_mat, j)
+        h_ref = jnp.einsum("nak,nal->kl", j, wj)
+        g_ref = jnp.einsum("nak,na->k", wj, r)
+        h, g = _normal_equations(moved, r, w_mat)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                                   rtol=3e-5, atol=3e-5 * float(
+                                       jnp.abs(h_ref).max()))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=3e-5, atol=3e-5 * float(
+                                       jnp.abs(g_ref).max()))

@@ -7,8 +7,11 @@ TPU-native rework of threecrate-algorithms/src/filtering.rs:
   centroids. A hash map is a pointer-chasing structure; on TPU the same
   grouping is a **lexicographic sort + segment reduction**: sort points
   by (z, y, x) voxel coordinate with ``lax.sort`` (multi-key, one fused
-  device sort), detect run boundaries, and ``segment_sum`` positions to
-  get per-voxel centroids. Same Open3D/PCL centroid semantics.
+  device sort), detect run boundaries, and reduce each run with the
+  scatter-free sorted segmented sum (``ops.segmented`` — a 1M-row
+  ``segment_sum`` scatter costs 46 ms on v5e; the chunked-prefix
+  formulation replaces it with cumsum + two small gathers). Same
+  Open3D/PCL centroid semantics.
 * ``statistical_outlier_removal`` (filtering.rs:249-321) and
   ``radius_outlier_removal`` (filtering.rs:167-213): both reduce to one
   kNN call plus masked global statistics — no tree, no rayon.
@@ -26,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.point_cloud import PointCloud
-from . import neighbors
+from . import neighbors, segmented
 
 _SENTINEL = jnp.int32(2**31 - 1)
 
@@ -47,32 +50,59 @@ def _voxel_grid(points, mask, attrs_list, voxel_size, want_inverse=True):
     coords = jnp.where(mask[:, None], coords, _SENTINEL)
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    # lexicographic (z, y, x) device sort; invalid rows sink to the end
-    sz, sy, sx, perm = jax.lax.sort(
-        (coords[:, 2], coords[:, 1], coords[:, 0], idx), num_keys=3)
+    # lexicographic (z, y, x) device sort; invalid rows sink to the end.
+    # The RELATIVE coordinates ride the sort as payloads (accumulating
+    # absolute georeferenced coords in f32 loses more than the voxel
+    # fraction promised in the docstring).
+    sz, sy, sx, rx, ry, rz, perm = jax.lax.sort(
+        (coords[:, 2], coords[:, 1], coords[:, 0],
+         rel[:, 0], rel[:, 1], rel[:, 2], idx), num_keys=3)
     sorted_coords = jnp.stack([sx, sy, sz], axis=1)
     sorted_valid = sz != _SENTINEL
 
     new_run = jnp.any(sorted_coords != jnp.roll(sorted_coords, 1, axis=0), axis=1)
     new_run = new_run.at[0].set(True)
     new_run = new_run & sorted_valid
-    seg = jnp.cumsum(new_run.astype(jnp.int32)) - 1  # (n,) segment id, -1 never (first is True if valid)
-    seg = jnp.where(sorted_valid, jnp.maximum(seg, 0), n - 1)  # invalid → last bucket
-
     num_voxels = jnp.sum(new_run).astype(jnp.int32)
 
-    def seg_mean(values_sorted):
-        sums = jax.ops.segment_sum(
-            jnp.where(sorted_valid[:, None], values_sorted, 0.0), seg, num_segments=n)
-        cnts = jax.ops.segment_sum(
-            sorted_valid.astype(jnp.float32), seg, num_segments=n)
-        return sums / jnp.maximum(cnts, 1.0)[:, None]
+    # per-voxel centroids via the scatter-free sorted segmented reduce
+    # (ops.segmented — the segment_sum scatter this replaces was 46 ms
+    # of the 58 ms device time at 1M on v5e)
+    vals = jnp.stack([rx, ry, rz], axis=1)
+    attr_cols = []
+    attr_shapes = []
+    for a in attrs_list:
+        a2 = a[perm]
+        was_1d = a2.ndim == 1
+        a2 = a2[:, None] if was_1d else a2
+        attr_shapes.append((a2.shape[1], was_1d))
+        attr_cols.append(a2.astype(jnp.float32))
+    allvals = jnp.concatenate([vals] + attr_cols, axis=1) \
+        if attr_cols else vals
 
-    # accumulate coordinates RELATIVE to the cloud minimum (f32 segment
-    # sums of absolute georeferenced coords — e.g. UTM, ~1e6 — lose more
-    # than the voxel fraction promised in the docstring), then shift back
-    out_points = seg_mean(rel[perm]) + mn
-    out_attrs = [seg_mean(a[perm]) for a in attrs_list]
+    n_pad = ((n + segmented.CHUNK - 1) // segmented.CHUNK) * segmented.CHUNK
+    if n_pad != n:
+        allvals = jnp.pad(allvals, ((0, n_pad - n), (0, 0)))
+        new_run_p = jnp.pad(new_run, (0, n_pad - n))
+        valid_p = jnp.pad(sorted_valid, (0, n_pad - n))
+    else:
+        new_run_p, valid_p = new_run, sorted_valid
+    sums = segmented.sorted_run_sums(allvals, new_run_p, valid_p)[:n]
+
+    # compact run-start rows to the front (stable single-key sort +
+    # row gather — no scatter)
+    comp_key = jnp.where(new_run, jnp.int32(0), jnp.int32(1))
+    _, order = jax.lax.sort((comp_key, idx), num_keys=1)
+    comp = sums[order]                       # (n, C+1), voxel rows first
+    cnt = jnp.maximum(comp[:, -1:], 1.0)
+    means = comp[:, :-1] / cnt
+    out_points = means[:, :3] + mn
+    out_attrs = []
+    col = 3
+    for w, was_1d in attr_shapes:
+        a_out = means[:, col:col + w]
+        out_attrs.append(a_out[:, 0] if was_1d else a_out)
+        col += w
     out_mask = jnp.arange(n) < num_voxels
 
     # map each input point to its output row (for downstream pyramids).
@@ -81,6 +111,8 @@ def _voxel_grid(points, mask, attrs_list, voxel_size, want_inverse=True):
     # voxel_grid_filter skips it (want_inverse=False), only the
     # _detailed variant pays for it.
     if want_inverse:
+        seg = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+        seg = jnp.where(sorted_valid, jnp.maximum(seg, 0), n - 1)
         inv = jnp.zeros((n,), jnp.int32).at[perm].set(seg)
         inv = jnp.where(mask, inv, -1)
     else:

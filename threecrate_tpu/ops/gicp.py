@@ -94,6 +94,64 @@ def _cols_to_cov(cols):
         jnp.stack([xz, yz, zz], -1)], -2)
 
 
+def _normal_equations(moved, r, w_mat):
+    """Gauss-Newton 6x6 system Σ JᵀWJ, Σ JᵀWr for J = [−skew(m) | I],
+    expanded symbolically.
+
+    The einsum formulation materialises two (N, 3, 6) intermediates
+    (72 MB each at 1M) — the xplane trace showed ~22 ms/iter of slices
+    and async-copies moving them. With H's block structure
+    [[−SWS, SW], [(SW)ᵀ, W]] (S = skew(m)) everything reduces to
+    elementwise products of the 6 unique W columns with m and r, summed
+    globally — one fused streaming pass.
+    """
+    a, b, c = moved[:, 0], moved[:, 1], moved[:, 2]
+    w0, w1, w2 = w_mat[:, 0, 0], w_mat[:, 1, 1], w_mat[:, 2, 2]
+    w3, w4, w5 = w_mat[:, 0, 1], w_mat[:, 0, 2], w_mat[:, 1, 2]
+    r0, r1, r2 = r[:, 0], r[:, 1], r[:, 2]
+
+    # B = S W  (rows of skew(m) times W)
+    b00 = -c * w3 + b * w4
+    b01 = -c * w1 + b * w5
+    b02 = -c * w5 + b * w2
+    b10 = c * w0 - a * w4
+    b11 = c * w3 - a * w5
+    b12 = c * w4 - a * w2
+    b20 = -b * w0 + a * w3
+    b21 = -b * w3 + a * w1
+    b22 = -b * w4 + a * w5
+
+    # A = −B S with S columns (0,c,−b), (−c,0,a), (b,−a,0); symmetric
+    a00 = -(b01 * c - b02 * b)
+    a01 = -(-b00 * c + b02 * a)
+    a02 = -(b00 * b - b01 * a)
+    a11 = -(-b10 * c + b12 * a)
+    a12 = -(b10 * b - b11 * a)
+    a22 = -(b20 * b - b21 * a)
+
+    # g = [B r, W r]
+    wr0 = w0 * r0 + w3 * r1 + w4 * r2
+    wr1 = w3 * r0 + w1 * r1 + w5 * r2
+    wr2 = w4 * r0 + w5 * r1 + w2 * r2
+    gt0 = b00 * r0 + b01 * r1 + b02 * r2
+    gt1 = b10 * r0 + b11 * r1 + b12 * r2
+    gt2 = b20 * r0 + b21 * r1 + b22 * r2
+
+    def s(x):
+        return jnp.sum(x)
+
+    h = jnp.array([
+        [s(a00), s(a01), s(a02), s(b00), s(b01), s(b02)],
+        [s(a01), s(a11), s(a12), s(b10), s(b11), s(b12)],
+        [s(a02), s(a12), s(a22), s(b20), s(b21), s(b22)],
+        [s(b00), s(b10), s(b20), s(w0), s(w3), s(w4)],
+        [s(b01), s(b11), s(b21), s(w3), s(w1), s(w5)],
+        [s(b02), s(b12), s(b22), s(w4), s(w5), s(w2)],
+    ])
+    g = jnp.array([s(gt0), s(gt1), s(gt2), s(wr0), s(wr1), s(wr2)])
+    return h, g
+
+
 @functools.partial(jax.jit, static_argnames=("max_iterations", "window"))
 def _gicp_loop(src, src_mask, src_cov, tgt, tgt_mask, tgt_cov, init,
                max_iterations, conv_thresh, max_corr, window=False):
@@ -147,19 +205,10 @@ def _gicp_loop(src, src_mask, src_cov, tgt, tgt_mask, tgt_cov, init,
         return _gn_update(t_mat, it, moved, r, w_mat, w, ok)
 
     def _gn_update(t_mat, it, moved, r, w_mat, w, ok):
-        j = jnp.concatenate([-skew(moved), jnp.broadcast_to(
-            jnp.eye(3, dtype=src.dtype),
-            (moved.shape[0], 3, 3))], axis=2)  # (N,3,6); N padded if window
-
-        wj = jnp.einsum("nab,nbk->nak", w_mat, j)
-        h = jnp.einsum("nak,nal->kl", j, wj,
-                       precision=jax.lax.Precision.HIGHEST)     # (6,6)
-        g = jnp.einsum("nak,na->k", wj, r,
-                       precision=jax.lax.Precision.HIGHEST)     # (6,)
+        h, g = _normal_equations(moved, r, w_mat)
         xi = -linalg.solve_psd(h, g, damping=1e-6)
         new_t = jnp.matmul(se3_exp(xi), t_mat,
                            precision=jax.lax.Precision.HIGHEST)
-        d2 = jnp.einsum("na,nab,nb->n", r, w_mat, r)
         n_ok = jnp.maximum(jnp.sum(w), 1.0)
         mse = jnp.sum(jnp.where(ok, jnp.sum(r * r, 1), 0.0)) / n_ok
         return (new_t, it + 1, jnp.linalg.norm(xi),
