@@ -87,15 +87,14 @@ def _voxel_grid(points, mask, attrs_list, voxel_size, want_inverse=True):
         valid_p = jnp.pad(sorted_valid, (0, n_pad - n))
     else:
         new_run_p, valid_p = new_run, sorted_valid
-    sums = segmented.sorted_run_sums(allvals, new_run_p, valid_p)[:n]
+    run_means, _ = segmented.sorted_run_means(allvals, new_run_p, valid_p)
+    run_means = run_means[:n]
 
     # compact run-start rows to the front (stable single-key sort +
     # row gather — no scatter)
     comp_key = jnp.where(new_run, jnp.int32(0), jnp.int32(1))
     _, order = jax.lax.sort((comp_key, idx), num_keys=1)
-    comp = sums[order]                       # (n, C+1), voxel rows first
-    cnt = jnp.maximum(comp[:, -1:], 1.0)
-    means = comp[:, :-1] / cnt
+    means = run_means[order]                 # (n, C), voxel rows first
     out_points = means[:, :3] + mn
     out_attrs = []
     col = 3
