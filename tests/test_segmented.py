@@ -34,14 +34,14 @@ def _runs(n, n_runs, rng, trailing_invalid=0):
     return starts, valid
 
 
-def _check(values, new_run, valid, chunk=256):
+def _check(values, new_run, valid):
     got = np.asarray(sorted_run_sums(jnp.asarray(values),
                                      jnp.asarray(new_run),
-                                     jnp.asarray(valid), chunk=chunk))
+                                     jnp.asarray(valid)))
     ref_sums, ref_cnts = _oracle(values, new_run, valid)
     flags = new_run & valid
     seg_of_start = np.cumsum(flags) - 1
-    # error bound: f32 prefix rounding ~ eps * chunk * |v|max
+    # error bound: sums stay at run magnitude (scan resets) ~ eps * run sum
     scale = np.abs(values).max() + 1
     for i in np.where(flags)[0]:
         j = seg_of_start[i]
@@ -93,8 +93,8 @@ def test_invalid_tail():
 
 
 def test_large_offset_precision():
-    """Georeferenced-scale coordinates: per-chunk centering must keep
-    run sums accurate where global-prefix differencing would not."""
+    """Georeferenced-scale coordinates: the scan's per-run resets keep
+    sums at run magnitude — no global prefixes to cancel."""
     rng = np.random.default_rng(5)
     n = 4096
     values = (rng.normal(0, 0.1, (n, 3)) + 5e5).astype(np.float32)

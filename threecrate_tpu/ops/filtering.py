@@ -9,9 +9,9 @@ TPU-native rework of threecrate-algorithms/src/filtering.rs:
   by (z, y, x) voxel coordinate with ``lax.sort`` (multi-key, one fused
   device sort), detect run boundaries, and reduce each run with the
   scatter-free sorted segmented sum (``ops.segmented`` — a 1M-row
-  ``segment_sum`` scatter costs 46 ms on v5e; the chunked-prefix
-  formulation replaces it with cumsum + two small gathers). Same
-  Open3D/PCL centroid semantics.
+  ``segment_sum`` scatter costs 46 ms on v5e; a segmented reverse
+  associative scan does the same reduction in log-depth fused passes).
+  Same Open3D/PCL centroid semantics.
 * ``statistical_outlier_removal`` (filtering.rs:249-321) and
   ``radius_outlier_removal`` (filtering.rs:167-213): both reduce to one
   kNN call plus masked global statistics — no tree, no rayon.
@@ -65,7 +65,7 @@ def _voxel_grid(points, mask, attrs_list, voxel_size, want_inverse=True):
     new_run = new_run & sorted_valid
     num_voxels = jnp.sum(new_run).astype(jnp.int32)
 
-    # per-voxel centroids via the scatter-free sorted segmented reduce
+    # per-voxel centroids via the scatter-free segmented reverse scan
     # (ops.segmented — the segment_sum scatter this replaces was 46 ms
     # of the 58 ms device time at 1M on v5e)
     vals = jnp.stack([rx, ry, rz], axis=1)
@@ -80,15 +80,8 @@ def _voxel_grid(points, mask, attrs_list, voxel_size, want_inverse=True):
     allvals = jnp.concatenate([vals] + attr_cols, axis=1) \
         if attr_cols else vals
 
-    n_pad = ((n + segmented.CHUNK - 1) // segmented.CHUNK) * segmented.CHUNK
-    if n_pad != n:
-        allvals = jnp.pad(allvals, ((0, n_pad - n), (0, 0)))
-        new_run_p = jnp.pad(new_run, (0, n_pad - n))
-        valid_p = jnp.pad(sorted_valid, (0, n_pad - n))
-    else:
-        new_run_p, valid_p = new_run, sorted_valid
-    run_means, _ = segmented.sorted_run_means(allvals, new_run_p, valid_p)
-    run_means = run_means[:n]
+    run_means, _ = segmented.sorted_run_means(allvals, new_run,
+                                              sorted_valid)
 
     # compact run-start rows to the front (stable single-key sort +
     # row gather — no scatter)
