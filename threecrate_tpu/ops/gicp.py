@@ -62,11 +62,31 @@ def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("k", "window"))
 def point_covariances(points, mask, k, epsilon, window=False):
-    """Per-point k-NN covariances, +ε·I regularised (gicp.rs:60-97)."""
+    """Per-point k-NN covariances, +ε·I regularised (gicp.rs:60-97).
+
+    The window path rides the fused 2-window UNION moments pipeline
+    (normals._union_window_sums): the pallas kernels emit each point's
+    neighborhood covariance sums directly, so no (N, k) neighbor ids or
+    gathers exist — ~2x the generic id-producing knn_window path this
+    replaces (which cost ~264 ms per 1M cloud)."""
     if window:
-        res = neighbors.knn_window(points, mask, k, tile=128, n_passes=2)
-    else:
-        res = neighbors.knn(points, mask, points, mask, k)
+        from .normals import _cov_from_sums, _union_window_sums
+        n = points.shape[0]
+        s, _, am, perm_a = _union_window_sums(points, mask, k)
+        cov_s, cnt = _cov_from_sums(s)
+        # restore original row order with an inverse-permutation row
+        # gather of the 6 unique covariance columns + count
+        cols = jnp.stack([cov_s[:, 0, 0], cov_s[:, 1, 1], cov_s[:, 2, 2],
+                          cov_s[:, 0, 1], cov_s[:, 0, 2], cov_s[:, 1, 2],
+                          cnt], axis=1)
+        iota = jnp.arange(perm_a.shape[0], dtype=jnp.int32)
+        _, inv_a = jax.lax.sort((perm_a, iota), num_keys=1)
+        cols = cols[inv_a][:n]
+        cov = _cols_to_cov(cols[:, :6])
+        cov = cov + epsilon * jnp.eye(3, dtype=cov.dtype)
+        enough = cols[:, 6] >= 4  # k≥4 for a stable covariance
+        return cov, mask & enough
+    res = neighbors.knn(points, mask, points, mask, k)
     nbr = points[res.indices]
     w = res.mask.astype(jnp.float32)
     _, cov = linalg.weighted_covariance(nbr, w)

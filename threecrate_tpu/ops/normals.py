@@ -220,24 +220,17 @@ def _estimate_window_moments(points, mask, k, viewpoint, orient,
     return normal, curv[:n], (vf[:n] > 0.5) & mask
 
 
-@functools.partial(jax.jit, static_argnames=("k", "orient", "tile", "band"))
-def _estimate_window_union(points, mask, k, viewpoint, orient,
-                           tile=256, band=16):
-    """Fully-fused 2-window UNION normals — round 1's 'open problem'.
+@functools.partial(jax.jit, static_argnames=("k", "tile", "band"))
+def _union_window_sums(points, mask, k, tile=256, band=16):
+    """The fused 2-window UNION pipeline up to the merged central sums.
 
-    Pick-tighter (``_estimate_window_moments``) keeps the better pass
-    per point but cannot repair points whose window is partial in BOTH
-    passes. A true union became possible once selection turned
-    radius-based (band kernels): central sums over disjoint candidate
-    sets simply ADD. Pass A emits query-centered sums + its radius
-    hiA; pass B (shifted Morton grid) sees each candidate's pass-A
-    POSITION (the sort payload) and accumulates, at radius hiA, only
-    candidates OUTSIDE the query's pass-A window — A + B-exclusive is
-    an exact union over windowA ∪ windowB at radius hiA. Where pass
-    B's own radius is tighter (hiB < hiA ⟺ pass A's window was poor),
-    B's full-window sums at hiB are used alone, dropping A's far
-    points — exactly the case pick-tighter handles. The eigensolve
-    happens once, XLA-side, on the merged sums.
+    Returns ``(s, pts_a_rows, am, perm_a)`` in pass-A sorted order over
+    the padded capacity: s (N, 10) = [count, Σc (3), Σc⊗c (6)] of each
+    point's ~k-NN window neighborhood (query-centered — see the union
+    kernels), pts_a_rows the sorted coordinates, am the sorted validity
+    (float), perm_a the original row of each sorted row. Shared by
+    normal estimation and GICP's per-point covariances (gicp.py), which
+    only differ in what they do with the moments.
     """
     from ..kernels.knn_pallas import (window_union_a_tiles,
                                       window_union_b_tiles)
@@ -280,7 +273,11 @@ def _estimate_window_union(points, mask, k, viewpoint, orient,
     use_b = sb[:, 20] < hi_a
     s_union = out_a[0:10].T + sb[:, 0:10]
     s = jnp.where(use_b[:, None], sb[:, 10:20], s_union)  # (N, 10)
+    return s, pts_a_rows, am, perm_a
 
+
+def _cov_from_sums(s):
+    """(N, 3, 3) covariance + count from the 10 central sums."""
     cnt = s[:, 0]
     inv_n = 1.0 / jnp.maximum(cnt, 1e-12)
     e1 = s[:, 1:4] * inv_n[:, None]
@@ -294,6 +291,32 @@ def _estimate_window_union(points, mask, k, viewpoint, orient,
         jnp.stack([cxx, cxy, cxz], -1),
         jnp.stack([cxy, cyy, cyz], -1),
         jnp.stack([cxz, cyz, czz], -1)], -2)
+    return cov, cnt
+
+
+@functools.partial(jax.jit, static_argnames=("k", "orient", "tile", "band"))
+def _estimate_window_union(points, mask, k, viewpoint, orient,
+                           tile=256, band=16):
+    """Fully-fused 2-window UNION normals — round 1's 'open problem'.
+
+    Pick-tighter (``_estimate_window_moments``) keeps the better pass
+    per point but cannot repair points whose window is partial in BOTH
+    passes. A true union became possible once selection turned
+    radius-based (band kernels): central sums over disjoint candidate
+    sets simply ADD. Pass A emits query-centered sums + its radius
+    hiA; pass B (shifted Morton grid) sees each candidate's pass-A
+    POSITION (the sort payload) and accumulates, at radius hiA, only
+    candidates OUTSIDE the query's pass-A window — A + B-exclusive is
+    an exact union over windowA ∪ windowB at radius hiA. Where pass
+    B's own radius is tighter (hiB < hiA ⟺ pass A's window was poor),
+    B's full-window sums at hiB are used alone, dropping A's far
+    points — exactly the case pick-tighter handles. The eigensolve
+    happens once, XLA-side, on the merged sums.
+    """
+    n = points.shape[0]
+    s, pts_a_rows, am, perm_a = _union_window_sums(points, mask, k,
+                                                   tile=tile, band=band)
+    cov, cnt = _cov_from_sums(s)
     normal_s, _ = linalg.smallest_eigenvector_sym3x3(cov)
     vals = linalg.eigvals_sym3x3(cov)
     tot = jnp.maximum(jnp.sum(vals, axis=-1), 1e-12)
