@@ -163,10 +163,13 @@ def _statistical_mask(points, mask, k, std_multiplier, window=False):
         cnt = jnp.maximum(jnp.sum(ok, axis=1) - 1, 1)
         mean_s = jnp.sum(jnp.where(ok, d, 0.0), axis=1) / cnt
         n = points.shape[0]
-        n_pad = perm_a.shape[0]
-        mean_dist = jnp.full((n_pad,), jnp.inf, jnp.float32).at[
-            jnp.clip(perm_a, 0, n_pad - 1)].set(
-            jnp.where(mask_a, mean_s, jnp.inf))[:n]
+        # restore original row order by a payload sort on the
+        # permutation ((N,) order-restoring scatters cost ~60 ms at 1M
+        # on v5e; a 2-payload sort is ~3 ms)
+        _, mean_dist_p, _ = jax.lax.sort(
+            (perm_a, jnp.where(mask_a, mean_s, jnp.inf),
+             mask_a.astype(jnp.float32)), num_keys=1)
+        mean_dist = mean_dist_p[:n]
     else:
         res = neighbors.knn(points, mask, points, mask, k,
                             exclude_self=True)

@@ -68,22 +68,39 @@ def build_gaussians(points, mask, resolution, min_points) -> NdtGaussians:
     sorted_pts = points[grid.perm]
     sorted_valid = grid.sorted_keys != jnp.int32(2**31 - 1)
 
-    run_id = jnp.cumsum(jnp.concatenate([
-        jnp.ones((1,), jnp.int32),
-        (grid.sorted_keys[1:] != grid.sorted_keys[:-1]).astype(jnp.int32)
-    ])) - 1
+    new_run = jnp.concatenate([
+        jnp.ones((1,), bool),
+        grid.sorted_keys[1:] != grid.sorted_keys[:-1]]) & sorted_valid
+    run_id = jnp.maximum(jnp.cumsum(new_run.astype(jnp.int32)) - 1, 0)
     run_id = jnp.where(sorted_valid, run_id, n - 1)
 
+    # two segmented reverse scans (ops.segmented — scatter-free; the
+    # three segment_sum scatters here cost ~46 ms each at 1M on v5e):
+    # cell means first, then mean-centered second moments (numerically
+    # stable vs E[xxᵀ]−μμᵀ). Cell-indexed rows come from one stable
+    # compaction sort shared by both passes.
+    from . import segmented
     w = sorted_valid.astype(jnp.float32)
-    cnt = jax.ops.segment_sum(w, run_id, num_segments=n)
-    sums = jax.ops.segment_sum(sorted_pts * w[:, None], run_id, num_segments=n)
-    means = sums / jnp.maximum(cnt, 1.0)[:, None]
-    # second moment relative to the cell mean (gathered back per point —
-    # numerically stable vs E[xxᵀ]−μμᵀ)
+    means_s, cnt_s = segmented.sorted_run_means(sorted_pts, new_run,
+                                                sorted_valid)
+    comp_key = jnp.where(new_run, jnp.int32(0), jnp.int32(1))
+    _, order = jax.lax.sort(
+        (comp_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    means = means_s[order]                      # (n, 3) cell-indexed
+    cnt = cnt_s[order]
+
     d = (sorted_pts - means[run_id]) * w[:, None]
-    outer = jnp.einsum("ni,nj->nij", d, d)
-    covs = jax.ops.segment_sum(outer, run_id, num_segments=n) \
-        / jnp.maximum(cnt - 1.0, 1.0)[:, None, None]
+    outer6 = jnp.stack([d[:, 0] * d[:, 0], d[:, 1] * d[:, 1],
+                        d[:, 2] * d[:, 2], d[:, 0] * d[:, 1],
+                        d[:, 0] * d[:, 2], d[:, 1] * d[:, 2]], axis=1)
+    cov_sums = segmented.sorted_run_sums(outer6, new_run,
+                                         sorted_valid)[:, :6][order]
+    denom = jnp.maximum(cnt - 1.0, 1.0)
+    xx, yy, zz, xy, xz, yz = (cov_sums[:, i] / denom for i in range(6))
+    covs = jnp.stack([
+        jnp.stack([xx, xy, xz], -1),
+        jnp.stack([xy, yy, yz], -1),
+        jnp.stack([xz, yz, zz], -1)], -2)
 
     # eigenvalue-floor regularisation: λᵢ ← max(λᵢ, 0.01·λmax)
     vals, vecs = linalg.eigh3x3(covs)

@@ -151,27 +151,24 @@ def build_voxel_grid(points: jnp.ndarray, mask: jnp.ndarray,
     new_run = new_run & (sorted_keys != _INVALID_KEY)
     n_cells = jnp.sum(new_run).astype(jnp.int32)
 
-    run_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1   # (n,), -1 only if row0 invalid
-    run_id = jnp.maximum(run_id, 0)
     pos = jnp.arange(n, dtype=jnp.int32)
     valid_sorted = sorted_keys != _INVALID_KEY
 
-    # compact run heads to the front: scatter-by-run_id with max-combine
-    # (non-head rows scatter a -inf/0 sentinel that max ignores)
-    neg_inf = jnp.int32(-2**31)
-    unique_keys = jnp.full((n,), neg_inf, jnp.int32).at[
-        jnp.where(new_run, run_id, n - 1)].max(
-        jnp.where(new_run, sorted_keys, neg_inf), mode="drop")
-    cell_starts = jnp.zeros((n,), jnp.int32).at[
-        jnp.where(new_run, run_id, n - 1)].max(
-        jnp.where(new_run, pos, 0), mode="drop")
-    counts = jax.ops.segment_sum(valid_sorted.astype(jnp.int32), run_id,
-                                 num_segments=n)
+    # per-cell counts via the scatter-free segmented scan, then ONE
+    # stable compaction sort brings run-head rows (key, start, count)
+    # to the front in cell order — replaces three 1M-row scatters
+    # (~46 ms each on v5e)
+    from . import segmented
+    cnt_s = segmented.sorted_run_sums(
+        jnp.zeros((n, 0), jnp.float32), new_run, valid_sorted)[:, 0]
+    comp_key = jnp.where(new_run, jnp.int32(0), jnp.int32(1))
+    _, uk, cs, cnt_c = jax.lax.sort(
+        (comp_key, sorted_keys, pos, cnt_s.astype(jnp.int32)), num_keys=1)
     # rows ≥ n_cells must be INVALID for searchsorted correctness
     row = jnp.arange(n)
-    unique_keys = jnp.where(row < n_cells, unique_keys, _INVALID_KEY)
-    cell_starts = jnp.where(row < n_cells, cell_starts, 0)
-    counts = jnp.where(row < n_cells, counts, 0)
+    unique_keys = jnp.where(row < n_cells, uk, _INVALID_KEY)
+    cell_starts = jnp.where(row < n_cells, cs, 0)
+    counts = jnp.where(row < n_cells, cnt_c, 0)
 
     return VoxelGrid(origin, dims, cell, sorted_keys, perm,
                      unique_keys, cell_starts, counts.astype(jnp.int32),
