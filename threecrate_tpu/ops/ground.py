@@ -92,52 +92,73 @@ def _patch_ids(points, mask, radii, rings, sectors, base, n_zones):
 def _rgpf(points, pid, n_patches, n_iters, seed_fraction, min_seeds,
           dist_thresh, uprightness, elevation_max, flatness_max,
           min_patch_points, sensor_height):
-    """Region-wise ground plane fitting over all patches at once."""
+    """Region-wise ground plane fitting over all patches at once.
+
+    Fully sorted-order: ONE (patch, z) sort puts every patch into a
+    contiguous run; per-run moments come from the scatter-free
+    segmented scans (ops.segmented), run data lives at the run-HEAD
+    rows and elements reach it through a forward-filled head index
+    (cummax) — no 1M-row scatters anywhere (the previous formulation
+    paid ~15 of them per call across its refit iterations).
+    """
+    from . import segmented
+
     n = points.shape[0]
     seg = jnp.where(pid >= 0, pid, n_patches)  # overflow bucket
     valid = pid >= 0
-    w_all = valid.astype(jnp.float32)
     n_seg = n_patches + 1
 
-    counts = jax.ops.segment_sum(w_all, seg, num_segments=n_seg)
-
-    # --- seed selection: lowest-z ``seed_fraction`` per patch ----------
-    order_pid, _, perm = jax.lax.sort(
-        (seg, points[:, 2], jnp.arange(n, dtype=jnp.int32)), num_keys=2)
-    # rank of each sorted row within its patch run
-    pos = jnp.arange(n, dtype=jnp.int32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    order_pid, z_s, x_s, y_s, perm = jax.lax.sort(
+        (seg, points[:, 2], points[:, 0], points[:, 1], iota), num_keys=2)
+    pts_s = jnp.stack([x_s, y_s, z_s], axis=1)
+    valid_s = order_pid < n_patches
     head = jnp.concatenate([jnp.ones((1,), bool),
                             order_pid[1:] != order_pid[:-1]])
-    start_by_seg = jnp.full((n_seg,), n, jnp.int32).at[order_pid].min(
-        jnp.where(head, pos, n), mode="drop")
-    rank = pos - start_by_seg[order_pid]
-    seed_n = jnp.maximum((counts * seed_fraction).astype(jnp.int32),
-                         min_seeds)
-    is_seed_sorted = rank < seed_n[order_pid]
-    w_seed = jnp.zeros((n,), jnp.float32).at[perm].set(
-        is_seed_sorted.astype(jnp.float32))
-    w_seed = w_seed * w_all
+    new_run = head & valid_s
+    pos = iota
+    # head row of each element's run (forward fill — rank inside run)
+    start_el = jnp.maximum(jax.lax.cummax(jnp.where(head, pos, -1)), 0)
+    rank = pos - start_el
 
-    # --- iterative refit ------------------------------------------------
-    def fit_planes(w):
-        wsum = jax.ops.segment_sum(w, seg, num_segments=n_seg)
-        mean = jax.ops.segment_sum(points * w[:, None], seg,
-                                   num_segments=n_seg) \
-            / jnp.maximum(wsum, 1.0)[:, None]
-        d = (points - mean[seg]) * jnp.sqrt(w)[:, None]
-        cov = jax.ops.segment_sum(jnp.einsum("ni,nj->nij", d, d), seg,
-                                  num_segments=n_seg) \
-            / jnp.maximum(wsum - 1.0, 1.0)[:, None, None]
-        nrm, lam0 = linalg.smallest_eigenvector_sym3x3(cov)
+    # per-patch valid counts at head rows → per element via head gather
+    cnt_head = segmented.sorted_run_sums(
+        jnp.zeros((n, 0), jnp.float32), new_run, valid_s)[:, 0]
+    cnt_el = cnt_head[start_el]
+
+    # --- seed selection: lowest-z ``seed_fraction`` per patch ----------
+    # (z is the second sort key, so rank orders each run by height)
+    seed_n_el = jnp.maximum((cnt_el * seed_fraction).astype(jnp.int32),
+                            min_seeds)
+    w_seed = (rank < seed_n_el) & valid_s
+
+    # --- iterative refit (all in sorted order) -------------------------
+    def fit_planes(w_bool):
+        s1 = segmented.sorted_run_sums(pts_s, new_run, w_bool)
+        s1e = s1[start_el]                        # (n, 4) per element
+        wsum = s1e[:, 3]
+        mean = s1e[:, :3] / jnp.maximum(wsum, 1.0)[:, None]
+        d = jnp.where(w_bool[:, None], pts_s - mean, 0.0)
+        outer6 = jnp.stack([d[:, 0] * d[:, 0], d[:, 1] * d[:, 1],
+                            d[:, 2] * d[:, 2], d[:, 0] * d[:, 1],
+                            d[:, 0] * d[:, 2], d[:, 1] * d[:, 2]], axis=1)
+        s2 = segmented.sorted_run_sums(outer6, new_run, w_bool)[
+            :, :6][start_el]
+        cc = s2 / jnp.maximum(wsum - 1.0, 1.0)[:, None]
+        cov = jnp.stack([
+            jnp.stack([cc[:, 0], cc[:, 3], cc[:, 4]], -1),
+            jnp.stack([cc[:, 3], cc[:, 1], cc[:, 5]], -1),
+            jnp.stack([cc[:, 4], cc[:, 5], cc[:, 2]], -1)], -2)
+        nrm, _ = linalg.smallest_eigenvector_sym3x3(cov)
         nrm = jnp.where((nrm[:, 2] < 0)[:, None], -nrm, nrm)  # face up
         dplane = -jnp.sum(nrm * mean, axis=1)
         vals = linalg.eigvals_sym3x3(cov)
         return nrm, dplane, mean, vals, wsum
 
-    def body(i, w):
-        nrm, dp, _, _, _ = fit_planes(w)
-        dist = jnp.abs(jnp.sum(points * nrm[seg], axis=1) + dp[seg])
-        return jnp.where(valid & (dist <= dist_thresh), 1.0, 0.0)
+    def body(i, w_bool):
+        nrm, dp, _, _, _ = fit_planes(w_bool)
+        dist = jnp.abs(jnp.sum(pts_s * nrm, axis=1) + dp)
+        return valid_s & (dist <= dist_thresh)
 
     w_final = jax.lax.fori_loop(0, n_iters, body, w_seed)
     nrm, dp, mean, vals, wsum = fit_planes(w_final)
@@ -145,16 +166,35 @@ def _rgpf(points, pid, n_patches, n_iters, seed_fraction, min_seeds,
     # --- patch validation (uprightness / elevation / flatness) ---------
     flat = jnp.maximum(vals[:, 0], 0.0) / jnp.maximum(
         jnp.sum(vals, axis=1), 1e-12)
-    ok = (counts >= min_patch_points) \
+    ok = (cnt_el >= min_patch_points) \
         & (jnp.abs(nrm[:, 2]) >= uprightness) \
         & (mean[:, 2] <= -sensor_height + elevation_max) \
         & (flat <= flatness_max) \
-        & (wsum >= 3)
-    ok = ok.at[n_patches].set(False)
+        & (wsum >= 3) & valid_s
 
-    dist = jnp.abs(jnp.sum(points * nrm[seg], axis=1) + dp[seg])
-    ground = valid & ok[seg] & (dist <= dist_thresh)
-    return ground, ok[:n_patches], nrm[:n_patches]
+    dist = jnp.abs(jnp.sum(pts_s * nrm, axis=1) + dp)
+    ground_s = ok & (dist <= dist_thresh)
+
+    # restore original row order with a payload sort (no scatter)
+    _, ground_f = jax.lax.sort(
+        (perm, ground_s.astype(jnp.float32)), num_keys=1)
+    ground = (ground_f > 0.5) & valid
+
+    # per-patch outputs: compact head rows (≤ n_seg of them) with one
+    # stable sort, then a tiny ≤n_seg-row scatter into patch-id order
+    comp_key = jnp.where(new_run, jnp.int32(0), jnp.int32(1))
+    key_c, pid_c, okf_c, nx_c, ny_c, nz_c = jax.lax.sort(
+        (comp_key, order_pid, ok.astype(jnp.float32),
+         nrm[:, 0], nrm[:, 1], nrm[:, 2]), num_keys=1)
+    # rows past the run heads carry non-head data — send them out of
+    # bounds so the scatter drops them
+    idx_c = jnp.where(key_c[:n_seg] == 0, pid_c[:n_seg], n_seg)
+    patch_ok = jnp.zeros((n_seg,), bool).at[idx_c].set(
+        okf_c[:n_seg] > 0.5, mode="drop")
+    patch_nrm = jnp.zeros((n_seg, 3), jnp.float32).at[idx_c].set(
+        jnp.stack([nx_c[:n_seg], ny_c[:n_seg], nz_c[:n_seg]], 1),
+        mode="drop")
+    return ground, patch_ok[:n_patches], patch_nrm[:n_patches]
 
 
 def patchwork_plus_plus(cloud: PointCloud,
