@@ -175,3 +175,67 @@ class TestShardedVoxel:
         np.testing.assert_allclose(
             np.asarray(cent)[np.asarray(vmask)][0], [0.1, 0.1, 0.1],
             atol=1e-6)
+
+
+class TestShardedWindowNormals:
+    def test_matches_local_window_path(self):
+        """Fused sharded normals (halo ppermute) vs the local
+        single-pass fused path on the same presorted cloud."""
+        import jax
+        import jax.numpy as jnp
+        from threecrate_tpu.ops.normals import _estimate
+        from threecrate_tpu.parallel import (make_sharded_normals_window,
+                                             morton_presort)
+        tile = 128
+        rng = np.random.default_rng(3)
+        xy = rng.uniform(-3, 3, (6000, 2)).astype(np.float32)
+        z = 0.3 * np.sin(xy[:, 0]) + 0.2 * np.cos(xy[:, 1] * 1.3)
+        pts = np.stack([xy[:, 0], xy[:, 1], z], -1).astype(np.float32)
+
+        mesh = make_mesh(8)
+        spts, smask, perm = morton_presort(pts, np.ones(len(pts), bool),
+                                           8, tile=tile)
+        vp = (0.0, 0.0, 10.0)
+        fn = make_sharded_normals_window(mesh, k=10, viewpoint=vp,
+                                         tile=tile)
+        nrm_sh, valid_sh = fn(put_sharded(jnp.asarray(spts), mesh),
+                              put_sharded(jnp.asarray(smask), mesh))
+        nrm_sh = np.asarray(nrm_sh)
+        valid_sh = np.asarray(valid_sh)
+
+        # local reference: single-pass fused moments path on the
+        # presorted array (identical candidate windows away from
+        # shard boundaries; halos repair the boundaries)
+        nrm_l, _, valid_l = _estimate(
+            jnp.asarray(spts), jnp.asarray(smask), 10, False,
+            jnp.float32(0.0), jnp.asarray(vp, jnp.float32), True,
+            moments=True, window_passes=1)
+        nrm_l = np.asarray(nrm_l); valid_l = np.asarray(valid_l)
+
+        both = valid_sh & valid_l & smask
+        assert both.sum() > 0.97 * smask.sum()
+        dots = np.abs((nrm_sh[both] * nrm_l[both]).sum(1)).clip(0, 1)
+        ang = np.degrees(np.arccos(dots))
+        # identical away from boundaries; small boundary-window
+        # differences are fine
+        assert np.percentile(ang, 95) < 5.0, np.percentile(ang, 95)
+        assert ang.mean() < 1.0, ang.mean()
+
+    def test_all_valid_on_plane(self):
+        import jax.numpy as jnp
+        from threecrate_tpu.parallel import (make_sharded_normals_window,
+                                             morton_presort)
+        rng = np.random.default_rng(5)
+        pts = np.stack([rng.uniform(-2, 2, 4000),
+                        rng.uniform(-2, 2, 4000),
+                        np.zeros(4000)], -1).astype(np.float32)
+        mesh = make_mesh(8)
+        spts, smask, _ = morton_presort(pts, np.ones(4000, bool), 8,
+                                        tile=128)
+        fn = make_sharded_normals_window(mesh, k=8, viewpoint=(0, 0, 5),
+                                         tile=128)
+        nrm, valid = fn(put_sharded(jnp.asarray(spts), mesh),
+                        put_sharded(jnp.asarray(smask), mesh))
+        nrm = np.asarray(nrm); valid = np.asarray(valid)
+        assert valid[np.asarray(smask)].mean() > 0.99
+        assert (np.abs(nrm[valid][:, 2]) > 0.99).all()

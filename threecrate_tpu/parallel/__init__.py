@@ -17,6 +17,8 @@ from .sharded import (
     make_sharded_icp,
     make_sharded_knn,
     make_sharded_normals,
+    make_sharded_normals_window,
+    morton_presort,
     make_sharded_outlier_stats,
     make_sharded_voxel_filter,
     ring_knn_local,
@@ -27,7 +29,8 @@ __all__ = [
     "replicated_spec", "shard_cloud_spec",
     "global_stats_local", "icp_sharded_loop", "icp_sharded_step",
     "make_sharded_batch_icp", "make_sharded_icp", "make_sharded_knn",
-    "make_sharded_normals", "make_sharded_outlier_stats",
+    "make_sharded_normals", "make_sharded_normals_window",
+    "morton_presort", "make_sharded_outlier_stats",
     "make_sharded_voxel_filter",
     "ring_knn_local",
 ]

@@ -294,6 +294,101 @@ def make_sharded_normals(mesh: Mesh, k: int = 10,
     return jax.jit(_run)
 
 
+def morton_presort(points, mask, n_devices: int, tile: int = 256):
+    """Host-side prep for the fused sharded-normals path: globally
+    Morton-sort the cloud and pad so every shard is a contiguous slice
+    of the sorted order with size % tile == 0.
+
+    Returns (points (N', 3), mask (N',), perm (N',)) where perm maps
+    sorted rows back to input rows (-1 for padding).
+    """
+    import numpy as np
+
+    from ..ops import morton
+
+    pts = jnp.asarray(points, jnp.float32)
+    m = jnp.asarray(mask, bool)
+    keys = morton.morton_keys(pts, m, pass_index=0)
+    order = np.asarray(jnp.argsort(keys))
+    pts_np = np.asarray(pts)[order]
+    m_np = np.asarray(m)[order]
+    n = pts_np.shape[0]
+    unit = n_devices * tile
+    n_pad = ((n + unit - 1) // unit) * unit
+    pad = n_pad - n
+    pts_np = np.pad(pts_np, ((0, pad), (0, 0)))
+    m_np = np.pad(m_np, (0, pad))
+    perm = np.pad(order.astype(np.int32), (0, pad), constant_values=-1)
+    return pts_np, m_np, perm
+
+
+def make_sharded_normals_window(mesh: Mesh, k: int = 10,
+                                viewpoint=(0.0, 0.0, 0.0),
+                                orient: bool = True, tile: int = 256,
+                                band: int = 16,
+                                axis_name: str = POINTS_AXIS):
+    """Fused-kernel distributed normals for SPATIALLY sharded clouds.
+
+    Requires the caller contract of ``morton_presort``: the global
+    array is Morton-sorted and each shard holds a contiguous slice
+    whose size is a multiple of ``tile``. Each shard then runs the
+    fused window-normals pallas kernel (select + covariance + Jacobi
+    eigensolve in VMEM) on its own slice, with a ONE-TILE HALO
+    exchanged via ``ppermute`` so windows that straddle a shard
+    boundary see their missing candidates — the halo is exactly the
+    neighbouring shard's edge tile because shard slices continue the
+    global sorted order. Single-pass quality tier (the 2-pass merges
+    need a second global sort order, which would be a cross-shard
+    redistribution); ~0.5° mean error vs exact on scan data — see
+    docs/benchmarks.md.
+
+    Compute per device is O(shard · window) versus the ring version's
+    O(shard · cloud): use this for the flagship large-N path, and
+    ``make_sharded_normals`` when the sharding is arbitrary.
+    """
+    from ..kernels.knn_pallas import window_normals_tiles
+
+    spec_pts = P(axis_name)
+    vp = jnp.asarray(viewpoint, jnp.float32)
+    n_dev = mesh.shape[axis_name]
+    fwd = [(i, i + 1) for i in range(n_dev - 1)]   # send right
+    bwd = [(i + 1, i) for i in range(n_dev - 1)]   # send left
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec_pts, spec_pts),
+        out_specs=(spec_pts, spec_pts),
+        check_vma=False)
+    def _run(pts, mask):
+        s = pts.shape[0]
+        mf = mask.astype(jnp.float32)
+        # halo: my LAST tile goes right (their left halo), my FIRST
+        # tile goes left; absent senders at the ring ends yield zeros
+        # (invalid halo — exactly right for the edge shards)
+        left_pts = jax.lax.ppermute(pts[-tile:], axis_name, fwd)
+        left_mf = jax.lax.ppermute(mf[-tile:], axis_name, fwd)
+        right_pts = jax.lax.ppermute(pts[:tile], axis_name, bwd)
+        right_mf = jax.lax.ppermute(mf[:tile], axis_name, bwd)
+        ext = jnp.concatenate([left_pts, pts, right_pts], axis=0)
+        ext_mf = jnp.concatenate([left_mf, mf, right_mf], axis=0)
+
+        interp = jax.default_backend() != "tpu"
+        out = window_normals_tiles(ext.T, ext_mf[None, :], k, tile,
+                                   interpret=interp, band=band)
+        out = out[:, tile:tile + s]                  # drop halo rows
+        normal = out[0:3].T
+        cnt = out[4]
+        valid = mask & (cnt >= 3)
+        if orient:
+            to_vp = vp[None, :] - pts
+            flip = jnp.sum(normal * to_vp, axis=-1) < 0
+            normal = jnp.where(flip[:, None], -normal, normal)
+        normal = jnp.where(valid[:, None], normal, 0.0)
+        return normal, valid
+
+    return jax.jit(_run)
+
+
 def make_sharded_voxel_filter(mesh: Mesh, voxel_size: float,
                               axis_name: str = POINTS_AXIS):
     """Jitted distributed voxel-grid downsample over a points-sharded
