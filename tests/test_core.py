@@ -214,3 +214,25 @@ class TestOrganized:
         opc = OrganizedPointCloud.from_numpy(np.zeros((3, 5, 3), np.float32))
         pts, mask = opc.ring(1)
         assert pts.shape == (5, 3)
+
+
+class TestPack:
+    def test_pack_moves_valid_to_front(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from threecrate_tpu import PointCloud
+        pts = np.arange(30, dtype=np.float32).reshape(10, 3)
+        mask = np.array([0, 1, 0, 1, 1, 0, 0, 1, 0, 1], bool)
+        pc = PointCloud.from_points(pts, mask,
+                                    intensity=np.arange(10.0,
+                                                        dtype=np.float32))
+        packed = jax.jit(lambda c: c.pack())(pc)
+        m = np.asarray(packed.mask)
+        assert m[:5].all() and not m[5:].any()
+        np.testing.assert_array_equal(np.asarray(packed.points)[:5],
+                                      pts[mask])
+        np.testing.assert_array_equal(
+            np.asarray(packed.attrs["intensity"])[:5],
+            np.arange(10.0)[mask])
+        assert packed.capacity == pc.capacity

@@ -192,3 +192,18 @@ class PointCloud:
         pts = np.asarray(self.points)[m]
         attrs = {k: np.asarray(v)[m] for k, v in self.attrs.items()}
         return PointCloud.from_numpy(pts, pad_multiple=pad_multiple, **attrs)
+
+    def pack(self) -> "PointCloud":
+        """Device-side repack: valid rows to the front, SAME capacity.
+
+        Fully jittable (shape-preserving): one stable single-key sort
+        with the rows as payloads, no scatters — use inside fused
+        device pipelines where ``compact()``'s host round-trip would
+        break the jit. Row order among valid points is preserved.
+        """
+        n = self.capacity
+        key = jnp.where(self.mask, jnp.int32(0), jnp.int32(1))
+        iota = jnp.arange(n, dtype=jnp.int32)
+        _, order = jax.lax.sort((key, iota), num_keys=1)
+        return PointCloud(self.points[order], self.mask[order],
+                          {k: v[order] for k, v in self.attrs.items()})
