@@ -145,3 +145,40 @@ class TestGlobalRegistration:
             global_registration.global_registration_with_features(
                 pc1, pc1, res.descriptors, res.valid,
                 res.descriptors, jnp.zeros_like(res.valid), cfg)
+
+
+class TestFusedFpfh:
+    def test_fused_matches_staged_window(self):
+        """The fully-fused pallas FPFH must reproduce the id-staged
+        window formulation (same windows, same Darboux binning)."""
+        import jax.numpy as jnp
+        from threecrate_tpu.ops import features
+        rng = np.random.default_rng(0)
+        n = 2000
+        xy = rng.uniform(-2, 2, (n, 2)).astype(np.float32)
+        z = 0.3 * np.sin(xy[:, 0] * 2) + 0.2 * np.cos(xy[:, 1] * 1.5)
+        pts = np.stack([xy[:, 0], xy[:, 1], z], -1).astype(np.float32)
+        nrm = np.zeros((n, 3), np.float32)
+        nrm[:, 2] = 1.0
+        nrm[:, 0] = 0.2 * np.sin(xy[:, 0])
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        pj, mj, nj = jnp.asarray(pts), jnp.ones(n, bool), jnp.asarray(nrm)
+        d_f, v_f = features._fpfh_fused(pj, mj, nj, 0.3, tile=128)
+        d_s, v_s = features._fpfh(pj, mj, nj, jnp.float32(0.3), 64, 11,
+                                  True)
+        vb = np.asarray(v_f) & np.asarray(v_s)
+        assert vb.mean() > 0.99
+        l1 = np.abs(np.asarray(d_f)[vb] - np.asarray(d_s)[vb]).sum(1)
+        # descriptors sum to 300; the atan2 polynomial and all-in-radius
+        # vs capped-k differences stay at noise level on this density
+        assert np.percentile(l1, 95) < 1.0, np.percentile(l1, 95)
+
+    def test_atan2_approx_accuracy(self):
+        from threecrate_tpu.kernels.fpfh_pallas import _atan2_approx
+        import jax.numpy as jnp
+        rng = np.random.default_rng(1)
+        y = rng.normal(0, 2, 5000).astype(np.float32)
+        x = rng.normal(0, 2, 5000).astype(np.float32)
+        got = np.asarray(_atan2_approx(jnp.asarray(y), jnp.asarray(x)))
+        ref = np.arctan2(y, x)
+        assert np.abs(got - ref).max() < 6e-3

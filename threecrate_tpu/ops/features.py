@@ -100,6 +100,93 @@ class FpfhResult(NamedTuple):
     valid: jnp.ndarray        # (N,)
 
 
+@functools.partial(jax.jit, static_argnames=("radius", "tile"))
+def _fpfh_fused(points, mask, normals_arr, radius: float, tile=256):
+    """Fully-fused window FPFH: no neighbor ids, no gathers of point
+    data — the pallas kernels (kernels/fpfh_pallas.py) bin the Darboux
+    features and weight neighbor SPFHs directly from the Morton-window
+    candidates, with the same 2-pass shifted-lattice UNION as the
+    normals path (fixed radius ⇒ disjoint-window histograms add).
+    Traced ~4x faster than the id-staged formulation it replaces.
+
+    Uses every in-radius window candidate (the staged path capped at
+    max_neighbors — PCL semantics use all in-radius neighbors, so this
+    is closer, and histograms are count-normalised either way).
+    """
+    from ..kernels.fpfh_pallas import (fpfh_weight_a_tiles,
+                                       fpfh_weight_b_tiles,
+                                       spfh_a_tiles, spfh_b_tiles)
+    from . import morton
+    from ..utils import padding as _pad
+
+    n = points.shape[0]
+    n_pad = _pad.round_up(n, tile)
+    pts = points.astype(jnp.float32)
+    nrm = normals_arr.astype(jnp.float32)
+    if n_pad != n:
+        pts = jnp.pad(pts, ((0, n_pad - n), (0, 0)))
+        nrm = jnp.pad(nrm, ((0, n_pad - n), (0, 0)))
+        mask_p = jnp.pad(mask, (0, n_pad - n))
+    else:
+        mask_p = mask
+    interp = jax.default_backend() != "tpu"
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
+    r2 = float(radius) * float(radius)
+
+    keys_a = morton.morton_keys(pts, mask_p, pass_index=0)
+    _, ax, ay, az, am, anx, any_, anz, perm_a = jax.lax.sort(
+        (keys_a, pts[:, 0], pts[:, 1], pts[:, 2],
+         mask_p.astype(jnp.float32), nrm[:, 0], nrm[:, 1], nrm[:, 2],
+         iota), num_keys=1)
+    packed_a = jnp.stack([ax, ay, az, am, anx, any_, anz], axis=0)
+    spfh_a = spfh_a_tiles(packed_a, r2, tile, interpret=interp)  # (34,N)
+
+    pts_a_rows = jnp.stack([ax, ay, az], axis=1)
+    keys_b = morton.morton_keys(pts_a_rows, am > 0.5, pass_index=1)
+    _, bx, by, bz, bm, bnx, bny, bnz, row_a = jax.lax.sort(
+        (keys_b, ax, ay, az, am, anx, any_, anz, iota), num_keys=1)
+    packed_b = jnp.stack([bx, by, bz, bm, bnx, bny, bnz], axis=0)
+    spfh_b = spfh_b_tiles(packed_b, row_a[None, :], r2, tile,
+                          interpret=interp)
+
+    _, inv_b = jax.lax.sort((row_a, iota), num_keys=1)
+    spfh_raw = spfh_a.T + spfh_b.T[inv_b]                # (N, 34) A-order
+    cnt = spfh_raw[:, 33]
+    spfh = spfh_raw[:, :33] / jnp.maximum(cnt, 1.0)[:, None]
+
+    # ---- stage 2: FPFH(p) = SPFH(p) + (1/k)·Σ (1/d)·SPFH(q) ----
+    packed2_a = jnp.concatenate(
+        [packed_a[0:4], spfh.T], axis=0)                 # (37, N)
+    w_a = fpfh_weight_a_tiles(packed2_a, r2, tile, interpret=interp)
+    spfh_b_order = spfh[row_a]                            # (N, 33) B-order
+    packed2_b = jnp.concatenate(
+        [packed_b[0:4], spfh_b_order.T], axis=0)
+    w_b = fpfh_weight_b_tiles(packed2_b, row_a[None, :], r2, tile,
+                              interpret=interp)
+    w_raw = w_a.T + w_b.T[inv_b]                          # (N, 34)
+    k_eff = jnp.maximum(w_raw[:, 33], 1.0)
+    fpfh = spfh + w_raw[:, :33] / k_eff[:, None]
+
+    # per-sub-histogram renormalisation to 100 (PCL convention)
+    out = []
+    for b in range(3):
+        blk = fpfh[:, b * N_BINS_FPFH:(b + 1) * N_BINS_FPFH]
+        s = jnp.maximum(jnp.sum(blk, axis=1, keepdims=True), 1e-12)
+        out.append(blk / s * 100.0)
+    desc_s = jnp.concatenate(out, axis=-1)
+    valid_s = (am > 0.5) & (cnt >= 3)
+    desc_s = jnp.where(valid_s[:, None], desc_s, 0.0)
+
+    # restore original order with one inverse-permutation row gather
+    _, inv_a = jax.lax.sort((perm_a, iota), num_keys=1)
+    desc = desc_s[inv_a][:n]
+    valid = valid_s[inv_a][:n]
+    return desc, valid & mask
+
+
+N_BINS_FPFH = 11
+
+
 @functools.partial(jax.jit, static_argnames=("max_neighbors", "n_bins",
                                              "window"))
 def _fpfh(points, mask, normals_arr, radius, max_neighbors, n_bins,
@@ -180,9 +267,13 @@ def extract_fpfh_features_with_normals(cloud: PointCloud,
         raise InvalidDataError("FPFH requires normals on the cloud")
     window = (config.method == "window"
               or (config.method == "auto" and cloud.capacity > 262144))
-    desc, valid = _fpfh(cloud.points, cloud.mask, cloud.normals,
-                        jnp.float32(config.radius), config.max_neighbors,
-                        config.n_bins, window)
+    if window and config.n_bins == 11:
+        desc, valid = _fpfh_fused(cloud.points, cloud.mask, cloud.normals,
+                                  float(config.radius))
+    else:
+        desc, valid = _fpfh(cloud.points, cloud.mask, cloud.normals,
+                            jnp.float32(config.radius),
+                            config.max_neighbors, config.n_bins, window)
     return FpfhResult(desc, valid)
 
 
