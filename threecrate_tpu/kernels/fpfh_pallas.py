@@ -138,9 +138,9 @@ def _spfh_a_kernel(prev_ref, self_ref, next_ref, out_ref, *, r2: float):
     cn = jnp.concatenate(
         [prev_ref[4:7, :], self_ref[4:7, :], next_ref[4:7, :]], axis=1)
     tile = self_ref.shape[1]
-    okp = jnp.where(t > 0, prev_ref[3, :], 0.0)
-    okn = jnp.where(t < n_t - 1, next_ref[3, :], 0.0)
-    validf = jnp.concatenate([okp, self_ref[3, :], okn])[None, :]
+    okp = jnp.where(t > 0, prev_ref[3:4, :], 0.0)
+    okn = jnp.where(t < n_t - 1, next_ref[3:4, :], 0.0)
+    validf = jnp.concatenate([okp, self_ref[3:4, :], okn], axis=1)
     _pair_hist(q, qn, cand, cn, validf > 0.5, jnp.float32(r2), out_ref, 0)
 
 
@@ -158,16 +158,16 @@ def _spfh_b_kernel(prev_ref, self_ref, next_ref, pp_ref, sp_ref, np_ref,
         [prev_ref[0:3, :], self_ref[0:3, :], next_ref[0:3, :]], axis=1)
     cn = jnp.concatenate(
         [prev_ref[4:7, :], self_ref[4:7, :], next_ref[4:7, :]], axis=1)
-    okp = jnp.where(t > 0, prev_ref[3, :], 0.0)
-    okn = jnp.where(t < n_t - 1, next_ref[3, :], 0.0)
-    validf = jnp.concatenate([okp, self_ref[3, :], okn])[None, :]
+    okp = jnp.where(t > 0, prev_ref[3:4, :], 0.0)
+    okn = jnp.where(t < n_t - 1, next_ref[3:4, :], 0.0)
+    validf = jnp.concatenate([okp, self_ref[3:4, :], okn], axis=1)
 
     shift = int(tile).bit_length() - 1
-    pos_c = jnp.concatenate([pp_ref[0, :], sp_ref[0, :], np_ref[0, :]]
-                            )[None, :]
+    pos_c = jnp.concatenate([pp_ref[0:1, :], sp_ref[0:1, :],
+                             np_ref[0:1, :]], axis=1)
     tile_c = jax.lax.shift_right_logical(pos_c, shift)
     tile_q = jax.lax.shift_right_logical(sp_ref[0, :], shift)
-    dtile = tile_c - tile_q[:, None]
+    dtile = tile_c[0, :][None, :] - tile_q[:, None]
     outside = (dtile < -1) | (dtile > 1)
     _pair_hist(q, qn, cand, cn, (validf > 0.5) & outside,
                jnp.float32(r2), out_ref, 0)
@@ -258,9 +258,9 @@ def _fpfh_w_a_kernel(prev_ref, self_ref, next_ref, out_ref, *, r2: float):
         [prev_ref[0:3, :], self_ref[0:3, :], next_ref[0:3, :]], axis=1)
     extra = jnp.concatenate(
         [prev_ref[4:37, :], self_ref[4:37, :], next_ref[4:37, :]], axis=1)
-    okp = jnp.where(t > 0, prev_ref[3, :], 0.0)
-    okn = jnp.where(t < n_t - 1, next_ref[3, :], 0.0)
-    validf = jnp.concatenate([okp, self_ref[3, :], okn])[None, :] > 0.5
+    okp = jnp.where(t > 0, prev_ref[3:4, :], 0.0)
+    okn = jnp.where(t < n_t - 1, next_ref[3:4, :], 0.0)
+    validf = jnp.concatenate([okp, self_ref[3:4, :], okn], axis=1) > 0.5
     _weight_body(q, cand, validf, extra,
                  jnp.ones_like(validf), jnp.float32(r2), out_ref)
 
@@ -275,15 +275,15 @@ def _fpfh_w_b_kernel(prev_ref, self_ref, next_ref, pp_ref, sp_ref,
         [prev_ref[0:3, :], self_ref[0:3, :], next_ref[0:3, :]], axis=1)
     extra = jnp.concatenate(
         [prev_ref[4:37, :], self_ref[4:37, :], next_ref[4:37, :]], axis=1)
-    okp = jnp.where(t > 0, prev_ref[3, :], 0.0)
-    okn = jnp.where(t < n_t - 1, next_ref[3, :], 0.0)
-    validf = jnp.concatenate([okp, self_ref[3, :], okn])[None, :] > 0.5
+    okp = jnp.where(t > 0, prev_ref[3:4, :], 0.0)
+    okn = jnp.where(t < n_t - 1, next_ref[3:4, :], 0.0)
+    validf = jnp.concatenate([okp, self_ref[3:4, :], okn], axis=1) > 0.5
     shift = int(tile).bit_length() - 1
-    pos_c = jnp.concatenate([pp_ref[0, :], sp_ref[0, :], np_ref[0, :]]
-                            )[None, :]
+    pos_c = jnp.concatenate([pp_ref[0:1, :], sp_ref[0:1, :],
+                             np_ref[0:1, :]], axis=1)
     tile_c = jax.lax.shift_right_logical(pos_c, shift)
     tile_q = jax.lax.shift_right_logical(sp_ref[0, :], shift)
-    dtile = tile_c - tile_q[:, None]
+    dtile = tile_c[0, :][None, :] - tile_q[:, None]
     outside = (dtile < -1) | (dtile > 1)
     _weight_body(q, cand, validf, extra, outside, jnp.float32(r2), out_ref)
 
