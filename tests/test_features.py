@@ -182,3 +182,30 @@ class TestFusedFpfh:
         got = np.asarray(_atan2_approx(jnp.asarray(y), jnp.asarray(x)))
         ref = np.arctan2(y, x)
         assert np.abs(got - ref).max() < 6e-3
+
+    def test_fused_empty_radius_invalidates(self):
+        """Radius smaller than any spacing: no neighbors, invalid."""
+        import jax.numpy as jnp
+        from threecrate_tpu.ops import features
+        pts = np.stack([np.arange(300, dtype=np.float32),
+                        np.zeros(300, np.float32),
+                        np.zeros(300, np.float32)], -1)
+        nrm = np.zeros((300, 3), np.float32); nrm[:, 2] = 1
+        d, v = features._fpfh_fused(jnp.asarray(pts), jnp.ones(300, bool),
+                                    jnp.asarray(nrm), 0.01, tile=128)
+        assert not np.asarray(v).any()
+        assert np.abs(np.asarray(d)).max() == 0
+
+    def test_fused_masked_rows_excluded(self):
+        import jax.numpy as jnp
+        from threecrate_tpu.ops import features
+        rng = np.random.default_rng(2)
+        pts = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+        nrm = np.zeros((500, 3), np.float32); nrm[:, 2] = 1
+        mask = np.ones(500, bool); mask[400:] = False
+        pts[400:] = 0.0                       # garbage coincident points
+        d, v = features._fpfh_fused(jnp.asarray(pts), jnp.asarray(mask),
+                                    jnp.asarray(nrm), 0.5, tile=128)
+        v = np.asarray(v)
+        assert not v[400:].any()
+        assert v[:400].mean() > 0.95
