@@ -109,20 +109,21 @@ def _union_b_kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
     """Union-mode pass B over the shifted-grid sorted order.
 
     Inputs additionally carry each candidate's PASS-A POSITION (the
-    sort payload) and each query's pass-A radius hiA. Emits 21 rows:
+    sort payload) and each query's pass-A radius hiA. The tighter-vs-
+    union decision is made IN-KERNEL per query, so only ONE blended
+    selection goes through the moments matmul. Emits 11 rows:
 
-    * S_excl (10): central sums over candidates within hiA that lie
+    * S_out (10): when hiB < hiA (pass A's window was poor — its far
+      selected points must be dropped, exactly the failure pick-
+      tighter repairs): the FULL pass-B window sums at hiB, used
+      alone. Otherwise: sums over candidates within hiA that lie
       OUTSIDE the query's pass-A window (|posA tile delta| > 1) —
       directly addable to pass A's sums for an exact two-window UNION
-      at radius hiA (no double counting: window membership partitions
-      the candidates);
-    * S_full (10): central sums over the full pass-B window at pass
-      B's own radius hiB — used alone when hiB < hiA (pass A's window
-      was poor; its far selected points must be dropped, exactly the
-      failure pick-tighter repairs);
-    * hiB (1).
+      at radius hiA (window membership partitions the candidates, so
+      nothing double-counts);
+    * use_b (1): 1.0 where hiB < hiA.
 
-    The caller picks per query: hiB < hiA → S_full, else S_A + S_excl.
+    The caller computes: final = S_out + (1 − use_b)·S_A.
     """
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
@@ -144,19 +145,19 @@ def _union_b_kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
     in_win_a = (dtile >= -1) & (dtile <= 1)
 
     hia = hia_ref[0, :]                                    # (tile,)
-    sel_excl = ((d2v <= hia[:, None]) & ~in_win_a).astype(jnp.float32)
-    sel_full = (d2v <= hib[:, None]).astype(jnp.float32)
+    use_b = hib < hia                                      # (tile,)
+    sel = jnp.where(use_b[:, None],
+                    d2v <= hib[:, None],
+                    (d2v <= hia[:, None]) & ~in_win_a).astype(jnp.float32)
 
     tcx, tcy, tcz = _store_features(feat_ref, cand, sv_ref[:], q)
     qx = q[0, :] - tcx
     qy = q[1, :] - tcy
     qz = q[2, :] - tcz
-    for base, sel in ((0, sel_excl), (10, sel_full)):
-        sums = _query_centered_sums(_mxu_moments(feat_ref, sel),
-                                    qx, qy, qz)
-        for j, row in enumerate(sums):
-            out_ref[base + j, :] = row
-    out_ref[20, :] = hib
+    sums = _query_centered_sums(_mxu_moments(feat_ref, sel), qx, qy, qz)
+    for j, row in enumerate(sums):
+        out_ref[j, :] = row
+    out_ref[10, :] = use_b.astype(jnp.float32)
 
 
 def _normal_from_cov_lanes(cxx, cyy, czz, cxy, cxz, cyz):
@@ -592,8 +593,8 @@ def window_union_b_tiles(sorted_pts_t, sorted_valid, sorted_pos_a,
                          hi_a, k: int, tile: int = 256,
                          interpret: bool = False,
                          band: int = 16) -> jnp.ndarray:
-    """Union-mode pass B (see _union_b_kernel): (21, N) exclusive +
-    full central sums + pass-B radius, in pass-B sorted order.
+    """Union-mode pass B (see _union_b_kernel): (11, N) blended sums +
+    use_b flag, in pass-B sorted order.
 
     sorted_pos_a: (1, N) int32 pass-A position of each column.
     hi_a: (1, N) float32 pass-A selection radius of each column.
@@ -617,10 +618,10 @@ def window_union_b_tiles(sorted_pts_t, sorted_valid, sorted_pos_a,
                               memory_space=pltpu.VMEM)]
     (out,) = pl.pallas_call(
         functools.partial(_union_b_kernel, k=k, band=max(band, k)),
-        out_shape=[jax.ShapeDtypeStruct((21, n), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((11, n), jnp.float32)],
         grid=(n_tiles,),
         in_specs=win_specs(3) + win_specs(1) + win_specs(1) + self_spec,
-        out_specs=[pl.BlockSpec((21, tile), lambda t: (0, t),
+        out_specs=[pl.BlockSpec((11, tile), lambda t: (0, t),
                                 memory_space=pltpu.VMEM)],
         scratch_shapes=[pltpu.VMEM((10, 3 * tile), jnp.float32)],
         interpret=interpret,

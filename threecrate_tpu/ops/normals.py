@@ -261,18 +261,17 @@ def _union_window_sums(points, mask, k, tile=256, band=16):
         (keys_b, ax, ay, az, am, iota, out_a[10]), num_keys=1)
     out_b = window_union_b_tiles(
         jnp.stack([bx, by, bz], axis=0), bm[None, :], row_a[None, :],
-        hia_b[None, :], k, tile, interpret=interp, band=band)  # (21, N)
+        hia_b[None, :], k, tile, interpret=interp, band=band)  # (11, N)
 
     # realign pass-B output to A-order by inverse-permutation row
-    # gather ((N, 21) rows — cheaper than a 21-payload sort, whose
+    # gather ((N, 11) rows — cheaper than a payload sort, whose
     # operand count explodes XLA compile time)
     _, inv_b = jax.lax.sort((row_a, iota), num_keys=1)
-    sb = out_b.T[inv_b]                                  # (N, 21) A-order
+    sb = out_b.T[inv_b]                                  # (N, 11) A-order
 
-    hi_a = out_a[10]
-    use_b = sb[:, 20] < hi_a
-    s_union = out_a[0:10].T + sb[:, 0:10]
-    s = jnp.where(use_b[:, None], sb[:, 10:20], s_union)  # (N, 10)
+    # kernel B already blended: final = S_out + (1 − use_b)·S_A
+    use_b = sb[:, 10] > 0.5
+    s = sb[:, 0:10] + jnp.where(use_b[:, None], 0.0, out_a[0:10].T)
     return s, pts_a_rows, am, perm_a
 
 
