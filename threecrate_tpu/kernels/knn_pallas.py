@@ -146,9 +146,10 @@ def _union_b_kernel(prev_ref, self_ref, next_ref, pv_ref, sv_ref, nv_ref,
 
     hia = hia_ref[0, :]                                    # (tile,)
     use_b = hib < hia                                      # (tile,)
-    sel = jnp.where(use_b[:, None],
-                    d2v <= hib[:, None],
-                    (d2v <= hia[:, None]) & ~in_win_a).astype(jnp.float32)
+    # select between FLOAT masks (mosaic cannot select i1 vectors)
+    sel_full = (d2v <= hib[:, None]).astype(jnp.float32)
+    sel_excl = ((d2v <= hia[:, None]) & ~in_win_a).astype(jnp.float32)
+    sel = jnp.where(use_b[:, None], sel_full, sel_excl)
 
     tcx, tcy, tcz = _store_features(feat_ref, cand, sv_ref[:], q)
     qx = q[0, :] - tcx
