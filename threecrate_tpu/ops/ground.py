@@ -121,9 +121,17 @@ def _rgpf(points, pid, n_patches, n_iters, seed_fraction, min_seeds,
     start_el = jnp.maximum(jax.lax.cummax(jnp.where(head, pos, -1)), 0)
     rank = pos - start_el
 
-    # per-patch valid counts at head rows → per element via head gather
-    cnt_head = segmented.sorted_run_sums(
-        jnp.zeros((n, 0), jnp.float32), new_run, valid_s)[:, 0]
+    # per-patch valid counts WITHOUT a reduction: patches are
+    # contiguous all-valid runs (invalid rows all sort to the trailing
+    # overflow bucket), so count = next run start − own start, with the
+    # last valid run ending at the first invalid row
+    big = jnp.int32(n)
+    sp = jnp.where(head, pos, big)
+    sp_next = jnp.concatenate([sp[1:], jnp.full((1,), big, jnp.int32)])
+    ns_el = jnp.flip(jax.lax.cummin(jnp.flip(sp_next)))
+    n_valid = jnp.sum(valid_s).astype(jnp.int32)
+    ns_el = jnp.minimum(ns_el, n_valid)
+    cnt_head = jnp.where(new_run, ns_el - pos, 0).astype(jnp.float32)
     cnt_el = cnt_head[start_el]
 
     # --- seed selection: lowest-z ``seed_fraction`` per patch ----------
@@ -133,22 +141,35 @@ def _rgpf(points, pid, n_patches, n_iters, seed_fraction, min_seeds,
     w_seed = (rank < seed_n_el) & valid_s
 
     # --- iterative refit (all in sorted order) -------------------------
+    # ONE segmented scan per fit: raw first+second moments of
+    # HEAD-CENTERED coordinates (c' = p − run head point, magnitudes ~
+    # patch extent, so the E[c'c'ᵀ]−μ'μ'ᵀ expansion cancels at
+    # eps·extent² ≪ the flatness threshold). One scan instead of two
+    # halves both runtime and the scan primitive's heavy compile cost.
+    head_pt = pts_s[start_el]                     # (n, 3) run head point
+    c = pts_s - head_pt
+    mom9 = jnp.concatenate([
+        c,
+        jnp.stack([c[:, 0] * c[:, 0], c[:, 1] * c[:, 1],
+                   c[:, 2] * c[:, 2], c[:, 0] * c[:, 1],
+                   c[:, 0] * c[:, 2], c[:, 1] * c[:, 2]], axis=1)], axis=1)
+
     def fit_planes(w_bool):
-        s1 = segmented.sorted_run_sums(pts_s, new_run, w_bool)
-        s1e = s1[start_el]                        # (n, 4) per element
-        wsum = s1e[:, 3]
-        mean = s1e[:, :3] / jnp.maximum(wsum, 1.0)[:, None]
-        d = jnp.where(w_bool[:, None], pts_s - mean, 0.0)
-        outer6 = jnp.stack([d[:, 0] * d[:, 0], d[:, 1] * d[:, 1],
-                            d[:, 2] * d[:, 2], d[:, 0] * d[:, 1],
-                            d[:, 0] * d[:, 2], d[:, 1] * d[:, 2]], axis=1)
-        s2 = segmented.sorted_run_sums(outer6, new_run, w_bool)[
-            :, :6][start_el]
-        cc = s2 / jnp.maximum(wsum - 1.0, 1.0)[:, None]
+        s = segmented.sorted_run_sums(mom9, new_run, w_bool)[start_el]
+        wsum = s[:, 9]
+        inv_n = 1.0 / jnp.maximum(wsum, 1.0)
+        mu = s[:, :3] * inv_n[:, None]            # centered mean
+        denom = jnp.maximum(wsum - 1.0, 1.0)
+        cc = (s[:, 3:9] - wsum[:, None] * jnp.stack(
+            [mu[:, 0] * mu[:, 0], mu[:, 1] * mu[:, 1],
+             mu[:, 2] * mu[:, 2], mu[:, 0] * mu[:, 1],
+             mu[:, 0] * mu[:, 2], mu[:, 1] * mu[:, 2]],
+            axis=1)) / denom[:, None]
         cov = jnp.stack([
             jnp.stack([cc[:, 0], cc[:, 3], cc[:, 4]], -1),
             jnp.stack([cc[:, 3], cc[:, 1], cc[:, 5]], -1),
             jnp.stack([cc[:, 4], cc[:, 5], cc[:, 2]], -1)], -2)
+        mean = head_pt + mu
         nrm, _ = linalg.smallest_eigenvector_sym3x3(cov)
         nrm = jnp.where((nrm[:, 2] < 0)[:, None], -nrm, nrm)  # face up
         dplane = -jnp.sum(nrm * mean, axis=1)
