@@ -63,11 +63,23 @@ def _perception_step(src, src_mask, tgt, tgt_mask, *, k, max_iterations,
     mx = jnp.max(jnp.where(tgt_mask[:, None], tgt, -big), 0)
     vp = (mn + mx) * 0.5 + jnp.array([0.0, 0.0, 1.0]) * \
         jnp.maximum(mx[2] - mn[2], 1.0)
-    nrm, curv, _valid = _estimate(tgt, tgt_mask, k, False,
-                                  jnp.float32(0.0), vp, True)
+    # shapes are static under jit, so the same size thresholds the
+    # public entries use dispatch here at trace time: the fused union
+    # window normals and the static-sort ICP correspondence above the
+    # brute-force crossover (hardcoding the exact paths made the
+    # flagship step O(N²) at 1M — caught on hardware in round 2)
+    from ..ops.normals import AUTO_WINDOW_THRESHOLD
+    from ..ops.registration import CORRESPONDENCE_WINDOW_THRESHOLD
+    n_t = tgt.shape[0]
+    big_cloud = n_t >= AUTO_WINDOW_THRESHOLD
+    nrm, curv, _valid = _estimate(
+        tgt, tgt_mask, k, False, jnp.float32(0.0), vp, True,
+        moments=big_cloud, window_merge="union" if big_cloud else "tighter")
+    use_window = src.shape[0] * n_t > CORRESPONDENCE_WINDOW_THRESHOLD
     t, mse, _it, _conv, _n = _icp_p2p(
         src, src_mask, tgt, tgt_mask, jnp.eye(4, dtype=jnp.float32),
-        max_iterations, jnp.float32(conv_thresh), jnp.float32(jnp.inf))
+        max_iterations, jnp.float32(conv_thresh), jnp.float32(jnp.inf),
+        window=use_window)
     return t, mse, nrm, curv
 
 
