@@ -201,3 +201,27 @@ class TestIcpMatchTiles:
             jnp.full((1,), 2, jnp.int32), tile=128, w_tiles=4,
             interpret=True))
         np.testing.assert_allclose(out[0:3].T, src + 0.01, atol=1e-5)
+
+
+class TestBandBoundFewerThanK:
+    """Advisor r2 (low): a query with fewer than k valid band candidates
+    used to keep hi=inf, and `d2v <= hi` then selected INVALID padding
+    candidates (inf <= inf) — garbage covariance with an inflated count
+    that passed the cnt>=3 gate. The clamp in _band_bound must keep the
+    count at the true valid-candidate count."""
+
+    def test_band_kernel_count_not_inflated(self):
+        n, k = 256, 5
+        pts = np.zeros((n, 3), np.float32)
+        pts[0] = [0, 0, 0]
+        pts[1] = [0.1, 0, 0]
+        pts[2:] = 1e6                      # padding garbage coordinates
+        valid = np.zeros(n)
+        valid[:2] = 1
+        t = jnp.asarray(pts.T)
+        v = jnp.asarray(valid, jnp.float32)[None, :]
+        mom = window_normals_tiles(t, v, k, tile=128, interpret=True,
+                                   band=8)
+        cnt = np.asarray(mom[4, :2])
+        # both valid queries see exactly the 2 valid candidates
+        np.testing.assert_array_equal(cnt, [2.0, 2.0])

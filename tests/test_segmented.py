@@ -127,3 +127,45 @@ def test_means():
         np.testing.assert_allclose(np.asarray(means)[i],
                                    ref_sums[j] / max(ref_cnts[j], 1),
                                    atol=1e-4)
+
+
+def test_invalid_run_head_still_splits_runs():
+    """Advisor r2 (high): a run whose FIRST row is invalid must still
+    start its own run — reset/emit at new_run ALONE. Repro: two runs of
+    6 with run-2's head invalid must count [6, 5], not [11, 0]."""
+    n = 12
+    values = np.ones((n, 1), np.float32)
+    starts = np.zeros(n, bool)
+    starts[0] = starts[6] = True
+    valid = np.ones(n, bool)
+    valid[6] = False                       # run-2 head deselected
+    got = np.asarray(sorted_run_sums(jnp.asarray(values),
+                                     jnp.asarray(starts),
+                                     jnp.asarray(valid)))
+    assert got[0, -1] == 6.0 and got[0, 0] == 6.0
+    assert got[6, -1] == 5.0 and got[6, 0] == 5.0
+    assert np.abs(got[[1, 2, 3, 4, 5, 7, 8, 9, 10, 11]]).max() == 0
+
+
+def test_invalid_heads_random():
+    """Randomized run layouts with valid mask independent of run
+    heads (the ground R-GPF shape: refit gates deselect arbitrary
+    rows, including run heads)."""
+    rng = np.random.default_rng(7)
+    n = 4096
+    values = rng.normal(0, 3, (n, 3)).astype(np.float32)
+    starts, _ = _runs(n, 300, rng)
+    valid = rng.random(n) > 0.3
+    got = np.asarray(sorted_run_sums(jnp.asarray(values),
+                                     jnp.asarray(starts),
+                                     jnp.asarray(valid)))
+    # oracle with reset-at-new_run-alone semantics
+    seg = np.cumsum(starts) - 1
+    vals_m = np.where(valid[:, None], values.astype(np.float64), 0.0)
+    scale = np.abs(values).max() + 1
+    for i in np.where(starts)[0]:
+        sel = seg == seg[i]
+        np.testing.assert_allclose(got[i, :-1], vals_m[sel].sum(0),
+                                   atol=2e-4 * scale, rtol=1e-4)
+        assert got[i, -1] == valid[sel].sum()
+    assert np.abs(got[~starts]).max() == 0

@@ -369,6 +369,13 @@ def _band_bound(q, cand, validf, k: int, band: int, tile: int):
         ge = c >= float(k)
         hi = jnp.where(ge, mid, hi)
         lo = jnp.where(ge, lo, mid)
+    # A query with fewer than k valid band candidates keeps r2 = hi =
+    # inf, and `d2v <= hi` at the call sites would then select INVALID
+    # candidates (inf <= inf), feeding padding coordinates into the
+    # covariance while the inflated count passes the cnt>=3 gate.
+    # Clamp to the largest finite f32: every valid candidate is still
+    # selected (their d2 is finite), invalid ones never are.
+    hi = jnp.minimum(hi, jnp.float32(3.4e38))
     return d2v, hi
 
 

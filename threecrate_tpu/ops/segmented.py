@@ -55,6 +55,13 @@ def sorted_run_sums(values: jnp.ndarray, new_run: jnp.ndarray,
     Returns (N, C + 1): at each run-start row, the run's
     [Σ values, Σ valid] — zeros elsewhere.
 
+    Resets and emits at ``new_run`` ALONE, independent of ``valid``: a
+    run whose FIRST row is invalid must still start its own run (the
+    ground R-GPF refit gate deselects exactly the lowest-z head row on
+    below-ground outliers; merging that patch into its predecessor
+    contaminated the previous plane fit — advisor finding r2).
+    Invalid rows only zero their value/count contribution.
+
     TWO-LEVEL reverse segmented scan: a flat associative_scan over 1M
     rows needs log2(N) ≈ 20 combine levels over full-size arrays and
     took ~8-10 min of XLA compile per instance through the remote
@@ -64,7 +71,7 @@ def sorted_run_sums(values: jnp.ndarray, new_run: jnp.ndarray,
     n, c = values.shape
     v = jnp.where(valid[:, None], values.astype(jnp.float32), 0.0)
     ext = jnp.concatenate([v, valid.astype(jnp.float32)[:, None]], axis=1)
-    flags = new_run & valid
+    flags = new_run
 
     n_pad = ((n + CHUNK - 1) // CHUNK) * CHUNK
     if n_pad != n:
