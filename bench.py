@@ -64,6 +64,9 @@ def _kitti_like(n: int, seed: int = 0) -> np.ndarray:
 
 
 def main() -> None:
+    import os
+    import sys
+
     import jax
     import jax.numpy as jnp
 
@@ -71,7 +74,8 @@ def main() -> None:
     from threecrate_tpu.ops.registration import _icp_p2p
     from threecrate_tpu.utils.profiling import median_time
 
-    n = 1_000_000
+    smoke = "--smoke" in sys.argv   # CPU syntax/shape check at tiny N
+    n = 16_640 if smoke else 1_000_000
     big = jnp.float32(3e38)
     mask = jnp.ones(n, bool)
 
@@ -109,6 +113,33 @@ def main() -> None:
         "vs_baseline": round(icp_tput / OPEN3D_ICP_MPT_ITERS_S, 2),
     }))
 
+    # ---- ICP equal-N line: 121k x 121k (Open3D's KITTI cloud size) ----
+    # The honest apples-to-apples ratio: Open3D's published single-scale
+    # ICP is ~10 ms/iter at 121k points; vs_baseline here is the
+    # pt-iter/s ratio at the SAME cloud size (tunnel RPC included).
+    n_eq = 8_320 if smoke else 121_000
+    src_eq = jnp.asarray(_kitti_like(n_eq, 5))
+    tgt_eq = src_eq + jnp.asarray(np.array([0.05, -0.03, 0.02], np.float32))
+    mask_eq = jnp.ones(n_eq, bool)
+
+    @jax.jit
+    def icp_eq_scalar(s, sm, t, tm):
+        T, mse, it, conv, n_corr = _icp_p2p(
+            s, sm, t, tm, init, icp_iters, jnp.float32(0.0),
+            jnp.float32(1e9), window=True)
+        return jnp.sum(T) + mse
+
+    teq = median_time(lambda: icp_eq_scalar(src_eq, mask_eq, tgt_eq,
+                                            mask_eq),
+                      warmup=1, iters=3, sync_fn=float)
+    per_eq = teq / icp_iters
+    print(json.dumps({
+        "metric": "icp_p2p_121k_ms_per_iter",
+        "value": round(per_eq * 1e3, 2),
+        "unit": "ms/iter",
+        "vs_baseline": round(10.0e-3 / per_eq, 2),
+    }))
+
     # ---- voxel grid filter at 1M (0.2 m) ----
     from threecrate_tpu.ops.filtering import _voxel_grid
 
@@ -126,6 +157,136 @@ def main() -> None:
         "value": round(n / tv / 1e6, 2),
         "unit": "Mpts/s",
         "vs_baseline": round(n / tv / 1e6 / OPEN3D_VOXEL_MPTS_S, 2),
+    }))
+
+    # ---- regression lines for the round-2 optimizations -------------
+    # vs_baseline for these = round-2 measured ms / current ms (>1 is
+    # an improvement over r2; docs/benchmarks.md "Measured on hardware"
+    # table carries the r2 conditions).
+    from threecrate_tpu.ops.gicp import _gicp_loop, point_covariances
+    from threecrate_tpu.ops.filtering import _statistical_mask
+    from threecrate_tpu.ops.features import _fpfh_fused
+    from threecrate_tpu.core.point_cloud import PointCloud
+    from threecrate_tpu.ops import ground as ground_mod
+    from threecrate_tpu.ops import ndt as ndt_mod
+
+    # GICP end-to-end (both covariances + 10 iterations, 1M x 1M)
+    @jax.jit
+    def gicp_scalar(s, sm, t, tm):
+        eps = jnp.float32(1e-4)
+        sc, sok = point_covariances(s, sm, 20, eps, True)
+        tc_, tok = point_covariances(t, tm, 20, eps, True)
+        T, mse, it, conv, n_corr = _gicp_loop(
+            s, sok, sc, t, tok, tc_, init, 10, jnp.float32(0.0),
+            jnp.float32(1e9), True)
+        return jnp.sum(T) + mse
+
+    tg = median_time(lambda: gicp_scalar(src, mask, tgt, mask),
+                     warmup=1, iters=3, sync_fn=float)
+    print(json.dumps({
+        "metric": "gicp_1M_e2e_10iter_ms",
+        "value": round(tg * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(0.311 / tg, 2),
+    }))
+
+    # FPFH fused (r = 0.5) at 1M
+    nrm_arr = None
+
+    @jax.jit
+    def fpfh_scalar(p, m, na):
+        desc, valid = _fpfh_fused(p, m, na, 0.5)
+        return jnp.sum(desc) + jnp.sum(valid)
+
+    from threecrate_tpu.ops.normals import _estimate as _est_n
+
+    @jax.jit
+    def normals_arr_fn(p, m):
+        mn = jnp.min(jnp.where(m[:, None], p, big), 0)
+        mx = jnp.max(jnp.where(m[:, None], p, -big), 0)
+        vp = (mn + mx) * 0.5 + jnp.array([0.0, 0.0, 1.0])
+        nrm, curv, valid = _est_n(p, m, 10, False, jnp.float32(0.0),
+                                  vp, True, moments=True,
+                                  window_merge="union")
+        return nrm
+    nrm_arr = normals_arr_fn(src, mask)
+    _ = float(jnp.sum(nrm_arr))  # materialise before timing
+    tf = median_time(lambda: fpfh_scalar(src, mask, nrm_arr),
+                     warmup=1, iters=3, sync_fn=float)
+    print(json.dumps({
+        "metric": "fpfh_1M_r05_ms",
+        "value": round(tf * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(0.503 / tf, 2),
+    }))
+
+    # statistical outlier removal (k=8) at 1M
+    @jax.jit
+    def sor_scalar(p, m):
+        keep, mean_dist, thresh = _statistical_mask(p, m, 8,
+                                                    jnp.float32(1.0), True)
+        return jnp.sum(keep) + thresh
+
+    ts = median_time(lambda: sor_scalar(src, mask), warmup=1, iters=3,
+                     sync_fn=float)
+    print(json.dumps({
+        "metric": "sor_1M_k8_ms",
+        "value": round(ts * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(0.109 / ts, 2),
+    }))
+
+    # Patchwork++ ground segmentation at 1M
+    cloud_pc = PointCloud(points=src, mask=mask)
+    tgr = median_time(
+        lambda: float(jnp.sum(
+            ground_mod.patchwork_plus_plus(cloud_pc).ground_mask)),
+        warmup=1, iters=3, sync_fn=lambda x: x)
+    print(json.dumps({
+        "metric": "ground_1M_ms",
+        "value": round(tgr * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(0.328 / tgr, 2),
+    }))
+
+    # NDT (2 m cells) build + 20 iterations at 250k
+    n_ndt = 16_640 if smoke else 250_000
+    src_n = jnp.asarray(_kitti_like(n_ndt, 7))
+    tgt_n = src_n + jnp.asarray(np.array([0.05, -0.03, 0.02], np.float32))
+    mask_n = jnp.ones(n_ndt, bool)
+
+    @jax.jit
+    def ndt_scalar(s, sm, t, tm):
+        g = ndt_mod.build_gaussians(t, tm, jnp.float32(2.0), 5)
+        T, score, it, conv = ndt_mod._ndt_loop(
+            s, sm, g, init, 20, jnp.float32(0.1), jnp.float32(0.0))
+        return jnp.sum(T) + score
+
+    tn = median_time(lambda: ndt_scalar(src_n, mask_n, tgt_n, mask_n),
+                     warmup=1, iters=3, sync_fn=float)
+    print(json.dumps({
+        "metric": "ndt_250k_build20iter_ms",
+        "value": round(tn * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(0.958 / tn, 2),
+    }))
+
+    # SHOT-352 at 250k (round-2 re-measure baseline: 292 ms)
+    from threecrate_tpu.ops.features import extract_shot_features, ShotConfig
+    shot_pc = PointCloud(points=src_n, mask=mask_n)
+    shot_pc = shot_pc.with_normals(normals_arr_fn(src_n, mask_n))
+
+    def shot_run():
+        r = extract_shot_features(shot_pc, ShotConfig(method="window"))
+        return float(jnp.sum(r.descriptors))
+
+    _ = shot_run()
+    tsh = median_time(shot_run, warmup=1, iters=3, sync_fn=lambda x: x)
+    print(json.dumps({
+        "metric": "shot_250k_ms",
+        "value": round(tsh * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(0.292 / tsh, 2),
     }))
 
     # ---- normals: library-default path (union merge) at 1M ----

@@ -209,3 +209,91 @@ class TestFusedFpfh:
         v = np.asarray(v)
         assert not v[400:].any()
         assert v[:400].mean() > 0.95
+
+
+class TestShotFused:
+    """Fused band-window SHOT (kernels/shot_pallas.py) vs the staged
+    path. The fused candidate set is the union of two ±band Morton
+    windows; on fixtures whose in-radius neighborhoods sit inside the
+    windows the two paths see the same neighbors and must agree up to
+    f32 order and the kernel's polynomial atan2 (possible single-bin
+    azimuth flips at volume boundaries)."""
+
+    @staticmethod
+    def _fused(pts, radius, variant="shot", nrm=None, band=32):
+        import jax.numpy as jnp
+        pc = PointCloud.from_numpy(pts)
+        if variant == "shot":
+            pc = normals.estimate_normals(pc, k=10)
+            nrm_arr = pc.normals
+        else:
+            nrm_arr = jnp.zeros_like(pc.points)
+        desc, valid = features._shot_fused(
+            pc.points, pc.mask, nrm_arr, radius, variant,
+            band=band, tile=128)
+        return pc, np.asarray(desc), np.asarray(valid)
+
+    def test_shape_unit_norm_valid(self):
+        pts = bumpy_surface(700, seed=5)
+        pc, d, v = self._fused(pts, 0.6)
+        assert d.shape == (pc.capacity, features.SHOT_DIM)
+        assert v.sum() > 600
+        np.testing.assert_allclose(np.linalg.norm(d[v], axis=1), 1.0,
+                                   atol=1e-4)
+
+    def test_parity_vs_staged_line_fixture(self):
+        """Noisy helix: Morton order ~ curve order, so the ±band
+        windows contain every in-radius neighbor — near-exact parity
+        expected."""
+        rng = np.random.default_rng(7)
+        t = np.sort(rng.uniform(0, 20, 600)).astype(np.float32)
+        pts = np.stack([np.cos(t), np.sin(t), 0.15 * t], -1)
+        pts = (pts + rng.normal(0, 0.01, pts.shape)).astype(np.float32)
+        pc = normals.estimate_normals(PointCloud.from_numpy(pts), k=10)
+        d_f, v_f = features._shot_fused(
+            pc.points, pc.mask, pc.normals, 0.35, "shot",
+            band=32, tile=128)
+        d_s, v_s = features._shot(
+            pc.points, pc.mask, pc.normals, np.float32(0.35), 128, 11,
+            "shot", False)
+        d_f, v_f = np.asarray(d_f), np.asarray(v_f)
+        d_s, v_s = np.asarray(d_s), np.asarray(v_s)
+        both = v_f & v_s
+        assert both.sum() > 500
+        cos = np.sum(d_f[both] * d_s[both], axis=1)
+        assert np.mean(cos) > 0.99
+        assert np.mean(cos > 0.97) > 0.95
+
+    def test_parity_vs_staged_surface(self):
+        """2D surface: window misses allowed, but the bulk must agree."""
+        pts = bumpy_surface(900, seed=8)
+        pc = normals.estimate_normals(PointCloud.from_numpy(pts), k=10)
+        d_f, v_f = features._shot_fused(
+            pc.points, pc.mask, pc.normals, 0.5, "shot",
+            band=32, tile=128)
+        d_s, v_s = features._shot(
+            pc.points, pc.mask, pc.normals, np.float32(0.5), 128, 11,
+            "shot", False)
+        d_f, v_f = np.asarray(d_f), np.asarray(v_f)
+        d_s, v_s = np.asarray(d_s), np.asarray(v_s)
+        both = v_f & v_s
+        assert both.sum() > 700
+        cos = np.sum(d_f[both] * d_s[both], axis=1)
+        assert np.mean(cos) > 0.9
+        assert np.median(cos) > 0.95
+
+    def test_usc_fused(self):
+        pts = bumpy_surface(700, seed=9)
+        pc, d, v = self._fused(pts, 0.6, variant="usc")
+        assert d.shape[1] == features.USC_DIM
+        assert v.sum() > 600
+        d_v = d[v]
+        assert d_v.std(0).sum() > 0.05
+
+    def test_fused_is_window_default(self):
+        """method='window' routes through the fused path at 11 bins."""
+        pts = bumpy_surface(600, seed=10)
+        pc = normals.estimate_normals(PointCloud.from_numpy(pts), k=10)
+        res = features.extract_shot_features(
+            pc, features.ShotConfig(radius=0.6, method="window"))
+        assert np.asarray(res.valid).sum() > 500

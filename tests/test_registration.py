@@ -364,3 +364,114 @@ class TestGicpNormalEquations:
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                    rtol=3e-5, atol=3e-5 * float(
                                        jnp.abs(g_ref).max()))
+
+
+class TestWindowRobustness:
+    """w_tiles robustness suite (VERDICT r2 item 1a): the static-sort
+    window must recover transforms under partial overlap, gross
+    outliers, anisotropic density and structured geometry before a
+    narrower window can be the default. Parametrized over w_tiles so
+    the w=3 default and the w=4 fallback are both pinned; w=2 runs are
+    evidence for/against further narrowing (not a shipping contract).
+    """
+
+    @staticmethod
+    def _recover(src_pts, tgt_pts, t_true, w_tiles, mcd=None, iters=40):
+        src = PointCloud.from_numpy(src_pts)
+        tgt = PointCloud.from_numpy(tgt_pts)
+        res = registration.icp_point_to_point(
+            src, tgt, max_iterations=iters,
+            max_correspondence_distance=mcd,
+            correspondence="window", w_tiles=w_tiles)
+        return np.asarray(res.transformation), res
+
+    @pytest.mark.parametrize("w_tiles", [3, 4])
+    def test_partial_overlap_source_subset(self, w_tiles):
+        """Source covers only the x<0.5 half of the target scene."""
+        pts = surface_cloud(6000, seed=21)
+        t_true = Transform.from_axis_angle([1.0, 0, 0], 0.015) @ \
+            Transform.from_translation([0.04, -0.03, 0.02])
+        tgt_pts = apply_np(t_true.matrix, pts)
+        src_pts = pts[pts[:, 0] < 0.5]
+        got, res = self._recover(src_pts, tgt_pts, t_true, w_tiles)
+        np.testing.assert_allclose(got, np.asarray(t_true.matrix),
+                                   atol=4e-3)
+
+    @pytest.mark.parametrize("w_tiles", [3, 4])
+    def test_partial_overlap_target_subset(self, w_tiles):
+        """Target misses part of the scene: unmatched source points
+        must be rejected by the distance gate, not drag the fit."""
+        pts = surface_cloud(6000, seed=22)
+        t_true = Transform.from_translation([0.05, 0.02, -0.015])
+        tgt_pts = apply_np(t_true.matrix, pts[pts[:, 1] > -1.0])
+        got, res = self._recover(pts, tgt_pts, t_true, w_tiles,
+                                 mcd=0.25)
+        np.testing.assert_allclose(got, np.asarray(t_true.matrix),
+                                   atol=4e-3)
+
+    @pytest.mark.parametrize("w_tiles", [3, 4])
+    def test_gross_outliers(self, w_tiles):
+        """8% uniform gross outliers in the source."""
+        rng = np.random.default_rng(23)
+        pts = surface_cloud(5000, seed=23)
+        t_true = Transform.from_axis_angle([0, 1.0, 0], 0.02) @ \
+            Transform.from_translation([0.03, 0.01, 0.02])
+        tgt_pts = apply_np(t_true.matrix, pts)
+        n_out = len(pts) * 8 // 100
+        junk = rng.uniform(-3, 3, (n_out, 3)).astype(np.float32)
+        src_pts = np.concatenate([pts, junk])
+        got, res = self._recover(src_pts, tgt_pts, t_true, w_tiles,
+                                 mcd=0.3)
+        np.testing.assert_allclose(got, np.asarray(t_true.matrix),
+                                   atol=4e-3)
+
+    @pytest.mark.parametrize("w_tiles", [3, 4])
+    def test_anisotropic_density(self, w_tiles):
+        """A dense cluster next to a sparse field: Morton tiles in the
+        dense region span tiny volumes, stressing window containment."""
+        rng = np.random.default_rng(24)
+        sparse = rng.uniform(-2, 2, (2000, 3)).astype(np.float32)
+        sparse[:, 2] *= 0.1
+        dense = (rng.normal(0, 0.08, (4000, 3)) +
+                 [1.0, 0.8, 0.3]).astype(np.float32)
+        pts = np.concatenate([sparse, dense])
+        t_true = Transform.from_axis_angle([1.0, 0, 0], 0.02) @ \
+            Transform.from_translation([0.02, -0.03, 0.01])
+        tgt_pts = apply_np(t_true.matrix, pts)
+        got, res = self._recover(pts, tgt_pts, t_true, w_tiles)
+        np.testing.assert_allclose(got, np.asarray(t_true.matrix),
+                                   atol=4e-3)
+
+    @pytest.mark.parametrize("w_tiles", [3, 4])
+    def test_structured_corner_scene(self, w_tiles):
+        """Two walls + floor (corner room): flat patches whose Morton
+        order jumps between planes — the discontinuity stress case."""
+        rng = np.random.default_rng(25)
+        m = 2000
+        floor = np.stack([rng.uniform(0, 2, m), rng.uniform(0, 2, m),
+                          np.zeros(m)], -1)
+        wall1 = np.stack([rng.uniform(0, 2, m), np.zeros(m),
+                          rng.uniform(0, 2, m)], -1)
+        wall2 = np.stack([np.zeros(m), rng.uniform(0, 2, m),
+                          rng.uniform(0, 2, m)], -1)
+        pts = (np.concatenate([floor, wall1, wall2])
+               + rng.normal(0, 0.004, (3 * m, 3))).astype(np.float32)
+        t_true = Transform.from_axis_angle([0.3, 0.2, 1.0], 0.02) @ \
+            Transform.from_translation([0.03, 0.02, -0.02])
+        tgt_pts = apply_np(t_true.matrix, pts)
+        got, res = self._recover(pts, tgt_pts, t_true, w_tiles)
+        np.testing.assert_allclose(got, np.asarray(t_true.matrix),
+                                   atol=4e-3)
+
+    def test_density_mismatch_auto_window(self):
+        """Source at 1/4 the target's sampling density: a 128-point
+        source tile spans ~4 target tiles, so w=3 leaves a 4.4e-3
+        residual — the auto default must widen with the capacity
+        ratio (auto_w_tiles(2000, 8000) = 6) and recover exactly."""
+        pts = surface_cloud(8000, seed=26)
+        t_true = Transform.from_translation([0.04, -0.02, 0.03])
+        tgt_pts = apply_np(t_true.matrix, pts)
+        assert registration.auto_w_tiles(2000, 8000) == 6
+        got, res = self._recover(pts[::4], tgt_pts, t_true, None)
+        np.testing.assert_allclose(got, np.asarray(t_true.matrix),
+                                   atol=4e-3)

@@ -325,6 +325,117 @@ class ShotResult(NamedTuple):
     valid: jnp.ndarray
 
 
+@functools.partial(jax.jit, static_argnames=("radius", "variant", "band",
+                                             "tile"))
+def _shot_fused(points, mask, normals_arr, radius: float,
+                variant: str = "shot", band: int = 32, tile: int = 256):
+    """Fully-fused band-window SHOT/USC (kernels/shot_pallas.py).
+
+    No neighbor ids or gathers: two moment passes give each query's
+    (R−d)-weighted neighborhood covariance + disambiguation sums, the
+    LRF eigensolve runs batched in XLA, and two histogram passes bin
+    the in-LRF displacements straight from the Morton-band candidates.
+    The candidate set is the UNION of two ±``band`` positional windows
+    over shifted Morton lattices (≤ 2·(2·band+1) candidates, typically
+    ~all in-radius neighbors at sane radii) — the staged path caps at
+    ``max_neighbors`` similarly. Fixed radius ⇒ disjoint-window
+    moment/histogram sums add exactly (see fpfh_pallas).
+    """
+    from ..kernels.shot_pallas import (shot_hist_a_tiles,
+                                       shot_hist_b_tiles,
+                                       shot_moments_a_tiles,
+                                       shot_moments_b_tiles)
+    from ..utils import padding as _pad
+    from . import morton
+
+    n = points.shape[0]
+    n_pad = _pad.round_up(n, tile)
+    pts = points.astype(jnp.float32)
+    nrm = normals_arr.astype(jnp.float32)
+    if n_pad != n:
+        pts = jnp.pad(pts, ((0, n_pad - n), (0, 0)))
+        nrm = jnp.pad(nrm, ((0, n_pad - n), (0, 0)))
+        mask_p = jnp.pad(mask, (0, n_pad - n))
+    else:
+        mask_p = mask
+    interp = jax.default_backend() != "tpu"
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
+    r2 = float(radius) * float(radius)
+
+    # ---- pass-A sort (key + xyz + valid + normals + perm = 9 ops) ----
+    keys_a = morton.morton_keys(pts, mask_p, pass_index=0)
+    _, ax, ay, az, am, anx, any_, anz, perm_a = jax.lax.sort(
+        (keys_a, pts[:, 0], pts[:, 1], pts[:, 2],
+         mask_p.astype(jnp.float32), nrm[:, 0], nrm[:, 1], nrm[:, 2],
+         iota), num_keys=1)
+    packed4_a = jnp.stack([ax, ay, az, am], axis=0)
+    mom_a = shot_moments_a_tiles(packed4_a, r2, band, tile,
+                                 interpret=interp)           # (14, N)
+
+    # ---- pass-B sort (shifted lattice; posA rides as payload) ----
+    pts_a_rows = jnp.stack([ax, ay, az], axis=1)
+    keys_b = morton.morton_keys(pts_a_rows, am > 0.5, pass_index=1)
+    pos_a = iota.astype(jnp.float32)   # exact in f32 below 2^24 rows
+    _, bx, by, bz, bm, bnx, bny, bnz, row_a = jax.lax.sort(
+        (keys_b, ax, ay, az, am, anx, any_, anz, iota), num_keys=1)
+    row_a_f = row_a.astype(jnp.float32)
+    packed5_b = jnp.stack([bx, by, bz, bm, row_a_f], axis=0)
+    mom_b = shot_moments_b_tiles(packed5_b, r2, band, tile,
+                                 interpret=interp)
+
+    _, inv_b = jax.lax.sort((row_a, iota), num_keys=1)
+    m = mom_a.T + mom_b.T[inv_b]                             # (N, 14)
+
+    # ---- LRF in XLA (mirrors _shot_lrf on the merged moments) ----
+    wsum = jnp.maximum(m[:, 0], 1e-12)
+    mu = m[:, 1:4] / wsum[:, None]
+    cc = m[:, 4:10] / wsum[:, None]
+    cxx = cc[:, 0] - mu[:, 0] * mu[:, 0]
+    cyy = cc[:, 1] - mu[:, 1] * mu[:, 1]
+    czz = cc[:, 2] - mu[:, 2] * mu[:, 2]
+    cxy = cc[:, 3] - mu[:, 0] * mu[:, 1]
+    cxz = cc[:, 4] - mu[:, 0] * mu[:, 2]
+    cyz = cc[:, 5] - mu[:, 1] * mu[:, 2]
+    cov = jnp.stack([
+        jnp.stack([cxx, cxy, cxz], -1),
+        jnp.stack([cxy, cyy, cyz], -1),
+        jnp.stack([cxz, cyz, czz], -1)], -2)
+    _, vecs = linalg.eigh3x3(cov)
+    z = vecs[..., :, 0]
+    x = vecs[..., :, 2]
+    sd = m[:, 11:14]                       # Σ (c − q) over binary sel
+    zs = jnp.sum(sd * z, axis=1)
+    xs = jnp.sum(sd * x, axis=1)
+    z = jnp.where((zs < 0)[:, None], -z, z)
+    x = jnp.where((xs < 0)[:, None], -x, x)
+    x = x - jnp.sum(x * z, -1, keepdims=True) * z
+    x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    y = jnp.cross(z, x)
+    lrf = jnp.concatenate([x, y, z], axis=1)                 # (N, 9)
+
+    # ---- histogram passes ----
+    packed7_a = jnp.stack([ax, ay, az, am, anx, any_, anz], axis=0)
+    h_a = shot_hist_a_tiles(packed7_a, lrf.T, r2, band, tile,
+                            interpret=interp, variant=variant)
+    packed8_b = jnp.stack([bx, by, bz, bm, bnx, bny, bnz, row_a_f],
+                          axis=0)
+    lrf_b = lrf[row_a]
+    h_b = shot_hist_b_tiles(packed8_b, lrf_b.T, r2, band, tile,
+                            interpret=interp, variant=variant)
+
+    h = h_a.T + h_b.T[inv_b]                                 # (N, dim+1)
+    cnt = h[:, -1]
+    desc = h[:, :-1]
+    norm = jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True),
+                       1e-12)
+    desc = desc / norm
+    valid_s = (am > 0.5) & (cnt >= 5)
+    desc = jnp.where(valid_s[:, None], desc, 0.0)
+
+    _, inv_a = jax.lax.sort((perm_a, iota), num_keys=1)
+    return desc[inv_a][:n], (valid_s[inv_a][:n]) & mask
+
+
 @functools.partial(jax.jit, static_argnames=("max_neighbors", "n_cos_bins",
                                              "variant", "window"))
 def _shot(points, mask, normals_arr, radius, max_neighbors, n_cos_bins,
@@ -415,9 +526,14 @@ def extract_shot_features(cloud: PointCloud,
         cloud = cloud.with_normals(nres.normals)
     window = (config.method == "window"
               or (config.method == "auto" and cloud.capacity > 262144))
-    desc, valid = _shot(cloud.points, cloud.mask, cloud.normals,
-                        jnp.float32(config.radius), config.max_neighbors,
-                        config.n_cos_bins, "shot", window)
+    if window and config.n_cos_bins == 11:
+        desc, valid = _shot_fused(cloud.points, cloud.mask, cloud.normals,
+                                  float(config.radius), "shot")
+    else:
+        desc, valid = _shot(cloud.points, cloud.mask, cloud.normals,
+                            jnp.float32(config.radius),
+                            config.max_neighbors,
+                            config.n_cos_bins, "shot", window)
     return ShotResult(desc, valid)
 
 
@@ -427,10 +543,16 @@ def extract_usc_features(cloud: PointCloud,
     density histogram, no normals required."""
     window = (config.method == "window"
               or (config.method == "auto" and cloud.capacity > 262144))
-    desc, valid = _shot(cloud.points, cloud.mask,
-                        jnp.zeros_like(cloud.points),
-                        jnp.float32(config.radius), config.max_neighbors,
-                        config.n_cos_bins, "usc", window)
+    if window:
+        desc, valid = _shot_fused(cloud.points, cloud.mask,
+                                  jnp.zeros_like(cloud.points),
+                                  float(config.radius), "usc")
+    else:
+        desc, valid = _shot(cloud.points, cloud.mask,
+                            jnp.zeros_like(cloud.points),
+                            jnp.float32(config.radius),
+                            config.max_neighbors,
+                            config.n_cos_bins, "usc", window)
     return ShotResult(desc, valid)
 
 

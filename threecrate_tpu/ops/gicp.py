@@ -172,9 +172,11 @@ def _normal_equations(moved, r, w_mat):
     return h, g
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations", "window"))
+@functools.partial(jax.jit, static_argnames=("max_iterations", "window",
+                                             "w_tiles"))
 def _gicp_loop(src, src_mask, src_cov, tgt, tgt_mask, tgt_cov, init,
-               max_iterations, conv_thresh, max_corr, window=False):
+               max_iterations, conv_thresh, max_corr, window=False,
+               w_tiles=3):
     if window:
         # static-sort correspondence (see registration._static_corr_setup):
         # sorts run once; per iteration the match kernel gathers the
@@ -184,7 +186,7 @@ def _gicp_loop(src, src_mask, src_cov, tgt, tgt_mask, tgt_cov, init,
         # every iteration (333 ms/iter at 1M).
         from .registration import _static_corr_setup
         static_match, src_cov6_s = _static_corr_setup(
-            src, src_mask, tgt, tgt_mask, init, max_corr, 4,
+            src, src_mask, tgt, tgt_mask, init, max_corr, w_tiles,
             tgt_extra=_cov_to_cols(tgt_cov),
             src_extra=_cov_to_cols(src_cov))
         src_cov_s = _cols_to_cov(src_cov6_s)
@@ -270,9 +272,11 @@ def gicp(source: PointCloud, target: PointCloud,
                                  "(collinear/coincident points)")
 
     init_m = init.matrix if init is not None else jnp.eye(4, dtype=jnp.float32)
+    from .registration import auto_w_tiles
     t, mse, it, conv, n_corr = _gicp_loop(
         source.points, src_ok, src_cov, target.points, tgt_ok, tgt_cov,
         init_m, config.max_iterations,
         jnp.float32(config.convergence_threshold),
-        jnp.float32(config.max_correspondence_distance), window)
+        jnp.float32(config.max_correspondence_distance), window,
+        auto_w_tiles(source.capacity, target.capacity))
     return ICPResult(t, mse, it, conv, n_corr)
