@@ -81,6 +81,19 @@ def morton_keys(points: jnp.ndarray, mask: jnp.ndarray,
     mn = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
     mx = jnp.max(jnp.where(mask[:, None], points, -big), axis=0)
     ext = jnp.maximum(mx - mn, 1e-6)
+    return keys_in_frame_pass(points, mask, mn, ext, pass_index)
+
+
+def keys_in_frame_pass(points: jnp.ndarray, mask: jnp.ndarray,
+                       mn: jnp.ndarray, ext: jnp.ndarray,
+                       pass_index: int = 0) -> jnp.ndarray:
+    """Pass-shifted Morton keys with an EXPLICIT frame (mn, ext).
+
+    Needed wherever the frame must come from somewhere other than the
+    local array — e.g. inside ``shard_map`` bodies, where each shard
+    sees only its slice and the frame is a pmin/pmax over the mesh
+    axis (parallel.sharded.make_distributed_morton_sort).
+    """
     shift = jnp.asarray(PASS_SHIFTS[pass_index % len(PASS_SHIFTS)],
                         jnp.float32) * ext
     # ISOTROPIC cells (uniform scale): per-axis normalisation would make

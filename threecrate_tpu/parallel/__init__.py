@@ -13,6 +13,7 @@ from .sharded import (
     global_stats_local,
     icp_sharded_loop,
     icp_sharded_step,
+    make_distributed_morton_sort,
     make_sharded_batch_icp,
     make_sharded_icp,
     make_sharded_knn,
@@ -28,6 +29,7 @@ __all__ = [
     "POINTS_AXIS", "make_mesh", "put_replicated", "put_sharded",
     "replicated_spec", "shard_cloud_spec",
     "global_stats_local", "icp_sharded_loop", "icp_sharded_step",
+    "make_distributed_morton_sort",
     "make_sharded_batch_icp", "make_sharded_icp", "make_sharded_knn",
     "make_sharded_normals", "make_sharded_normals_window",
     "morton_presort", "make_sharded_outlier_stats",

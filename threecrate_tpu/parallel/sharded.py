@@ -322,31 +322,120 @@ def morton_presort(points, mask, n_devices: int, tile: int = 256):
     return pts_np, m_np, perm
 
 
+def _oddeven_block_sort(operands, axis_name: str, n_dev: int):
+    """Globally sort equal-size sorted shard blocks over the mesh axis.
+
+    Block odd-even transposition: ``n_dev`` rounds of pairwise
+    neighbor exchange (full-shard ``ppermute`` — fixed shapes, no
+    variable-size all-to-all) followed by a local merge-split: the
+    lower-ranked partner keeps the lower half of the merged 2s rows.
+    The 0-1 principle extends to block merge-split networks, so
+    ``n_dev`` rounds guarantee global sortedness. O(n_dev) rounds is
+    the right trade below ~16 devices (a bitonic schedule's
+    O(log² n_dev) wins beyond; note in docs). Call inside shard_map
+    with LOCALLY SORTED operands (first operand = key).
+    """
+    s = operands[0].shape[0]
+    me = jax.lax.axis_index(axis_name)
+
+    for r in range(n_dev):
+        start = r % 2
+        pairs = [(i, i + 1) for i in range(start, n_dev - 1, 2)]
+        if not pairs:
+            continue
+        perm = [(i, j) for i, j in pairs] + [(j, i) for i, j in pairs]
+        received = tuple(jax.lax.ppermute(op, axis_name, perm)
+                         for op in operands)
+        lowers = jnp.asarray([i for i, _ in pairs])
+        uppers = jnp.asarray([j for _, j in pairs])
+        is_lower = jnp.any(me == lowers)
+        is_upper = jnp.any(me == uppers)
+        paired = is_lower | is_upper
+        merged = jax.lax.sort(
+            tuple(jnp.concatenate([a, b]) for a, b in
+                  zip(operands, received)), num_keys=1)
+        operands = tuple(
+            jnp.where(paired,
+                      jnp.where(is_lower, m[:s], m[s:]), op)
+            for m, op in zip(merged, operands))
+    return operands
+
+
+def make_distributed_morton_sort(mesh: Mesh, pass_index: int = 0,
+                                 axis_name: str = POINTS_AXIS):
+    """Jitted distributed Morton sort of an arbitrarily-sharded cloud.
+
+    Returns ``fn(points (N, 3), mask (N,)) -> (points, mask, gid)``
+    where the outputs are the globally Morton-sorted cloud as
+    contiguous equal shard slices (the ``morton_presort`` layout,
+    produced on-device with no host gather) and ``gid`` is each sorted
+    row's original global row index (int32) — feed it back through the
+    same machinery keyed on gid to restore input order. The lattice
+    frame is a pmin/pmax over the mesh axis; invalid rows carry
+    INT32_MAX keys and sink to the trailing shards.
+    """
+    from ..ops import morton
+
+    spec = P(axis_name)
+    n_dev = mesh.shape[axis_name]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, spec, spec),
+        check_vma=False)
+    def _run(pts, mask):
+        s = pts.shape[0]
+        me = jax.lax.axis_index(axis_name)
+        local_mn = jnp.min(jnp.where(mask[:, None], pts, jnp.inf), 0)
+        local_mx = jnp.max(jnp.where(mask[:, None], pts, -jnp.inf), 0)
+        mn = jax.lax.pmin(local_mn, axis_name)
+        mx = jax.lax.pmax(local_mx, axis_name)
+        mn = jnp.where(jnp.isfinite(mn), mn, 0.0)
+        mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+        ext = jnp.maximum(mx - mn, 1e-6)
+        keys = morton.keys_in_frame_pass(pts, mask, mn, ext, pass_index)
+        gid = me.astype(jnp.int32) * s + jnp.arange(s, dtype=jnp.int32)
+        ops0 = jax.lax.sort(
+            (keys, pts[:, 0], pts[:, 1], pts[:, 2],
+             mask.astype(jnp.float32), gid), num_keys=1)
+        _, x, y, z, mf, g = _oddeven_block_sort(ops0, axis_name, n_dev)
+        return jnp.stack([x, y, z], axis=1), mf > 0.5, g
+
+    return jax.jit(_run)
+
+
 def make_sharded_normals_window(mesh: Mesh, k: int = 10,
                                 viewpoint=(0.0, 0.0, 0.0),
                                 orient: bool = True, tile: int = 256,
-                                band: int = 16,
+                                band: int = 16, presorted: bool = False,
                                 axis_name: str = POINTS_AXIS):
-    """Fused-kernel distributed normals for SPATIALLY sharded clouds.
+    """Fused-kernel distributed normals over a points-sharded cloud.
 
-    Requires the caller contract of ``morton_presort``: the global
-    array is Morton-sorted and each shard holds a contiguous slice
-    whose size is a multiple of ``tile``. Each shard then runs the
-    fused window-normals pallas kernel (select + covariance + Jacobi
-    eigensolve in VMEM) on its own slice, with a ONE-TILE HALO
-    exchanged via ``ppermute`` so windows that straddle a shard
-    boundary see their missing candidates — the halo is exactly the
-    neighbouring shard's edge tile because shard slices continue the
-    global sorted order. Single-pass quality tier (the 2-pass merges
-    need a second global sort order, which would be a cross-shard
-    redistribution); ~0.5° mean error vs exact on scan data — see
-    docs/benchmarks.md.
+    With ``presorted=False`` (default) the input sharding is
+    ARBITRARY: an on-device distributed Morton sort (odd-even block
+    rounds over ``ppermute`` — see ``make_distributed_morton_sort``)
+    produces the contiguous spatially-sorted layout first, and the
+    results are routed back to the input order by a second distributed
+    sort keyed on the carried global row id. ``presorted=True`` skips
+    both (the round-2 ``morton_presort`` caller contract) and returns
+    results in the sorted order.
 
-    Compute per device is O(shard · window) versus the ring version's
-    O(shard · cloud): use this for the flagship large-N path, and
-    ``make_sharded_normals`` when the sharding is arbitrary.
+    Each shard runs the fused window-normals pallas kernel (select +
+    covariance + Jacobi eigensolve in VMEM) on its slice, with a
+    ONE-TILE HALO exchanged via ``ppermute`` so windows straddling a
+    shard boundary see their missing candidates — the halo is exactly
+    the neighbouring shard's edge tile because shard slices continue
+    the global sorted order. Single-pass quality tier (the 2-pass
+    merges need a second global sort order); ~0.5° mean error vs exact
+    on scan data — see docs/benchmarks.md.
+
+    Shard size must be a multiple of ``tile`` (pad the global cloud to
+    n_devices·tile). Compute per device is O(shard · window) versus
+    the ring version's O(shard · cloud).
     """
     from ..kernels.knn_pallas import window_normals_tiles
+    from ..ops import morton
 
     spec_pts = P(axis_name)
     vp = jnp.asarray(viewpoint, jnp.float32)
@@ -361,6 +450,24 @@ def make_sharded_normals_window(mesh: Mesh, k: int = 10,
         check_vma=False)
     def _run(pts, mask):
         s = pts.shape[0]
+        me = jax.lax.axis_index(axis_name)
+        gid = me.astype(jnp.int32) * s + jnp.arange(s, dtype=jnp.int32)
+        if not presorted:
+            local_mn = jnp.min(jnp.where(mask[:, None], pts, jnp.inf), 0)
+            local_mx = jnp.max(jnp.where(mask[:, None], pts, -jnp.inf), 0)
+            mn = jnp.where(jnp.isfinite(jax.lax.pmin(local_mn, axis_name)),
+                           jax.lax.pmin(local_mn, axis_name), 0.0)
+            mx = jnp.where(jnp.isfinite(jax.lax.pmax(local_mx, axis_name)),
+                           jax.lax.pmax(local_mx, axis_name), 0.0)
+            ext_f = jnp.maximum(mx - mn, 1e-6)
+            keys = morton.keys_in_frame_pass(pts, mask, mn, ext_f, 0)
+            ops0 = jax.lax.sort(
+                (keys, pts[:, 0], pts[:, 1], pts[:, 2],
+                 mask.astype(jnp.float32), gid), num_keys=1)
+            _, x, y, z, mf, gid = _oddeven_block_sort(
+                ops0, axis_name, n_dev)
+            pts = jnp.stack([x, y, z], axis=1)
+            mask = mf > 0.5
         mf = mask.astype(jnp.float32)
         # halo: my LAST tile goes right (their left halo), my FIRST
         # tile goes left; absent senders at the ring ends yield zeros
@@ -384,6 +491,17 @@ def make_sharded_normals_window(mesh: Mesh, k: int = 10,
             flip = jnp.sum(normal * to_vp, axis=-1) < 0
             normal = jnp.where(flip[:, None], -normal, normal)
         normal = jnp.where(valid[:, None], normal, 0.0)
+        if not presorted:
+            # route results back to the input order: the same block
+            # rounds keyed on gid land rows [d·s, (d+1)·s) on device d
+            # in their original positions
+            ops1 = jax.lax.sort(
+                (gid, normal[:, 0], normal[:, 1], normal[:, 2],
+                 valid.astype(jnp.float32)), num_keys=1)
+            _, nx, ny, nz, vf = _oddeven_block_sort(
+                ops1, axis_name, n_dev)
+            normal = jnp.stack([nx, ny, nz], axis=1)
+            valid = vf > 0.5
         return normal, valid
 
     return jax.jit(_run)
@@ -395,44 +513,48 @@ def make_sharded_voxel_filter(mesh: Mesh, voxel_size: float,
     cloud (filtering.rs:103-118 at multi-chip scale).
 
     Two-level segment reduction: each shard sorts its points by voxel
-    key and segment-sums *relative* coordinates into a local voxel
-    table (≤ shard-size rows — the compression happens before any
-    communication), the compacted tables ``all_gather`` along the ring
-    axis, and a replicated second merge combines duplicate keys across
-    shards. Output: (N, 3) centroid array + bool mask, sharded like the
-    input (valid centroids packed to the front of shard 0 onward).
+    key and reduces *relative* coordinates into a local voxel table
+    via the scatter-free segmented reverse scan (ops.segmented — the
+    per-shard ``segment_sum`` scatters this replaces were the exact
+    thing that primitive was built to eliminate on one chip), the
+    compacted tables ``all_gather`` along the ring axis, and a
+    replicated second merge combines duplicate keys across shards with
+    the same scan. Output: (N, 3) centroid array + bool mask, sharded
+    like the input (valid centroids packed to the front of shard 0
+    onward).
     """
+    from ..ops import segmented
+
     spec_pts = P(axis_name)
     vsize = jnp.float32(voxel_size)
     SENT = jnp.int32(2**31 - 1)
 
-    def _key_sorted_segments(coords3, payload_cols):
-        """Sort rows by (z,y,x) key; segment-sum payloads over key runs.
-        Returns (sorted keys (n,3), run-start mask, summed payloads,
-        counts) — invalid rows sink to the end with sentinel keys."""
+    def _key_sorted_segments(coords3, payload3):
+        """Sort rows by (z,y,x) voxel key, scan-reduce the payload over
+        key runs, and compact run rows to the front with one stable
+        sort. Returns (run keys (n, 3) sentinel-padded, run validity,
+        payload sums (n, 3), counts (n,)) in compacted run order —
+        invalid rows sink to the end."""
         n = coords3.shape[0]
-        idx = jnp.arange(n, dtype=jnp.int32)
-        ops = (coords3[:, 2], coords3[:, 1], coords3[:, 0], idx)
-        sz, sy, sx, perm = jax.lax.sort(ops, num_keys=3)
+        ops = (coords3[:, 2], coords3[:, 1], coords3[:, 0],
+               payload3[:, 0], payload3[:, 1], payload3[:, 2])
+        sz, sy, sx, p0, p1, p2 = jax.lax.sort(ops, num_keys=3)
         skey = jnp.stack([sx, sy, sz], 1)
         svalid = sz != SENT
-        new_run = jnp.any(skey != jnp.roll(skey, 1, axis=0), axis=1)
-        new_run = new_run.at[0].set(True) & svalid
-        seg = jnp.cumsum(new_run.astype(jnp.int32)) - 1
-        seg = jnp.where(svalid, jnp.maximum(seg, 0), n - 1)
-        sums = [jax.ops.segment_sum(
-            jnp.where(svalid[:, None] if p.ndim == 2 else svalid,
-                      p[perm], 0.0), seg, num_segments=n)
-            for p in payload_cols]
-        cnt = jax.ops.segment_sum(svalid.astype(jnp.float32), seg,
-                                  num_segments=n)
-        nrun = jnp.sum(new_run).astype(jnp.int32)
-        # compact keys to segment slots: key of each run start
-        run_keys = jnp.full((n, 3), SENT, jnp.int32).at[seg].set(
-            jnp.where(svalid[:, None], skey, SENT))
-        run_valid = jnp.arange(n) < nrun
-        run_keys = jnp.where(run_valid[:, None], run_keys, SENT)
-        return run_keys, run_valid, sums, cnt
+        head = jnp.any(skey != jnp.roll(skey, 1, axis=0), axis=1)
+        head = head.at[0].set(True)
+        sums = segmented.sorted_run_sums(
+            jnp.stack([p0, p1, p2], axis=1), head, svalid)  # (n, 4)
+        comp = jnp.where(head & svalid, jnp.int32(0), jnp.int32(1))
+        pos = jnp.arange(n, dtype=jnp.int32)
+        _, _, cx, cy, cz, s0, s1, s2, cnt = jax.lax.sort(
+            (comp, pos, sx, sy, sz, sums[:, 0], sums[:, 1], sums[:, 2],
+             sums[:, 3]), num_keys=2)
+        nrun = jnp.sum(head & svalid).astype(jnp.int32)
+        run_valid = pos < nrun
+        run_keys = jnp.where(run_valid[:, None],
+                             jnp.stack([cx, cy, cz], 1), SENT)
+        return run_keys, run_valid, jnp.stack([s0, s1, s2], 1), cnt
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -452,31 +574,33 @@ def make_sharded_voxel_filter(mesh: Mesh, voxel_size: float,
         coords = jnp.where(mask[:, None], coords, SENT)
 
         # level 1: local reduce (compression before communication)
-        keys1, valid1, (sum1,), cnt1 = _key_sorted_segments(coords, [rel])
+        keys1, valid1, sum1, cnt1 = _key_sorted_segments(coords, rel)
         # level 2: all_gather the (ns,·) tables → (nd*ns,·) replicated
         keys_g = jax.lax.all_gather(keys1, axis_name).reshape(nd * ns, 3)
         sums_g = jax.lax.all_gather(sum1, axis_name).reshape(nd * ns, 3)
         cnt_g = jax.lax.all_gather(cnt1, axis_name).reshape(nd * ns)
-        # merge duplicate keys across shards: sort + segment-sum again,
-        # payloads are (sum, cnt) so duplicate voxels combine exactly
+        # merge duplicate keys across shards: sort + the same segmented
+        # scan; payloads are (sum, cnt) so duplicate voxels combine
+        # exactly
         n2 = nd * ns
-        idx = jnp.arange(n2, dtype=jnp.int32)
         sz, sy, sx, ssx, ssy, ssz, scnt = jax.lax.sort(
             (keys_g[:, 2], keys_g[:, 1], keys_g[:, 0],
              sums_g[:, 0], sums_g[:, 1], sums_g[:, 2], cnt_g), num_keys=3)
         skey = jnp.stack([sx, sy, sz], 1)
         svalid = sz != SENT
-        new_run = jnp.any(skey != jnp.roll(skey, 1, 0), 1)
-        new_run = new_run.at[0].set(True) & svalid
-        seg = jnp.cumsum(new_run.astype(jnp.int32)) - 1
-        seg = jnp.where(svalid, jnp.maximum(seg, 0), n2 - 1)
-        ssum = jnp.stack([ssx, ssy, ssz], 1)
-        msum = jax.ops.segment_sum(
-            jnp.where(svalid[:, None], ssum, 0.0), seg, num_segments=n2)
-        mcnt = jax.ops.segment_sum(
-            jnp.where(svalid, scnt, 0.0), seg, num_segments=n2)
-        nvox = jnp.sum(new_run).astype(jnp.int32)
-        cent = msum / jnp.maximum(mcnt, 1.0)[:, None] + mn
+        head = jnp.any(skey != jnp.roll(skey, 1, 0), 1)
+        head = head.at[0].set(True)
+        from ..ops import segmented
+        merged = segmented.sorted_run_sums(
+            jnp.stack([ssx, ssy, ssz, scnt], axis=1), head, svalid)
+        comp = jnp.where(head & svalid, jnp.int32(0), jnp.int32(1))
+        pos2 = jnp.arange(n2, dtype=jnp.int32)
+        _, _, m0, m1, m2, mc = jax.lax.sort(
+            (comp, pos2, merged[:, 0], merged[:, 1], merged[:, 2],
+             merged[:, 3]), num_keys=2)
+        msum = jnp.stack([m0, m1, m2], 1)
+        nvox = jnp.sum(head & svalid).astype(jnp.int32)
+        cent = msum / jnp.maximum(mc, 1.0)[:, None] + mn
         out_mask = jnp.arange(n2) < nvox
         cent = jnp.where(out_mask[:, None], cent, 0.0)
         # emit this device's slice of the merged (replicated) table so
