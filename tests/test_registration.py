@@ -475,3 +475,106 @@ class TestWindowRobustness:
         got, res = self._recover(pts[::4], tgt_pts, t_true, None)
         np.testing.assert_allclose(got, np.asarray(t_true.matrix),
                                    atol=4e-3)
+
+
+class TestGicpAdversarialCovariances:
+    """VERDICT r2 item 6: the window path's union-moment covariances
+    select ~k by radius bound (can exceed or undershoot k) vs the
+    exact path's exact-k. Quality-neutral on scans; these fixtures
+    stress the divergence cases — thin slabs (extreme anisotropy),
+    mixed density (radius bound selects very different counts per
+    region), and near-degenerate clusters — and require the window
+    path's registration to match the exact path's recovery."""
+
+    @staticmethod
+    def _both(pts_src, pts_tgt, t_true, atol, max_corr=1.0, w_tiles=None):
+        src = PointCloud.from_numpy(pts_src)
+        tgt = PointCloud.from_numpy(pts_tgt)
+        errs = {}
+        for method in ("exact", "window"):
+            res = gicp_mod.gicp(
+                src, tgt, gicp_mod.GicpConfig(
+                    method=method, max_correspondence_distance=max_corr,
+                    w_tiles=w_tiles))
+            errs[method] = np.abs(np.asarray(res.transformation)
+                                  - np.asarray(t_true.matrix)).max()
+        assert errs["exact"] < atol, errs
+        assert errs["window"] < atol, errs
+        return errs
+
+    @staticmethod
+    def _cov_isolation(pts_src, pts_tgt, t_true, atol):
+        """The actual VERDICT question: union-moment ~k-by-radius
+        covariances vs exact-k, with the correspondence held EXACT."""
+        import jax.numpy as jnp
+        src = PointCloud.from_numpy(pts_src)
+        tgt = PointCloud.from_numpy(pts_tgt)
+        eps = jnp.float32(1e-4)
+        init = jnp.eye(4, dtype=jnp.float32)
+        for cov_win in (False, True):
+            sc, sok = gicp_mod.point_covariances(
+                src.points, src.mask, 20, eps, cov_win)
+            tc_, tok = gicp_mod.point_covariances(
+                tgt.points, tgt.mask, 20, eps, cov_win)
+            T, mse, it, conv, nc = gicp_mod._gicp_loop(
+                src.points, sok, sc, tgt.points, tok, tc_, init, 50,
+                jnp.float32(1e-6), jnp.float32(1.0), False, 3)
+            err = np.abs(np.asarray(T) - np.asarray(t_true.matrix)).max()
+            assert err < atol, (cov_win, err)
+
+    def test_thin_slab(self):
+        """5 mm-thick slab: covariance normals are extreme (1:400
+        aspect); GICP's plane-to-plane metric must still converge."""
+        rng = np.random.default_rng(31)
+        n = 4000
+        pts = np.stack([rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
+                        rng.normal(0, 0.005, n)], -1).astype(np.float32)
+        bump = 0.2 * np.sin(pts[:, 0] * 2.0) * np.cos(pts[:, 1] * 1.5)
+        pts[:, 2] += bump.astype(np.float32)
+        t_true = Transform.from_axis_angle([1.0, 0.3, 0], 0.02) @ \
+            Transform.from_translation([0.03, -0.02, 0.01])
+        tgt = pts @ np.asarray(t_true.matrix)[:3, :3].T \
+            + np.asarray(t_true.matrix)[:3, 3]
+        self._both(pts, tgt.astype(np.float32), t_true, atol=5e-3)
+
+    def test_mixed_density(self):
+        """100x density contrast: the union-moment radius bound selects
+        ~k in the dense blob but may find fewer in the sparse field."""
+        rng = np.random.default_rng(32)
+        sparse = rng.uniform(-3, 3, (1500, 3)).astype(np.float32)
+        sparse[:, 2] = 0.3 * np.sin(sparse[:, 0]) \
+            + 0.2 * np.cos(sparse[:, 1])
+        dense = (rng.normal(0, 0.05, (3500, 3))
+                 + [1.0, -0.8, 0.5]).astype(np.float32)
+        pts = np.concatenate([sparse, dense]).astype(np.float32)
+        t_true = Transform.from_axis_angle([0, 1.0, 0.2], 0.02) @ \
+            Transform.from_translation([0.02, 0.03, -0.02])
+        tgt = pts @ np.asarray(t_true.matrix)[:3, :3].T \
+            + np.asarray(t_true.matrix)[:3, 3]
+        # correspondence needs w=6 at 100x LOCAL density contrast (a
+        # sparse tile's neighbors span many target tiles across the
+        # dense blob; w=3/4 diverge — the GicpConfig.w_tiles knob)
+        self._both(pts, tgt.astype(np.float32), t_true, atol=5e-3,
+                   w_tiles=6)
+        # the union-moment covariances themselves are quality-neutral
+        # here: exact-correspondence recovery with either path
+        self._cov_isolation(pts, tgt.astype(np.float32), t_true,
+                            atol=1e-4)
+
+    def test_degenerate_clusters(self):
+        """Noisy line segments (near rank-1 neighborhoods): the ε·I
+        regulariser must keep the per-point metrics solvable in both
+        paths."""
+        rng = np.random.default_rng(33)
+        segs = []
+        for i in range(14):
+            t = rng.uniform(0, 1, 300)[:, None]
+            a = rng.uniform(-2, 2, 3)
+            b = rng.uniform(-2, 2, 3)
+            segs.append(a + t * (b - a) + rng.normal(0, 0.004, (300, 3)))
+        pts = np.concatenate(segs).astype(np.float32)
+        t_true = Transform.from_axis_angle([0.2, 0.3, 1.0], 0.02) @ \
+            Transform.from_translation([0.03, -0.01, 0.02])
+        tgt = pts @ np.asarray(t_true.matrix)[:3, :3].T \
+            + np.asarray(t_true.matrix)[:3, 3]
+        self._both(pts, tgt.astype(np.float32), t_true, atol=6e-3)

@@ -1,4 +1,4 @@
-"""LAS/LAZ LiDAR file reader/writer (LAS 1.2-1.4, point formats 0-3,6,7).
+"""LAS/LAZ LiDAR file reader/writer (LAS 1.2-1.4, point formats 0-3, 6-10).
 
 Covers the reference's ``las_laz`` feature (threecrate-io Cargo
 feature, backed there by pasture/laz-rs; threecrate-io/Cargo.toml:14).
@@ -22,10 +22,11 @@ from ..core.errors import InvalidDataError, UnsupportedError
 from ..core.point_cloud import PointCloud
 
 _POINT_FORMATS = {
-    0: 20, 1: 28, 2: 26, 3: 34, 6: 30, 7: 36,
+    0: 20, 1: 28, 2: 26, 3: 34, 6: 30, 7: 36, 8: 38, 9: 59, 10: 67,
 }
-_RGB_OFFSET = {2: 20, 3: 28, 7: 30}   # byte offset of the RGB triple
-_GPS_OFFSET = {1: 20, 3: 20, 6: 22, 7: 22}
+_RGB_OFFSET = {2: 20, 3: 28, 7: 30, 8: 30, 10: 30}  # RGB triple offset
+_GPS_OFFSET = {1: 20, 3: 20, 6: 22, 7: 22, 8: 22, 9: 22, 10: 22}
+_NIR_OFFSET = {8: 36, 10: 36}
 _INTENSITY_OFFSET = 12
 
 _LASZIP_USER_ID = b"laszip encoded\x00\x00"
@@ -115,6 +116,11 @@ def read_point_cloud(path, **_) -> PointCloud:
         gps = raw[:, o:o + 8].copy().view("<f8").ravel()
         if gps.any():
             attrs["gps_time"] = gps.astype(np.float64)
+    if fmt in _NIR_OFFSET:
+        o = _NIR_OFFSET[fmt]
+        nir = raw[:, o:o + 2].copy().view("<u2").ravel()
+        if nir.any():
+            attrs["nir"] = nir.astype(np.float32) / 65535.0
     return PointCloud.from_numpy(pts, **attrs)
 
 
@@ -165,17 +171,36 @@ def _decompress_laz(data, header_size, n_vlrs, offset_to_points,
 
 
 def write_point_cloud(path, cloud: PointCloud, scale: float = 1e-3,
-                      compress: Optional[bool] = None, **_) -> None:
-    """Write LAS (point format 2: xyz + intensity + rgb, or format 3
-    with a ``gps_time`` attribute). ``compress=True`` — or a ``.laz``
-    path — writes LASzip-compressed chunks via the native codec."""
+                      compress: Optional[bool] = None,
+                      point_format: Optional[int] = None, **_) -> None:
+    """Write LAS (default: LAS 1.2 point format 2 — xyz + intensity +
+    rgb — or format 3 with a ``gps_time`` attribute).
+    ``point_format=6/7`` writes a LAS 1.4 file (375-byte header, u64
+    counts, the modern extended record layout). ``compress=True`` — or
+    a ``.laz`` path — writes LASzip-compressed chunks via the native
+    codec (point formats 0-3 only: formats 6+ need the layered
+    LASzip 3 bitstream — see _decompress_laz)."""
     if compress is None:
         compress = str(path).lower().endswith(".laz")
+    if point_format is not None and point_format >= 6:
+        if compress:
+            raise UnsupportedError(
+                "LAZ compression of point formats 6+ needs the layered "
+                "LASzip 3 codec (not implemented); write uncompressed "
+                ".las for formats 6/7")
+        _write_las14(path, cloud, scale, point_format)
+        return
     pts = cloud.to_numpy().astype(np.float64)
     n = len(pts)
     offset = pts.min(0) if n else np.zeros(3)
     has_gps = "gps_time" in cloud.attrs
-    fmt = 3 if has_gps else 2
+    fmt = point_format if point_format is not None else (
+        3 if has_gps else 2)
+    if fmt not in (2, 3):
+        raise UnsupportedError(
+            f"LAS write supports point formats 2, 3 (LAS 1.2) and "
+            f"6, 7 (LAS 1.4); got {fmt}")
+    has_gps = fmt == 3
     rec_len = _POINT_FORMATS[fmt]
     header_size = 227
 
@@ -257,3 +282,74 @@ def write_point_cloud(path, cloud: PointCloud, scale: float = 1e-3,
         f.write(bytes(hdr))
         f.write(vlr_bytes)
         f.write(point_bytes)
+
+
+def _write_las14(path, cloud: PointCloud, scale: float,
+                 fmt: int) -> None:
+    """LAS 1.4 writer: 375-byte header, u64 point counts, extended
+    point records (format 6: xyz/intensity/returns/class/angle/gps;
+    format 7: + 16-bit RGB). Round-trip partner of the format-6/7
+    read path."""
+    if fmt not in (6, 7):
+        raise UnsupportedError(
+            f"LAS 1.4 write supports point formats 6 and 7; got {fmt}")
+    pts = cloud.to_numpy().astype(np.float64)
+    n = len(pts)
+    offset = pts.min(0) if n else np.zeros(3)
+    rec_len = _POINT_FORMATS[fmt]
+    header_size = 375
+
+    fields = [("x", "<i4"), ("y", "<i4"), ("z", "<i4"),
+              ("intensity", "<u2"), ("returns", "u1"), ("flags", "u1"),
+              ("class", "u1"), ("user", "u1"), ("scan_angle", "<i2"),
+              ("src", "<u2"), ("gps", "<f8")]
+    if fmt == 7:
+        fields += [("r", "<u2"), ("g", "<u2"), ("b", "<u2")]
+    rec = np.zeros(n, np.dtype(fields))
+    q = np.round((pts - offset) / scale).astype(np.int64)
+    if q.size and (q.min() < np.iinfo(np.int32).min
+                   or q.max() > np.iinfo(np.int32).max):
+        raise InvalidDataError(
+            "LAS quantized coordinates exceed the int32 record range "
+            f"(extent {pts.min(0)}..{pts.max(0)} at scale {scale}); "
+            "pass a coarser `scale` or recenter the cloud")
+    rec["x"], rec["y"], rec["z"] = q[:, 0], q[:, 1], q[:, 2]
+    rec["returns"] = 0x11                    # return 1 of 1
+    if "intensity" in cloud.attrs:
+        rec["intensity"] = np.clip(
+            cloud.attr_to_numpy("intensity") * 65535, 0, 65535
+        ).astype(np.uint16)
+    if "gps_time" in cloud.attrs:
+        rec["gps"] = cloud.attr_to_numpy("gps_time").astype(np.float64)
+    if fmt == 7 and "colors" in cloud.attrs:
+        c = np.clip(cloud.attr_to_numpy("colors") * 65535, 0, 65535
+                    ).astype(np.uint16)
+        rec["r"], rec["g"], rec["b"] = c[:, 0], c[:, 1], c[:, 2]
+
+    hdr = bytearray(header_size)
+    hdr[0:4] = b"LASF"
+    hdr[24] = 1
+    hdr[25] = 4
+    struct.pack_into("<H", hdr, 94, header_size)
+    struct.pack_into("<I", hdr, 96, header_size)   # offset to points
+    struct.pack_into("<I", hdr, 100, 0)            # no VLRs
+    hdr[104] = fmt
+    struct.pack_into("<H", hdr, 105, rec_len)
+    # legacy counts MUST be zero for point formats >= 6 (LAS 1.4 spec)
+    struct.pack_into("<I", hdr, 107, 0)
+    struct.pack_into("<6d", hdr, 131, scale, scale, scale, *offset)
+    mx = pts.max(0) if n else np.zeros(3)
+    mn = pts.min(0) if n else np.zeros(3)
+    struct.pack_into("<6d", hdr, 179, mx[0], mn[0], mx[1], mn[1],
+                     mx[2], mn[2])
+    # 227: waveform start, 235: extended-VLR start, 243: extended-VLR
+    # count, 247: u64 point count, 255: 15x u64 by-return counts
+    struct.pack_into("<Q", hdr, 227, 0)
+    struct.pack_into("<Q", hdr, 235, 0)
+    struct.pack_into("<I", hdr, 243, 0)
+    struct.pack_into("<Q", hdr, 247, n)
+    struct.pack_into("<Q", hdr, 255, n)
+
+    with open(path, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(rec.tobytes())

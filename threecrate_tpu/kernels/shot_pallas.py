@@ -69,8 +69,10 @@ def _band_mats(pack, band: int, tile: int, rows):
         pr = pltpu.roll(pack, (-off) % w3, axis=1) if off else pack
         sl = pr[:, tile:2 * tile]
         for j, r in enumerate(rows):
-            per_row[j].append(sl[r, :])
-    return [jnp.stack(v, axis=0) for v in per_row]
+            # keep slices 2-D: Mosaic rejects 1-D row extraction at
+            # sublane offset > 0 (layout check `offset < tiling`)
+            per_row[j].append(sl[r:r + 1, :])
+    return [jnp.concatenate(v, axis=0) for v in per_row]
 
 
 def _window_pack(prev_ref, self_ref, next_ref, n_rows: int):
@@ -83,12 +85,15 @@ def _window_pack(prev_ref, self_ref, next_ref, n_rows: int):
         [prev_ref[0:n_rows, :], self_ref[0:n_rows, :],
          next_ref[0:n_rows, :]], axis=1)
     tile = self_ref.shape[1]
-    ok_prev = jnp.where(t > 0, pack[3, :tile], 0.0)
-    ok_next = jnp.where(t < n_t - 1, pack[3, 2 * tile:], 0.0)
-    valid = jnp.concatenate([ok_prev, pack[3, tile:2 * tile], ok_next])
-    pack = jnp.concatenate(
-        [pack[0:3], valid[None, :], pack[4:]], axis=0)
-    return pack
+    vrow = pack[3:4, :]                       # 2-D slice (see _band_mats)
+    ok_prev = jnp.where(t > 0, vrow[:, :tile], 0.0)
+    ok_next = jnp.where(t < n_t - 1, vrow[:, 2 * tile:], 0.0)
+    valid = jnp.concatenate(
+        [ok_prev, vrow[:, tile:2 * tile], ok_next], axis=1)
+    rows = [pack[0:3], valid]
+    if n_rows > 4:  # a pack[4:] slice of a 4-row pack is 0-sized —
+        rows.append(pack[4:])  # Mosaic rejects 0-extent vector types
+    return jnp.concatenate(rows, axis=0)
 
 
 def _moments_body(pack, self_ref, out_ref, *, r2: float, band: int,
@@ -97,9 +102,9 @@ def _moments_body(pack, self_ref, out_ref, *, r2: float, band: int,
     rows = [0, 1, 2, 3] + ([4] if excl else [])
     mats = _band_mats(pack, band, tile, rows)
     cx, cy, cz, vm = mats[0], mats[1], mats[2], mats[3]
-    qx = self_ref[0, :][None, :]
-    qy = self_ref[1, :][None, :]
-    qz = self_ref[2, :][None, :]
+    qx = self_ref[0:1, :]
+    qy = self_ref[1:2, :]
+    qz = self_ref[2:3, :]
     dx = cx - qx
     dy = cy - qy
     dz = cz - qz
@@ -107,7 +112,7 @@ def _moments_body(pack, self_ref, out_ref, *, r2: float, band: int,
     sel = (vm > 0.5) & (d2 <= r2) & (d2 > 1e-18)
     if excl:
         pa = mats[4]
-        qpa = self_ref[4, :][None, :]
+        qpa = self_ref[4:5, :]
         sel = sel & (jnp.abs(pa - qpa) > float(band))
     selF = sel.astype(jnp.float32)
     d = jnp.sqrt(jnp.maximum(d2, 0.0))
@@ -148,9 +153,9 @@ def _hist_body(pack, self_ref, lrf_ref, out_ref, *, r2: float, band: int,
     mats = _band_mats(pack, band, tile, rows)
     cx, cy, cz, vm = mats[0], mats[1], mats[2], mats[3]
     nx, ny, nz = mats[4], mats[5], mats[6]
-    qx = self_ref[0, :][None, :]
-    qy = self_ref[1, :][None, :]
-    qz = self_ref[2, :][None, :]
+    qx = self_ref[0:1, :]
+    qy = self_ref[1:2, :]
+    qz = self_ref[2:3, :]
     dx = cx - qx
     dy = cy - qy
     dz = cz - qz
@@ -158,20 +163,21 @@ def _hist_body(pack, self_ref, lrf_ref, out_ref, *, r2: float, band: int,
     sel = (vm > 0.5) & (d2 <= r2) & (d2 > 1e-18)
     if excl:
         pa = mats[7]
-        qpa = self_ref[7, :][None, :]
+        qpa = self_ref[7:8, :]
         sel = sel & (jnp.abs(pa - qpa) > float(band))
     selF = sel.astype(jnp.float32)
 
     # in-LRF displacement: query axes broadcast over the offset axis
-    x0 = lrf_ref[0, :][None, :]
-    x1 = lrf_ref[1, :][None, :]
-    x2 = lrf_ref[2, :][None, :]
-    y0 = lrf_ref[3, :][None, :]
-    y1 = lrf_ref[4, :][None, :]
-    y2 = lrf_ref[5, :][None, :]
-    z0 = lrf_ref[6, :][None, :]
-    z1 = lrf_ref[7, :][None, :]
-    z2 = lrf_ref[8, :][None, :]
+    # (2-D row slices — see _band_mats note)
+    x0 = lrf_ref[0:1, :]
+    x1 = lrf_ref[1:2, :]
+    x2 = lrf_ref[2:3, :]
+    y0 = lrf_ref[3:4, :]
+    y1 = lrf_ref[4:5, :]
+    y2 = lrf_ref[5:6, :]
+    z0 = lrf_ref[6:7, :]
+    z1 = lrf_ref[7:8, :]
+    z2 = lrf_ref[8:9, :]
     lx = dx * x0 + dy * x1 + dz * x2
     ly = dx * y0 + dy * y1 + dz * y2
     lz = dx * z0 + dy * z1 + dz * z2

@@ -562,12 +562,25 @@ def extract_usc_features(cloud: PointCloud,
 
 @functools.partial(jax.jit, static_argnames=("mutual",))
 def match_descriptors(desc_a, valid_a, desc_b, valid_b, mutual=False):
-    """Nearest neighbor in descriptor space as one matmul
+    """Nearest neighbor in descriptor space
     (find_feature_correspondences, global_registration.rs:93-111).
 
     Returns (index_into_b (N,), distance, valid). ``mutual=True`` keeps
-    only cross-checked pairs.
+    only cross-checked pairs. Small problems run as one matmul; above
+    ~2^26 pair products the search goes through the blockwise
+    ``neighbors.knn`` machinery (dimension-agnostic) — the one-shot
+    (N, M) distance matrix at 1M x 1M would be 4 TB of HBM.
     """
+    na, nb = desc_a.shape[0], desc_b.shape[0]
+    if na * nb > 2 ** 26:
+        res = neighbors.knn(desc_b, valid_b, desc_a, valid_a, 1)
+        j = res.indices[:, 0]
+        dist = res.distances[:, 0]
+        ok = valid_a & res.mask[:, 0] & jnp.isfinite(dist)
+        if mutual:
+            back = neighbors.knn(desc_a, valid_a, desc_b, valid_b, 1)
+            ok = ok & (back.indices[:, 0][j] == jnp.arange(na))
+        return j, jnp.where(ok, dist, jnp.inf), ok
     an = jnp.sum(desc_a * desc_a, axis=1)
     bn = jnp.sum(desc_b * desc_b, axis=1)
     cross = jax.lax.dot_general(

@@ -40,6 +40,18 @@ class GicpConfig:
     k_correspondences: int = 20
     covariance_epsilon: float = 1e-4
     method: str = "auto"
+    # Window width of the static-sort correspondence, in 128-pt target
+    # tiles; None = registration.auto_w_tiles (3 at equal capacity).
+    # Raise manually (6+) for clouds with large LOCAL density contrast
+    # (e.g. a dense cluster inside a sparse field): a sparse tile's
+    # true neighbors can span many target tiles there, and GICP's
+    # plane-to-plane weighting is less forgiving of the resulting
+    # misses than point-to-point ICP (measured: 100x contrast diverges
+    # at w=3/4, exact at w=6 — tests/test_registration.py
+    # TestGicpAdversarialCovariances). A non-converged result
+    # (converged=False) is the fallback signal: retry with larger
+    # w_tiles or method="exact".
+    w_tiles: Optional[int] = None
 
 
 def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
@@ -273,10 +285,11 @@ def gicp(source: PointCloud, target: PointCloud,
 
     init_m = init.matrix if init is not None else jnp.eye(4, dtype=jnp.float32)
     from .registration import auto_w_tiles
+    w = (config.w_tiles if config.w_tiles is not None
+         else auto_w_tiles(source.capacity, target.capacity))
     t, mse, it, conv, n_corr = _gicp_loop(
         source.points, src_ok, src_cov, target.points, tgt_ok, tgt_cov,
         init_m, config.max_iterations,
         jnp.float32(config.convergence_threshold),
-        jnp.float32(config.max_correspondence_distance), window,
-        auto_w_tiles(source.capacity, target.capacity))
+        jnp.float32(config.max_correspondence_distance), window, w)
     return ICPResult(t, mse, it, conv, n_corr)

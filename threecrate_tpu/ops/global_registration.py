@@ -40,6 +40,13 @@ class GlobalRegistrationConfig:
     inlier_ratio: float = 0.25
     fpfh_radius: float = 0.25
     max_correspondences: int = 2048
+    # Source descriptors are strided down to this many before matching
+    # (0 = use all). At 1M x 1M the all-pairs 33-d matching is ~66
+    # TFLOP; 16k well-distributed queries give RANSAC the same pose
+    # evidence at 1/60th the cost (the reference brute-forces all
+    # pairs on CPU threads — global_registration.rs:93-111 — which is
+    # exactly what does not scale).
+    max_query_descriptors: int = 16384
     refine_with_icp: bool = True
     icp_max_iterations: int = 30
     k_normals: int = 10
@@ -96,6 +103,15 @@ def global_registration_with_features(
         src_desc, src_valid, tgt_desc, tgt_valid,
         config: GlobalRegistrationConfig) -> GlobalRegistrationResult:
     """RANSAC core given precomputed descriptors."""
+    n_src = src_desc.shape[0]
+    mq = config.max_query_descriptors
+    src_points = source.points
+    if mq and n_src > mq:
+        # static strided subsample of the query side (see config note)
+        stride = -(-n_src // mq)
+        src_desc = src_desc[::stride]
+        src_valid = src_valid[::stride]
+        src_points = src_points[::stride]
     j, dist, ok = features.match_descriptors(
         src_desc, src_valid, tgt_desc, tgt_valid,
         mutual=config.mutual_check)
@@ -104,7 +120,7 @@ def global_registration_with_features(
     # matmul bounded; the reference scores all pairs every iteration)
     m = config.max_correspondences
     order = jnp.argsort(jnp.where(ok, dist, jnp.inf))[:m]
-    src_pts = source.points[order]
+    src_pts = src_points[order]
     tgt_pts = target.points[j[order]]
     corr_ok = ok[order]
 
