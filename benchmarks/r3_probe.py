@@ -224,7 +224,8 @@ def main() -> None:
             @jax.jit
             def mc(g):
                 soup = extract_soup_cubes(g, jnp.float32(0.0))
-                return jnp.sum(jnp.where(soup.mask[:, None, None],
+                keep = jnp.repeat(soup.mask, 3)
+                return jnp.sum(jnp.where(keep[:, None],
                                          soup.vertices, 0.0))
             t = median_time(lambda: float(mc(grid)), warmup=1, iters=3,
                             sync_fn=lambda x: x)

@@ -72,7 +72,8 @@ def main() -> None:
         @jax.jit
         def mc(g):
             soup = extract_soup_cubes(g, jnp.float32(0.0))
-            return jnp.sum(jnp.where(soup.mask[:, None, None],
+            keep = jnp.repeat(soup.mask, 3)
+            return jnp.sum(jnp.where(keep[:, None],
                                      soup.vertices, 0.0)), \
                 jnp.sum(soup.mask)
 

@@ -176,13 +176,29 @@ def _rgpf(points, pid, n_patches, n_iters, seed_fraction, min_seeds,
         vals = linalg.eigvals_sym3x3(cov)
         return nrm, dplane, mean, vals, wsum
 
-    def body(i, w_bool):
-        nrm, dp, _, _, _ = fit_planes(w_bool)
+    # ONE fit_planes instance total: the carry holds (selection, fit of
+    # that selection) and the loop runs n_iters+1 times, so the final
+    # iteration's fit IS the fit of the converged selection. A separate
+    # post-loop fit_planes call would re-instantiate the segmented-scan
+    # primitive in the HLO — each instance costs ~3 min of remote XLA
+    # compile (the round-2 two-level-scan number), and the scan is the
+    # whole of Patchwork++'s compile budget.
+    def body(i, state):
+        w_bool, _ = state
+        fit = fit_planes(w_bool)
+        nrm, dp = fit[0], fit[1]
         dist = jnp.abs(jnp.sum(pts_s * nrm, axis=1) + dp)
-        return valid_s & (dist <= dist_thresh)
+        w_new = valid_s & (dist <= dist_thresh)
+        # keep the selection FIXED on the extra final pass so the
+        # emitted fit corresponds to the selection it was fit on
+        w_out = jnp.where(i < n_iters, w_new, w_bool)
+        return (w_out, fit)
 
-    w_final = jax.lax.fori_loop(0, n_iters, body, w_seed)
-    nrm, dp, mean, vals, wsum = fit_planes(w_final)
+    zero_fit = (jnp.zeros((n, 3), jnp.float32), jnp.zeros(n, jnp.float32),
+                jnp.zeros((n, 3), jnp.float32),
+                jnp.zeros((n, 3), jnp.float32), jnp.zeros(n, jnp.float32))
+    (_, (nrm, dp, mean, vals, wsum)) = jax.lax.fori_loop(
+        0, n_iters + 1, body, (w_seed, zero_fit))
 
     # --- patch validation (uprightness / elevation / flatness) ---------
     flat = jnp.maximum(vals[:, 0], 0.0) / jnp.maximum(

@@ -71,32 +71,40 @@ def build_gaussians(points, mask, resolution, min_points) -> NdtGaussians:
     new_run = jnp.concatenate([
         jnp.ones((1,), bool),
         grid.sorted_keys[1:] != grid.sorted_keys[:-1]]) & sorted_valid
-    run_id = jnp.maximum(jnp.cumsum(new_run.astype(jnp.int32)) - 1, 0)
-    run_id = jnp.where(sorted_valid, run_id, n - 1)
 
-    # two segmented reverse scans (ops.segmented — scatter-free; the
-    # three segment_sum scatters here cost ~46 ms each at 1M on v5e):
-    # cell means first, then mean-centered second moments (numerically
-    # stable vs E[xxᵀ]−μμᵀ). Cell-indexed rows come from one stable
-    # compaction sort shared by both passes.
+    # ONE segmented reverse scan (ops.segmented — scatter-free): raw
+    # first+second moments of HEAD-CENTERED coordinates (c = p − run
+    # head point; |c| ≤ cell diagonal, so the E[ccᵀ]−μ'μ'ᵀ expansion
+    # cancels at eps·cell² ≪ the regularisation floor — the same trick
+    # as ground._rgpf). The previous two-scan formulation (means, then
+    # mean-centered second moments) cost a second scan INSTANCE — each
+    # is ~3 min of remote XLA compile — plus a per-element means[run_id]
+    # row gather per call.
     from . import segmented
-    w = sorted_valid.astype(jnp.float32)
-    means_s, cnt_s = segmented.sorted_run_means(sorted_pts, new_run,
-                                                sorted_valid)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    start_el = jnp.maximum(jax.lax.cummax(jnp.where(new_run, iota, -1)), 0)
+    head_pt = sorted_pts[start_el]
+    c = sorted_pts - head_pt
+    mom9 = jnp.concatenate([
+        c,
+        jnp.stack([c[:, 0] * c[:, 0], c[:, 1] * c[:, 1],
+                   c[:, 2] * c[:, 2], c[:, 0] * c[:, 1],
+                   c[:, 0] * c[:, 2], c[:, 1] * c[:, 2]], axis=1)], axis=1)
+    s = segmented.sorted_run_sums(mom9, new_run, sorted_valid)
     comp_key = jnp.where(new_run, jnp.int32(0), jnp.int32(1))
-    _, order = jax.lax.sort(
-        (comp_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
-    means = means_s[order]                      # (n, 3) cell-indexed
-    cnt = cnt_s[order]
-
-    d = (sorted_pts - means[run_id]) * w[:, None]
-    outer6 = jnp.stack([d[:, 0] * d[:, 0], d[:, 1] * d[:, 1],
-                        d[:, 2] * d[:, 2], d[:, 0] * d[:, 1],
-                        d[:, 0] * d[:, 2], d[:, 1] * d[:, 2]], axis=1)
-    cov_sums = segmented.sorted_run_sums(outer6, new_run,
-                                         sorted_valid)[:, :6][order]
+    _, order = jax.lax.sort((comp_key, iota), num_keys=1)
+    sc = s[order]                                # (n, 10) cell-indexed
+    head_c = head_pt[order]
+    cnt = sc[:, 9]
+    inv_n = 1.0 / jnp.maximum(cnt, 1.0)
+    mu = sc[:, :3] * inv_n[:, None]              # head-centered mean
+    means = head_c + mu
     denom = jnp.maximum(cnt - 1.0, 1.0)
-    xx, yy, zz, xy, xz, yz = (cov_sums[:, i] / denom for i in range(6))
+    cc6 = (sc[:, 3:9] - cnt[:, None] * jnp.stack(
+        [mu[:, 0] * mu[:, 0], mu[:, 1] * mu[:, 1], mu[:, 2] * mu[:, 2],
+         mu[:, 0] * mu[:, 1], mu[:, 0] * mu[:, 2], mu[:, 1] * mu[:, 2]],
+        axis=1)) / denom[:, None]
+    xx, yy, zz, xy, xz, yz = (cc6[:, i] for i in range(6))
     covs = jnp.stack([
         jnp.stack([xx, xy, xz], -1),
         jnp.stack([xy, yy, yz], -1),
