@@ -57,8 +57,25 @@ def median_time(fn, warmup: int, iters: int) -> float:
 
 
 def run_task(task: str, path, pts: np.ndarray, warmup: int, iters: int,
-             voxel: float, k: int) -> float:
+             voxel: float, k: int, collect: dict = None) -> float:
+    """``collect`` (optional dict): receives ``peak_bytes`` — the
+    device peak-memory delta of one task invocation, the TPU analog of
+    the reference's instrumented-allocator benches
+    (threecrate-bench/src/mem/allocations.rs:19-55)."""
     import jax.numpy as jnp
+
+    if collect is not None:
+        from threecrate_tpu.utils.profiling import measure_peak_memory
+        _outer_mt = globals()["median_time"]
+
+        def median_time(fn, warmup, iters):   # shadows the module fn
+            t = _outer_mt(fn, warmup, iters)
+            try:
+                _, peak = measure_peak_memory(fn)
+                collect["peak_bytes"] = int(peak)
+            except Exception:
+                collect["peak_bytes"] = -1
+            return t
 
     import threecrate_tpu as tc
     from threecrate_tpu.ops.normals import (
@@ -129,6 +146,10 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--max-points", type=int, default=None)
     ap.add_argument("--csv", type=Path, default=None)
+    ap.add_argument("--memory", action="store_true",
+                    help="also report each task's device peak-memory "
+                         "delta (the allocation-bench analog; n/a on "
+                         "backends without memory_stats)")
     ap.add_argument("--backend", default="auto",
                     choices=("auto", "cpu", "tpu"),
                     help="pin the jax backend (the container may "
@@ -156,13 +177,19 @@ def main() -> None:
 
     tasks = TASKS if args.tasks == "all" else tuple(
         t.strip() for t in args.tasks.split(","))
-    rows = ["library,dataset,task,points,median_ms"]
+    hdr = "library,dataset,task,points,median_ms"
+    rows = [hdr + ",peak_mb" if args.memory else hdr]
     for task in tasks:
         try:
+            collect = {} if args.memory else None
             t = run_task(task, args.dataset, pts, args.warmup,
-                         args.iterations, args.voxel_size, args.k)
-            rows.append(
-                f"threecrate_tpu,{name},{task},{len(pts)},{t * 1e3:.3f}")
+                         args.iterations, args.voxel_size, args.k,
+                         collect)
+            row = f"threecrate_tpu,{name},{task},{len(pts)},{t * 1e3:.3f}"
+            if args.memory:
+                peak = collect.get("peak_bytes", -1)
+                row += f",{peak / 1e6:.1f}" if peak >= 0 else ",n/a"
+            rows.append(row)
             print(rows[-1], flush=True)
         except Exception as e:  # noqa: BLE001 — keep benching other tasks
             print(f"# {task} failed: {e}", file=sys.stderr)

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Multi-chip sharding demo: a cloud too big for one device's memory
+is split over the points axis of a device mesh.
+
+Shows the three distributed building blocks (parallel/sharded.py):
+  * distributed Morton sort (odd-even block rounds over ppermute)
+  * fused sharded normals with halo exchange — arbitrary input
+    sharding accepted since round 3
+  * sharded ICP (ring correspondence + psum Kabsch)
+
+Run: python examples/sharded_multichip.py
+On a machine without 8 accelerators this forces an 8-device virtual
+CPU mesh, which exercises exactly the same SPMD program XLA would
+partition over real chips.
+"""
+import os
+import sys
+from pathlib import Path
+
+# force a virtual 8-device platform BEFORE jax initialises
+os.environ.setdefault("XLA_FLAGS", "")
+if "host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+from threecrate_tpu.parallel import (make_distributed_morton_sort,
+                                     make_mesh, make_sharded_icp,
+                                     make_sharded_normals_window,
+                                     make_sharded_voxel_filter,
+                                     put_sharded)
+
+
+def main():
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    print(f"mesh: {n_dev} devices over the points axis")
+
+    rng = np.random.default_rng(0)
+    n = 1024 * n_dev
+    xy = rng.uniform(-4, 4, (n, 2)).astype(np.float32)
+    z = 0.4 * np.sin(xy[:, 0] * 1.5) + 0.3 * np.cos(xy[:, 1])
+    pts = np.stack([xy[:, 0], xy[:, 1], z], -1).astype(np.float32)
+    rng.shuffle(pts)                       # deliberately arbitrary order
+    mask = np.ones(n, bool)
+
+    pts_s = put_sharded(jnp.asarray(pts), mesh)
+    mask_s = put_sharded(jnp.asarray(mask), mesh)
+
+    # 1. distributed Morton sort: spatial layout without a host gather
+    sort_fn = make_distributed_morton_sort(mesh)
+    spts, smask, gid = sort_fn(pts_s, mask_s)
+    print("distributed sort: contiguous spatial shards, "
+          f"row map intact: {bool((np.asarray(spts) == pts[np.asarray(gid)]).all())}")
+
+    # 2. fused sharded normals on the SHUFFLED input (the sort runs
+    #    inside; results come back in input order)
+    normals_fn = make_sharded_normals_window(mesh, k=10, tile=128,
+                                             viewpoint=(0, 0, 10.0))
+    nrm, valid = normals_fn(pts_s, mask_s)
+    nrm = np.asarray(nrm)
+    print(f"sharded normals: {int(np.asarray(valid).sum())}/{n} valid, "
+          f"mean |n_z| = {np.abs(nrm[np.asarray(valid)][:, 2]).mean():.3f}")
+
+    # 3. sharded voxel filter
+    voxel_fn = make_sharded_voxel_filter(mesh, voxel_size=0.5)
+    vpts, vmask = voxel_fn(pts_s, mask_s)
+    print(f"sharded voxel filter: {n} -> {int(np.asarray(vmask).sum())}")
+
+    # 4. sharded ICP: register a shifted copy back
+    shift = np.array([0.05, -0.03, 0.02], np.float32)
+    tgt_s = put_sharded(jnp.asarray(pts + shift), mesh)
+    icp_fn = make_sharded_icp(mesh, max_iterations=15)
+    t, mse, it, conv = icp_fn(pts_s, mask_s, tgt_s, mask_s)
+    terr = np.abs(np.asarray(t)[:3, 3] - shift).max()
+    print(f"sharded ICP: recovered translation to {terr:.2e} "
+          f"in {int(it)} iters (converged={bool(conv)})")
+
+
+if __name__ == "__main__":
+    main()

@@ -310,3 +310,28 @@ class TestShotFused:
         res = features.extract_shot_features(
             pc, features.ShotConfig(radius=0.6, method="window"))
         assert np.asarray(res.valid).sum() > 500
+
+
+class TestFpfhSoftBinning:
+    def test_soft_binning_close_to_hard(self):
+        """PCL-style quadrilinear binning (opt-in; the reference
+        hard-bins, features.rs:109-113): same shape/normalisation,
+        high similarity to the hard default, measurably smoothed."""
+        pc = with_normals(bumpy_surface(500, seed=12))
+        hard = features.extract_fpfh_features_with_normals(
+            pc, features.FpfhConfig(radius=0.5))
+        soft = features.extract_fpfh_features_with_normals(
+            pc, features.FpfhConfig(radius=0.5, soft_binning=True))
+        dh = np.asarray(hard.descriptors)
+        ds = np.asarray(soft.descriptors)
+        v = np.asarray(hard.valid) & np.asarray(soft.valid)
+        for b in range(3):
+            np.testing.assert_allclose(
+                ds[v][:, b * 11:(b + 1) * 11].sum(1), 100.0, atol=1e-2)
+        ch = dh[v] / np.maximum(np.linalg.norm(dh[v], axis=1,
+                                               keepdims=True), 1e-9)
+        cs = ds[v] / np.maximum(np.linalg.norm(ds[v], axis=1,
+                                               keepdims=True), 1e-9)
+        cos = np.sum(ch * cs, axis=1)
+        assert np.mean(cos) > 0.95
+        assert not np.allclose(dh[v], ds[v])

@@ -13,8 +13,11 @@ here each stage is one batched array op:
 
 SHOT (features.rs:294-420): 8 azimuth × 2 elevation × 2 radial volumes
 × 11 cos-normal bins = 352, with a sign-disambiguated LRF from the
-distance-weighted neighborhood covariance. Binning is hard-assignment
-(the reference's quadrilinear soft-binning is a TODO noted here).
+distance-weighted neighborhood covariance. FPFH binning is
+hard-assignment BY DEFAULT, which matches the reference exactly
+(features.rs:109-113 does ``histogram[bin] += 1``, no interpolation);
+PCL's quadrilinear soft-binning is the opt-in
+``FpfhConfig(soft_binning=True)`` staged path.
 USC (features.rs:306-313): 8 az × 2 el × 8 radial spatial *density*
 histogram in the same LRF = 128 dims, no normals needed.
 """
@@ -48,6 +51,11 @@ class FpfhConfig:
     max_neighbors: int = 64
     n_bins: int = 11
     method: str = "auto"
+    # PCL-style linear (soft) binning: each pair feature votes into
+    # the two adjacent bins weighted by its fractional position. The
+    # reference hard-bins (features.rs:109-113), so this is OFF by
+    # default; turning it on routes through the staged path.
+    soft_binning: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,12 +95,23 @@ def pair_features(p1, n1, p2, n2):
     return f1, f2, f3, f4
 
 
-def _hist(values, lo, hi, n_bins, weights):
-    """(..., K) values → (..., n_bins) weighted histogram via one-hot."""
+def _hist(values, lo, hi, n_bins, weights, soft=False):
+    """(..., K) values → (..., n_bins) weighted histogram via one-hot.
+    ``soft=True`` = PCL-style linear interpolation into the two
+    adjacent bins (the reference hard-bins; see module docstring)."""
     t = (values - lo) / (hi - lo)
-    idx = jnp.clip((t * n_bins).astype(jnp.int32), 0, n_bins - 1)
-    onehot = jax.nn.one_hot(idx, n_bins, dtype=jnp.float32)
-    return jnp.einsum("...k,...kb->...b", weights, onehot)
+    if not soft:
+        idx = jnp.clip((t * n_bins).astype(jnp.int32), 0, n_bins - 1)
+        onehot = jax.nn.one_hot(idx, n_bins, dtype=jnp.float32)
+        return jnp.einsum("...k,...kb->...b", weights, onehot)
+    pos = jnp.clip(t * n_bins - 0.5, 0.0, float(n_bins - 1))
+    lo_i = pos.astype(jnp.int32)
+    hi_i = jnp.minimum(lo_i + 1, n_bins - 1)
+    frac = pos - lo_i
+    oh_lo = jax.nn.one_hot(lo_i, n_bins, dtype=jnp.float32)
+    oh_hi = jax.nn.one_hot(hi_i, n_bins, dtype=jnp.float32)
+    return jnp.einsum("...k,...kb->...b", weights * (1 - frac), oh_lo) \
+        + jnp.einsum("...k,...kb->...b", weights * frac, oh_hi)
 
 
 class FpfhResult(NamedTuple):
@@ -188,9 +207,9 @@ N_BINS_FPFH = 11
 
 
 @functools.partial(jax.jit, static_argnames=("max_neighbors", "n_bins",
-                                             "window"))
+                                             "window", "soft"))
 def _fpfh(points, mask, normals_arr, radius, max_neighbors, n_bins,
-          window=False):
+          window=False, soft=False):
     if window:
         res = neighbors.radius_neighbors_window(
             points, mask, radius, max_neighbors, exclude_self=True)
@@ -227,9 +246,9 @@ def _fpfh(points, mask, normals_arr, radius, max_neighbors, n_bins,
         f1, f2, f3, _ = pair_features(q_pts[:, None, :], q_nrm[:, None, :],
                                       points[idx], normals_arr[idx])
         w = ok.astype(jnp.float32)
-        h1 = _hist(f1, -jnp.pi, jnp.pi, n_bins, w)
-        h2 = _hist(f2, -1.0, 1.0, n_bins, w)
-        h3 = _hist(f3, -1.0, 1.0, n_bins, w)
+        h1 = _hist(f1, -jnp.pi, jnp.pi, n_bins, w, soft)
+        h2 = _hist(f2, -1.0, 1.0, n_bins, w, soft)
+        h3 = _hist(f3, -1.0, 1.0, n_bins, w, soft)
         cnt = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
         return jnp.concatenate([h1, h2, h3], axis=-1) / cnt
 
@@ -267,13 +286,14 @@ def extract_fpfh_features_with_normals(cloud: PointCloud,
         raise InvalidDataError("FPFH requires normals on the cloud")
     window = (config.method == "window"
               or (config.method == "auto" and cloud.capacity > 262144))
-    if window and config.n_bins == 11:
+    if window and config.n_bins == 11 and not config.soft_binning:
         desc, valid = _fpfh_fused(cloud.points, cloud.mask, cloud.normals,
                                   float(config.radius))
     else:
         desc, valid = _fpfh(cloud.points, cloud.mask, cloud.normals,
                             jnp.float32(config.radius),
-                            config.max_neighbors, config.n_bins, window)
+                            config.max_neighbors, config.n_bins, window,
+                            config.soft_binning)
     return FpfhResult(desc, valid)
 
 
