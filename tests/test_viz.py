@@ -115,3 +115,44 @@ class TestViewer:
             np.array([[0, 1, 2]], np.int32))
         show_mesh(m, tmp_path / "m.png", width=80, height=60)
         assert (tmp_path / "m.png").exists()
+
+
+class TestTerminalLoop:
+    """The viewer's terminal event loop (the winit ApplicationHandler
+    analog — interactive_viewer.rs:116) driven by a scripted key
+    sequence; closes §2.7's missing-event-loop gap headlessly."""
+
+    def _viewer(self):
+        from threecrate_tpu.viz import InteractiveViewer
+        rng = np.random.default_rng(0)
+        pts = rng.normal(0, 1, (500, 3)).astype(np.float32)
+        v = InteractiveViewer(width=160, height=120)
+        v.set_point_cloud(PointCloud.from_numpy(pts))
+        return v
+
+    def test_scripted_session(self, capsys):
+        v = self._viewer()
+        yaw0 = v.camera.yaw
+        dist0 = v.camera.distance
+        frames = v.run_terminal(cols=40, rows=12,
+                                keys=iter("ad+-wpq"))
+        out = capsys.readouterr().out
+        assert frames == 7          # initial + 6 handled keys before q
+        assert "\x1b[38;2;" in out  # truecolor cells were emitted
+        assert v.pipeline.value == "windowed"   # 'p' toggled
+
+    def test_key_dispatch_moves_camera(self):
+        v = self._viewer()
+        yaw0 = v.camera.yaw
+        assert v.handle_key("a")
+        assert v.camera.yaw != yaw0
+        d0 = v.camera.distance
+        assert v.handle_key("+")
+        assert v.camera.distance < d0
+        assert not v.handle_key("q")
+
+    def test_frame_ansi_shape(self):
+        v = self._viewer()
+        s = v.frame_ansi(cols=32, rows=10)
+        assert s.count("\n") == 9
+        assert s.count("▀") == 32 * 10

@@ -134,6 +134,114 @@ class InteractiveViewer:
     def screenshot(self, path) -> None:
         save_image(path, self.render())
 
+    # -- terminal event loop ----------------------------------------------
+    # The reference's winit ApplicationHandler (interactive_viewer.rs:
+    # 116, 256) becomes a terminal loop: frames render device-side,
+    # downsample to character cells and draw with 24-bit ANSI ▀
+    # half-blocks (two pixels per character cell); keys drive the same
+    # orbit/pan/zoom/pipeline controls the winit window bound.
+
+    KEYMAP = {
+        "a": ("orbit", (-0.15, 0.0)), "d": ("orbit", (0.15, 0.0)),
+        "w": ("orbit", (0.0, 0.12)), "s": ("orbit", (0.0, -0.12)),
+        "+": ("zoom", (0.8,)), "=": ("zoom", (0.8,)),
+        "-": ("zoom", (1.25,)),
+        "h": ("pan", (-0.05, 0.0)), "l": ("pan", (0.05, 0.0)),
+        "j": ("pan", (0.0, -0.05)), "k": ("pan", (0.0, 0.05)),
+    }
+
+    def handle_key(self, key: str) -> bool:
+        """Dispatch one key press; returns False when the loop should
+        exit. 'p' toggles the exact/windowed pipeline, 'c' captures
+        /tmp/viewer_frame.png, 'q'/ESC quits."""
+        if key in ("q", "\x1b"):
+            return False
+        if key == "p":
+            self.pipeline = (PipelineType.WINDOWED
+                             if self.pipeline == PipelineType.EXACT
+                             else PipelineType.EXACT)
+            return True
+        if key == "c":
+            self.screenshot("/tmp/viewer_frame.png")
+            return True
+        action = self.KEYMAP.get(key)
+        if action is not None:
+            name, args = action
+            getattr(self, name)(*args)
+        return True
+
+    def frame_ansi(self, cols: int = 100, rows: int = 36) -> str:
+        """One frame as an ANSI truecolor string (rows text lines,
+        2 vertical pixels per line via the ▀ half-block)."""
+        img = np.clip(self.render(), 0.0, 1.0)
+        h, w = img.shape[:2]
+        ys = np.linspace(0, h - 1, rows * 2).astype(int)
+        xs = np.linspace(0, w - 1, cols).astype(int)
+        small = (img[ys][:, xs] * 255).astype(np.uint8)
+        lines = []
+        for r in range(rows):
+            top = small[2 * r]
+            bot = small[2 * r + 1]
+            cells = [
+                f"\x1b[38;2;{t[0]};{t[1]};{t[2]}m"
+                f"\x1b[48;2;{b[0]};{b[1]};{b[2]}m▀"
+                for t, b in zip(top, bot)
+            ]
+            lines.append("".join(cells) + "\x1b[0m")
+        return "\n".join(lines)
+
+    def run_terminal(self, cols: int = 100, rows: int = 36,
+                     keys=None, max_frames: Optional[int] = None) -> int:
+        """Interactive terminal loop. Reads single keys from stdin (raw
+        mode) and redraws after each event; WASD orbit, hjkl pan, +/-
+        zoom, p pipeline toggle, c capture, q quit.
+
+        ``keys``: optional iterable of key characters to consume
+        instead of stdin (scripted/CI use — no tty needed). Returns the
+        number of frames drawn.
+        """
+        import sys
+
+        frames = 0
+
+        def draw():
+            nonlocal frames
+            sys.stdout.write("\x1b[H\x1b[2J" + self.frame_ansi(cols, rows)
+                             + "\n[wasd] orbit  [hjkl] pan  [+/-] zoom  "
+                               "[p] pipeline  [c] capture  [q] quit\n")
+            sys.stdout.flush()
+            frames += 1
+
+        if keys is not None:
+            draw()
+            for key in keys:
+                if not self.handle_key(key):
+                    break
+                draw()
+                if max_frames is not None and frames >= max_frames:
+                    break
+            return frames
+
+        if not sys.stdin.isatty():
+            raise RuntimeError(
+                "run_terminal needs a tty (or pass keys=... for a "
+                "scripted session)")
+        import termios
+        import tty
+        fd = sys.stdin.fileno()
+        old = termios.tcgetattr(fd)
+        try:
+            tty.setcbreak(fd)
+            draw()
+            while max_frames is None or frames < max_frames:
+                key = sys.stdin.read(1)
+                if not self.handle_key(key):
+                    break
+                draw()
+        finally:
+            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+        return frames
+
 
 def show_point_cloud(cloud: PointCloud, path=None, **kw) -> np.ndarray:
     """One-liner (visualization/src/lib.rs:21): render (and optionally
