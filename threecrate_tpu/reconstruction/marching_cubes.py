@@ -310,14 +310,21 @@ def extract_soup_cubes(grid: VolumetricGrid, iso_level=0.0) -> TriangleSoup:
     eym = jnp.stack(ey_rows, 0)
     ezm = jnp.stack(ez_rows, 0)
 
-    # per-slot-vertex edge ids from the triangle table: 15 small-table
-    # gathers of (C,) each
-    tri_flat = jnp.asarray(mc_tables.TRI_TABLE).reshape(-1)  # (256*15,)
-    n_tab = jnp.asarray(mc_tables.N_TRIS)                    # (256,)
-    base15 = case * 15
-    safe = jnp.stack([jnp.maximum(tri_flat[base15 + j], 0)
-                      for j in range(15)], 0)                # (15, C)
-    n_t = n_tab[case]                                        # (C,)
+    # per-slot-vertex edge ids from the triangle table: TWO (C,)
+    # gathers of the 4-bit-packed words (each element gather costs
+    # ~200 ms at 256^3; the original 15 separate id gathers were the
+    # whole MC runtime) + cheap VPU shift/mask unpacks
+    packed = jnp.asarray(mc_tables.TRI_PACKED)               # (256, 2)
+    w0 = packed[:, 0][case]                                  # (C,)
+    w1 = packed[:, 1][case]
+    ids = []
+    for j in range(15):
+        word = w0 if j < 8 else w1
+        ids.append(jax.lax.shift_right_logical(
+            word, jnp.int32((j % 8) * 4)) & 15)
+    idm = jnp.stack(ids, 0)                                  # (15, C)
+    slot_valid = idm != 15                                   # (15, C)
+    safe = jnp.where(slot_valid, idm, 0)
 
     # 12-way one-hot select of the vertex coordinates: (15, C) each
     tx = jnp.zeros((15, c_dim), jnp.float32)
@@ -374,8 +381,8 @@ def extract_soup_cubes(grid: VolumetricGrid, iso_level=0.0) -> TriangleSoup:
     ys = jnp.stack(out_y, 0).T.reshape(-1)
     zs = jnp.stack(out_z, 0).T.reshape(-1)
     world = grid.origin + jnp.stack([xs, ys, zs], 1) * grid.spacing
-    slot = jax.lax.broadcasted_iota(jnp.int32, (c_dim, 5), 1)
-    valid = (slot < n_t[:, None]).reshape(-1)               # (C*5,)
+    # a slot is live iff its table ids are present (sentinel-free)
+    valid = slot_valid[0::3].T.reshape(-1)                  # (C*5,)
     return TriangleSoup(world, valid)
 
 
