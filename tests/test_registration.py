@@ -578,3 +578,22 @@ class TestGicpAdversarialCovariances:
         tgt = pts @ np.asarray(t_true.matrix)[:3, :3].T \
             + np.asarray(t_true.matrix)[:3, 3]
         self._both(pts, tgt.astype(np.float32), t_true, atol=6e-3)
+
+
+class TestWindowRobustnessP2Plane:
+    def test_p2plane_partial_overlap_w3(self):
+        """Point-to-plane at the w=3 default under partial overlap
+        (the p2p robustness suite's contract extended to the plane
+        metric, whose payload rows ride the same kernel)."""
+        pts = surface_cloud(6000, seed=27)
+        t_true = Transform.from_axis_angle([1.0, 0, 0], 0.015) @ \
+            Transform.from_translation([0.03, -0.02, 0.015])
+        tgt_pts = pts @ np.asarray(t_true.matrix)[:3, :3].T \
+            + np.asarray(t_true.matrix)[:3, 3]
+        src = PointCloud.from_numpy(pts[pts[:, 0] < 0.5])
+        tgt = normals.estimate_normals(
+            PointCloud.from_numpy(tgt_pts.astype(np.float32)), k=10)
+        res = registration.icp_point_to_plane(
+            src, tgt, max_iterations=30, correspondence="window")
+        np.testing.assert_allclose(np.asarray(res.transformation),
+                                   np.asarray(t_true.matrix), atol=4e-3)
