@@ -64,11 +64,16 @@ def run_task(task: str, path, pts: np.ndarray, warmup: int, iters: int,
     (threecrate-bench/src/mem/allocations.rs:19-55)."""
     import jax.numpy as jnp
 
-    if collect is not None:
+    # the inner def below makes ``median_time`` function-local, so BOTH
+    # branches must bind it (the conditional-shadowing first version
+    # left the no-memory path with an UnboundLocalError)
+    _outer_mt = globals()["median_time"]
+    if collect is None:
+        median_time = _outer_mt
+    else:
         from threecrate_tpu.utils.profiling import measure_peak_memory
-        _outer_mt = globals()["median_time"]
 
-        def median_time(fn, warmup, iters):   # shadows the module fn
+        def median_time(fn, warmup, iters):
             t = _outer_mt(fn, warmup, iters)
             try:
                 _, peak = measure_peak_memory(fn)
