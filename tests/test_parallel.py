@@ -329,3 +329,87 @@ class TestShardedNormalsArbitraryOrder:
         # presort lattice (identical) and boundary windows can differ
         assert np.percentile(ang, 99) < 5.0, np.percentile(ang, 99)
         assert ang.mean() < 0.5, ang.mean()
+
+
+class TestShardedP2PlaneAndGicp:
+    def _pair(self, n=4096, seed=15):
+        rng = np.random.default_rng(seed)
+        xy = rng.uniform(-3, 3, (n, 2)).astype(np.float32)
+        z = 0.3 * np.sin(xy[:, 0] * 1.7) + 0.25 * np.cos(xy[:, 1] * 1.2)
+        pts = np.stack([xy[:, 0], xy[:, 1], z], -1).astype(np.float32)
+        R = Transform.from_axis_angle([1.0, 0.2, 0], 0.02) @ \
+            Transform.from_translation([0.04, -0.02, 0.02])
+        tgt = pts @ np.asarray(R.matrix)[:3, :3].T \
+            + np.asarray(R.matrix)[:3, 3]
+        return pts, tgt.astype(np.float32), R
+
+    def test_sharded_p2plane_recovers(self):
+        from threecrate_tpu.ops import normals as normals_ops
+        from threecrate_tpu.parallel import (make_mesh,
+                                             make_sharded_icp_p2plane,
+                                             put_sharded)
+        pts, tgt, t_true = self._pair()
+        mesh = make_mesh(8)
+        tn = normals_ops.estimate_normals(
+            PointCloud.from_numpy(tgt), k=10).normals
+        fn = make_sharded_icp_p2plane(mesh, max_iterations=25)
+        t, mse, it, conv = fn(
+            put_sharded(jnp.asarray(pts), mesh),
+            put_sharded(jnp.ones(len(pts), bool), mesh),
+            put_sharded(jnp.asarray(tgt), mesh),
+            put_sharded(jnp.ones(len(tgt), bool), mesh),
+            put_sharded(jnp.asarray(tn), mesh))
+        np.testing.assert_allclose(np.asarray(t),
+                                   np.asarray(t_true.matrix), atol=4e-3)
+
+    def test_sharded_gicp_recovers(self):
+        from threecrate_tpu.parallel import (make_mesh, make_sharded_gicp,
+                                             put_sharded)
+        pts, tgt, t_true = self._pair(seed=16)
+        mesh = make_mesh(8)
+        fn = make_sharded_gicp(mesh, max_iterations=30)
+        t, mse, it, conv = fn(
+            put_sharded(jnp.asarray(pts), mesh),
+            put_sharded(jnp.ones(len(pts), bool), mesh),
+            put_sharded(jnp.asarray(tgt), mesh),
+            put_sharded(jnp.ones(len(tgt), bool), mesh))
+        np.testing.assert_allclose(np.asarray(t),
+                                   np.asarray(t_true.matrix), atol=4e-3)
+
+    def test_payload_ring_matches_local(self):
+        """ring_match1_local == local knn top-1, payload rows gathered
+        through the same argmax."""
+        from threecrate_tpu.ops import neighbors
+        from threecrate_tpu.parallel import make_mesh, put_sharded
+        from threecrate_tpu.parallel.sharded import ring_match1_local
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+        import functools
+        rng = np.random.default_rng(17)
+        q = rng.normal(0, 1, (1024, 3)).astype(np.float32)
+        db = rng.normal(0, 1, (2048, 3)).astype(np.float32)
+        pay = rng.normal(0, 1, (2048, 5)).astype(np.float32)
+        mesh = make_mesh(8)
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P("points"), P("points"), P("points"),
+                      P("points")),
+            out_specs=(P("points"), P("points"), P("points")),
+            check_vma=False)
+        def run(qs, dbs, ms, ps):
+            return ring_match1_local(qs, dbs, ms, ps, "points")
+
+        neg, pts, got_pay = run(
+            put_sharded(jnp.asarray(q), mesh),
+            put_sharded(jnp.asarray(db), mesh),
+            put_sharded(jnp.ones(2048, bool), mesh),
+            put_sharded(jnp.asarray(pay), mesh))
+        res = neighbors.knn(jnp.asarray(db), jnp.ones(2048, bool),
+                            jnp.asarray(q), None, 1)
+        np.testing.assert_allclose(np.asarray(pts),
+                                   db[np.asarray(res.indices[:, 0])],
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_pay),
+                                   pay[np.asarray(res.indices[:, 0])],
+                                   atol=1e-5)

@@ -173,11 +173,15 @@ def extract_surface(vol: TsdfVolume, min_weight: float = 1.0
         ok_list.append(cross.reshape(-1))
     pts = jnp.concatenate(pts_list, axis=0)
     ok = jnp.concatenate(ok_list, axis=0)
-    # compact valid points to the front (stable prefix-sum scatter)
-    order = jnp.argsort(~ok)                  # valid first, stable
-    pts_sorted = pts[order]
-    ok_sorted = ok[order]
-    cloud = PointCloud(pts_sorted, ok_sorted, {})
+    # compact valid points to the front with ONE payload sort —
+    # coordinates ride the sort as payload columns instead of the
+    # argsort + 50M-row gather this replaces (payload sorts beat
+    # order-restoring gathers ~10x at this scale; see CLAUDE.md)
+    key = jnp.where(ok, jnp.int32(0), jnp.int32(1))
+    _, sx, sy, sz, okf = jax.lax.sort(
+        (key, pts[:, 0], pts[:, 1], pts[:, 2],
+         ok.astype(jnp.float32)), num_keys=1)
+    cloud = PointCloud(jnp.stack([sx, sy, sz], axis=1), okf > 0.5, {})
     return SurfacePoints(cloud, jnp.sum(ok).astype(jnp.int32))
 
 

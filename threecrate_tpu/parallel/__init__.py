@@ -15,7 +15,9 @@ from .sharded import (
     icp_sharded_step,
     make_distributed_morton_sort,
     make_sharded_batch_icp,
+    make_sharded_gicp,
     make_sharded_icp,
+    make_sharded_icp_p2plane,
     make_sharded_knn,
     make_sharded_normals,
     make_sharded_normals_window,
@@ -30,7 +32,8 @@ __all__ = [
     "replicated_spec", "shard_cloud_spec",
     "global_stats_local", "icp_sharded_loop", "icp_sharded_step",
     "make_distributed_morton_sort",
-    "make_sharded_batch_icp", "make_sharded_icp", "make_sharded_knn",
+    "make_sharded_batch_icp", "make_sharded_gicp", "make_sharded_icp",
+    "make_sharded_icp_p2plane", "make_sharded_knn",
     "make_sharded_normals", "make_sharded_normals_window",
     "morton_presort", "make_sharded_outlier_stats",
     "make_sharded_voxel_filter",

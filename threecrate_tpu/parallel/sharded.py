@@ -178,6 +178,189 @@ def global_stats_local(values, mask, axis_name=POINTS_AXIS):
 # public jitted entry points over a Mesh
 # ---------------------------------------------------------------------------
 
+def ring_match1_local(q, db_shard, db_mask_shard, payload_shard,
+                      axis_name: str = POINTS_AXIS):
+    """Top-1 ring match carrying a per-target payload; call inside
+    shard_map.
+
+    Like ``ring_knn_local(k=1)`` but each database row also carries an
+    (Ns, E) payload (target normals for point-to-plane, 6 covariance
+    columns for GICP) gathered through the same argmax — the sharded
+    analog of the static-sort kernel's payload rows. Returns
+    (neg_sq_dist (Qs,), matched points (Qs, 3), payload (Qs, E)).
+    """
+    nd = jax.lax.axis_size(axis_name)
+    nq = q.shape[0]
+    e = payload_shard.shape[1]
+    qn = jnp.sum(q * q, axis=-1)
+
+    init = (jnp.full((nq,), -jnp.inf, jnp.float32),
+            jnp.zeros((nq, 3), jnp.float32),
+            jnp.zeros((nq, e), jnp.float32),
+            db_shard, db_mask_shard, payload_shard)
+    perm = [(i, (i + 1) % nd) for i in range(nd)]
+
+    def body(step, carry):
+        best_neg, best_pts, best_pay, cur_db, cur_mask, cur_pay = carry
+        pn = jnp.sum(cur_db * cur_db, axis=-1)
+        cross = jax.lax.dot_general(
+            q, cur_db, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        neg = jnp.where(cur_mask[None, :],
+                        -(qn[:, None] + pn[None, :] - 2.0 * cross),
+                        -jnp.inf)
+        tile_best = jnp.max(neg, axis=1)
+        arg = jnp.argmax(neg, axis=1)
+        better = tile_best > best_neg
+        best_neg = jnp.where(better, tile_best, best_neg)
+        best_pts = jnp.where(better[:, None], cur_db[arg], best_pts)
+        best_pay = jnp.where(better[:, None], cur_pay[arg], best_pay)
+        cur_db = jax.lax.ppermute(cur_db, axis_name, perm)
+        cur_mask = jax.lax.ppermute(cur_mask, axis_name, perm)
+        cur_pay = jax.lax.ppermute(cur_pay, axis_name, perm)
+        return (best_neg, best_pts, best_pay, cur_db, cur_mask, cur_pay)
+
+    best_neg, best_pts, best_pay, _, _, _ = jax.lax.fori_loop(
+        0, nd, body, init)
+    return best_neg, best_pts, best_pay
+
+
+def make_sharded_icp_p2plane(mesh: Mesh, max_iterations: int = 20,
+                             convergence_threshold: float = 1e-6,
+                             max_correspondence_distance: float = jnp.inf,
+                             axis_name: str = POINTS_AXIS):
+    """Distributed point-to-plane ICP: ring correspondence with target
+    normals as payload, psum-reduced Chen & Medioni 6x6 normal
+    equations. Inputs: src/mask/tgt/mask/tgt_normals, all sharded on
+    axis 0. Returns (transform, mse, iterations, converged) replicated.
+    """
+    spec_pts = P(axis_name)
+    spec_rep = P()
+    hi = jax.lax.Precision.HIGHEST
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec_pts, spec_pts, spec_pts, spec_pts, spec_pts),
+        out_specs=(spec_rep, spec_rep, spec_rep, spec_rep),
+        check_vma=False)
+    def _run(src, src_mask, tgt, tgt_mask, tgt_normals):
+        def cond(state):
+            _, _, _, it, conv = state
+            return (it < max_iterations) & (~conv)
+
+        def body(state):
+            t_mat, _, mse, it, conv = state
+            moved = linalg.transform_points(t_mat, src)
+            neg, pts, nrm = ring_match1_local(
+                moved, tgt, tgt_mask, tgt_normals, axis_name)
+            dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
+            ok = jnp.isfinite(dist) & src_mask \
+                & (dist <= max_correspondence_distance)
+            w = ok.astype(jnp.float32)
+            r = jnp.sum((moved - pts) * nrm, axis=1)
+            a = jnp.concatenate([jnp.cross(moved, nrm), nrm], axis=1)
+            aw = a * w[:, None]
+            h = jax.lax.psum(jnp.matmul(aw.T, a, precision=hi),
+                             axis_name)
+            g = jax.lax.psum(-jnp.matmul(aw.T, r, precision=hi),
+                             axis_name)
+            xi = linalg.solve_psd(h, g, damping=1e-6)
+            new_t = jnp.matmul(se3_exp(xi), t_mat, precision=hi)
+            n_ok = jnp.maximum(jax.lax.psum(jnp.sum(w), axis_name), 1.0)
+            new_mse = jax.lax.psum(
+                jnp.sum(jnp.where(ok, r * r, 0.0)), axis_name) / n_ok
+            converged = jnp.abs(new_mse - mse) < convergence_threshold
+            return (new_t, mse, new_mse, it + 1, converged)
+
+        state0 = (jnp.eye(4, dtype=jnp.float32), jnp.float32(jnp.inf),
+                  jnp.float32(jnp.inf), jnp.int32(0), jnp.bool_(False))
+        t, _, mse, it, conv = jax.lax.while_loop(cond, body, state0)
+        return t, mse, it, conv
+
+    return jax.jit(_run)
+
+
+def make_sharded_gicp(mesh: Mesh, max_iterations: int = 30,
+                      convergence_threshold: float = 1e-6,
+                      max_correspondence_distance: float = jnp.inf,
+                      k_covariances: int = 20,
+                      axis_name: str = POINTS_AXIS):
+    """Distributed GICP: per-point covariances computed per shard with
+    the ring kNN, then a Gauss-Newton loop whose correspondence carries
+    the matched target's 6 covariance columns through the ring and
+    whose 6x6 system psum-reduces (the distributed analog of
+    ops.gicp._gicp_loop). Inputs: src/mask/tgt/mask sharded; returns
+    (transform, mse, iterations, converged) replicated."""
+    from ..ops.gicp import _cov_to_cols, _cols_to_cov, _normal_equations
+    from ..ops.gicp import inv3x3
+    from ..ops import linalg as _lin
+
+    spec_pts = P(axis_name)
+    spec_rep = P()
+    hi = jax.lax.Precision.HIGHEST
+    eps = jnp.float32(1e-4)
+
+    def _shard_covariances(pts, mask):
+        # ring kNN against the whole sharded cloud, covariance of the
+        # gathered neighbor coordinates (k small, rows local)
+        neg, nbr_pts, _ = ring_knn_local(pts, pts, mask, k_covariances,
+                                         axis_name)
+        okn = jnp.isfinite(neg)
+        w = okn.astype(jnp.float32)
+        _, cov = _lin.weighted_covariance(nbr_pts, w)
+        cov = cov + eps * jnp.eye(3, dtype=cov.dtype)
+        enough = jnp.sum(okn, axis=1) >= 4
+        return cov, mask & enough
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec_pts, spec_pts, spec_pts, spec_pts),
+        out_specs=(spec_rep, spec_rep, spec_rep, spec_rep),
+        check_vma=False)
+    def _run(src, src_mask, tgt, tgt_mask):
+        src_cov, src_ok = _shard_covariances(src, src_mask)
+        tgt_cov, tgt_ok = _shard_covariances(tgt, tgt_mask)
+        tgt_cols = _cov_to_cols(tgt_cov)
+
+        def cond(state):
+            _, it, dn, _ = state
+            return (it < max_iterations) & (dn >= convergence_threshold)
+
+        def body(state):
+            t_mat, it, _, _ = state
+            r_mat = t_mat[:3, :3]
+            moved = linalg.transform_points(t_mat, src)
+            neg, pts, cols = ring_match1_local(
+                moved, tgt, tgt_ok, tgt_cols, axis_name)
+            dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
+            ok = jnp.isfinite(dist) & src_ok \
+                & (dist <= max_correspondence_distance)
+            w = ok.astype(jnp.float32)
+            c_s_rot = jnp.einsum("ij,njk,lk->nil", r_mat, src_cov,
+                                 r_mat, precision=hi)
+            m = _cols_to_cov(cols) + c_s_rot
+            w_mat = inv3x3(m) * w[:, None, None]
+            r = moved - pts
+            h_l, g_l = _normal_equations(moved, r, w_mat)
+            h = jax.lax.psum(h_l, axis_name)
+            g = jax.lax.psum(g_l, axis_name)
+            xi = -linalg.solve_psd(h, g, damping=1e-6)
+            new_t = jnp.matmul(se3_exp(xi), t_mat, precision=hi)
+            n_ok = jnp.maximum(jax.lax.psum(jnp.sum(w), axis_name), 1.0)
+            mse = jax.lax.psum(
+                jnp.sum(jnp.where(ok, jnp.sum(r * r, 1), 0.0)),
+                axis_name) / n_ok
+            return (new_t, it + 1, jnp.linalg.norm(xi), mse)
+
+        state0 = (jnp.eye(4, dtype=jnp.float32), jnp.int32(0),
+                  jnp.float32(jnp.inf), jnp.float32(jnp.inf))
+        t, it, dn, mse = jax.lax.while_loop(cond, body, state0)
+        return t, mse, it, dn < convergence_threshold
+
+    return jax.jit(_run)
+
+
 def make_sharded_icp(mesh: Mesh, max_iterations: int = 20,
                      convergence_threshold: float = 1e-6,
                      max_correspondence_distance: float = jnp.inf,
