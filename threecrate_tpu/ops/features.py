@@ -67,6 +67,11 @@ class ShotConfig:
     max_neighbors: int = 128
     n_cos_bins: int = 11
     method: str = "auto"
+    # Fused-path candidate half-width in sorted-order positions per
+    # pass (the union of two ±band windows is the neighborhood cap;
+    # ~2x max_neighbors of coverage at the default). 32 -> 266 ms at
+    # 1M; 48 -> 292 ms with a wider net on uneven densities.
+    band: int = 32
 
 
 def pair_features(p1, n1, p2, n2):
@@ -548,7 +553,8 @@ def extract_shot_features(cloud: PointCloud,
               or (config.method == "auto" and cloud.capacity > 262144))
     if window and config.n_cos_bins == 11:
         desc, valid = _shot_fused(cloud.points, cloud.mask, cloud.normals,
-                                  float(config.radius), "shot")
+                                  float(config.radius), "shot",
+                                  band=config.band)
     else:
         desc, valid = _shot(cloud.points, cloud.mask, cloud.normals,
                             jnp.float32(config.radius),
@@ -566,7 +572,8 @@ def extract_usc_features(cloud: PointCloud,
     if window:
         desc, valid = _shot_fused(cloud.points, cloud.mask,
                                   jnp.zeros_like(cloud.points),
-                                  float(config.radius), "usc")
+                                  float(config.radius), "usc",
+                                  band=config.band)
     else:
         desc, valid = _shot(cloud.points, cloud.mask,
                             jnp.zeros_like(cloud.points),
