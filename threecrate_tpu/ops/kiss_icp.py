@@ -92,7 +92,14 @@ class KissIcpOdometry:
     def local_map(self) -> Optional[PointCloud]:
         if self._map_points is None:
             return None
-        return PointCloud.from_numpy(self._map_points)
+        # FIXED capacity: the map grows frame to frame, and letting
+        # from_numpy re-bucket it re-traces the registration program
+        # every few frames (minutes each on a remote compiler). One
+        # pinned shape = one compile for the whole trajectory.
+        from ..utils import padding
+        return PointCloud.from_numpy(
+            self._map_points,
+            capacity=padding.round_up(self.map_capacity, 128))
 
     def register_frame(self, scan: PointCloud) -> Transform:
         src = preprocess(scan, self.config)
@@ -109,13 +116,18 @@ class KissIcpOdometry:
         return self.pose
 
     def _update_map(self, scan: PointCloud, pose: Transform) -> None:
+        from ..utils import padding
         world = scan.transform(pose)
         pts = world.to_numpy()
         if self._map_points is None:
             merged = pts
         else:
             merged = np.concatenate([self._map_points, pts])
-        merged_pc = PointCloud.from_numpy(merged)
+        # fixed merge capacity (map cap + the scan's padded bucket):
+        # a variable-size merge would re-trace the voxel filter as the
+        # map grows (see local_map's pinned-shape note)
+        cap_m = padding.round_up(self.map_capacity + scan.capacity, 128)
+        merged_pc = PointCloud.from_numpy(merged[-cap_m:], capacity=cap_m)
         dedup = filtering.voxel_grid_filter(merged_pc, self.config.voxel_size)
         out = dedup.to_numpy()
         if len(out) > self.map_capacity:
