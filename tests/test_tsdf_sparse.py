@@ -1,0 +1,92 @@
+"""Block-sparse TSDF vs the dense volume (same projective semantics)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from threecrate_tpu.ops import tsdf as dense_mod
+from threecrate_tpu.ops import tsdf_sparse as sp
+
+
+GRID = (8, 8, 8)     # 8^3 blocks of 8^3 voxels = 64^3 virtual
+BLOCK = 8
+VOX = 4.0 / 64
+
+
+def _frame(seed=0, h=120, w=160):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 2.0 + 0.3 * np.sin(xx / 20.0) * np.cos(yy / 15.0)
+    return (base + 0.005 * rng.normal(0, 1, (h, w))).astype(np.float32), \
+        jnp.asarray([130.0, 130.0, w / 2, h / 2], jnp.float32)
+
+
+class TestSparseTsdf:
+    def _fuse_both(self, n_frames=3):
+        depth, intr = _frame()
+        pose = np.eye(4, dtype=np.float32)
+        dense = dense_mod.create_volume((64, 64, 64), VOX,
+                                        origin=(-2.0, -2.0, 0.5))
+        sparse = sp.create_sparse_volume(VOX, origin=(-2.0, -2.0, 0.5),
+                                         grid_blocks=GRID, block=BLOCK,
+                                         max_blocks=512)
+        for i in range(n_frames):
+            p = pose.copy()
+            p[0, 3] = 0.02 * i
+            dense = dense_mod.integrate(dense, jnp.asarray(depth), intr,
+                                        jnp.asarray(p))
+            sparse = sp.sparse_integrate(sparse, jnp.asarray(depth),
+                                         intr, jnp.asarray(p),
+                                         grid_blocks=GRID, block=BLOCK)
+        return dense, sparse
+
+    def test_allocates_only_near_surface(self):
+        _, sparse = self._fuse_both()
+        n = int(sparse.n_blocks)
+        assert 0 < n < 512
+        # surface band blocks only: far fewer than the full 8^3 grid
+        assert n < 8 ** 3
+
+    def test_tsdf_matches_dense_on_allocated(self):
+        dense, sparse = self._fuse_both()
+        d2 = sp.sparse_to_dense(sparse, GRID, BLOCK)
+        dt = np.asarray(dense.tsdf)
+        dw = np.asarray(dense.weight)
+        st = np.asarray(d2.tsdf)
+        sw = np.asarray(d2.weight)
+        # wherever the sparse volume has weight, it must agree with the
+        # dense fusion exactly (same update math on the same voxels)
+        m = sw > 0
+        assert m.sum() > 1000
+        np.testing.assert_allclose(st[m], dt[m], atol=1e-5)
+        np.testing.assert_allclose(sw[m], dw[m], atol=1e-5)
+        # and the sparse volume covers the dense surface band: every
+        # dense voxel with |tsdf| < 0.5 and weight must be allocated
+        band = (np.abs(dt) < 0.5) & (dw > 0)
+        assert (sw[band] > 0).mean() > 0.98
+
+    def test_surface_points_match_dense(self):
+        dense, sparse = self._fuse_both()
+        res_d = dense_mod.extract_surface(dense)
+        res_s = sp.sparse_extract_surface(sparse, GRID, BLOCK)
+        nd, ns = int(res_d.count), int(res_s.count)
+        assert abs(nd - ns) <= 0.02 * max(nd, 1), (nd, ns)
+        pd = np.asarray(res_d.cloud.points)[np.asarray(res_d.cloud.mask)]
+        ps = np.asarray(res_s.cloud.points)[np.asarray(res_s.cloud.mask)]
+        # same point sets (order-free compare via sorted rows)
+        kd = np.sort(pd.round(5).view([("x", "f4"), ("y", "f4"),
+                                       ("z", "f4")]).ravel())
+        ks = np.sort(ps.round(5).view([("x", "f4"), ("y", "f4"),
+                                       ("z", "f4")]).ravel())
+        common = np.intersect1d(kd, ks).size
+        assert common > 0.97 * max(nd, ns)
+
+    def test_overflow_reports(self):
+        depth, intr = _frame()
+        tiny = sp.create_sparse_volume(VOX, origin=(-2.0, -2.0, 0.5),
+                                       grid_blocks=GRID, block=BLOCK,
+                                       max_blocks=8)
+        out = sp.sparse_integrate(tiny, jnp.asarray(depth), intr,
+                                  jnp.asarray(np.eye(4, dtype=np.float32)),
+                                  grid_blocks=GRID, block=BLOCK)
+        assert int(out.n_blocks) == 8   # clamped at capacity

@@ -1,0 +1,277 @@
+"""Block-sparse TSDF fusion: allocate only blocks near the surface.
+
+The dense volume (ops/tsdf.py, tsdf.rs:83-310 parity) updates every
+voxel of a resolution³ grid per frame; at 256³ the per-voxel
+depth-image gather is 16.7M HBM-latency-bound fetches (~200 ms/frame)
+and 512³ would not fit. Production TSDF systems (voxel hashing,
+Nießner 2013) only store blocks within the truncation band of observed
+surface. This module is that design in fixed-shape XLA:
+
+* the volume is a FIXED-CAPACITY table of ``max_blocks`` blocks, each
+  storing (B+1)³ voxels — a one-voxel APRON overlapping the +x/+y/+z
+  neighbors. Aprons are updated independently by integrate (the same
+  projective math, ~(9³−8³)/8³ ≈ 42% duplicated compute at B=8), so
+  surface extraction and marching cubes never need cross-block
+  neighbor lookups.
+* allocation is data-parallel and scatter-free: sample each depth ray
+  at ±truncation, key the covering blocks, and merge with the existing
+  keys by sort + run-head compaction (the voxel_hash machinery's
+  shape); block STORAGE follows the new key order through one
+  searchsorted + row gather, with fresh blocks initialised inline.
+* integrate touches only allocated blocks: the depth gather shrinks
+  from resolution³ to ``n_blocks·(B+1)³`` fetches — the sparsity of
+  the surface (typically 3-15% of blocks) is the speedup, and 512³+
+  virtual grids become feasible at a few percent of dense memory.
+
+Blocks that overflow ``max_blocks`` are dropped deterministically
+(lowest keys kept) and reported via ``n_blocks`` vs the attempted
+count; size the capacity for the scene.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.point_cloud import PointCloud
+
+_INVALID = jnp.int32(2 ** 31 - 1)
+
+
+class SparseTsdfVolume(NamedTuple):
+    block_keys: jnp.ndarray   # (max_blocks,) sorted linear block keys
+    n_blocks: jnp.ndarray     # scalar int32: allocated count
+    tsdf: jnp.ndarray         # (max_blocks, (B+1)^3) f32, apron layout
+    weight: jnp.ndarray       # (max_blocks, (B+1)^3) f32
+    origin: jnp.ndarray       # (3,)
+    voxel_size: jnp.ndarray   # scalar
+    truncation: jnp.ndarray   # scalar
+
+    @property
+    def max_blocks(self) -> int:
+        return self.block_keys.shape[0]
+
+
+def create_sparse_volume(voxel_size: float,
+                         origin=(0.0, 0.0, 0.0),
+                         grid_blocks: Tuple[int, int, int] = (64, 64, 64),
+                         block: int = 8,
+                         max_blocks: int = 8192,
+                         truncation: Optional[float] = None
+                         ) -> SparseTsdfVolume:
+    """Empty sparse volume spanning ``grid_blocks`` blocks of
+    ``block``³ voxels each (a 64³-block grid of 8³ = a 512³ virtual
+    volume). ``block`` and ``grid_blocks`` are carried statically by
+    the functions below."""
+    trunc = truncation if truncation is not None else 4.0 * voxel_size
+    s = (block + 1) ** 3
+    return SparseTsdfVolume(
+        block_keys=jnp.full((max_blocks,), _INVALID, jnp.int32),
+        n_blocks=jnp.int32(0),
+        tsdf=jnp.ones((max_blocks, s), jnp.float32),
+        weight=jnp.zeros((max_blocks, s), jnp.float32),
+        origin=jnp.asarray(origin, jnp.float32),
+        voxel_size=jnp.float32(voxel_size),
+        truncation=jnp.float32(trunc))
+
+
+def _decode_keys(keys, gy: int, gz: int):
+    bz = keys % gz
+    by = (keys // gz) % gy
+    bx = keys // (gy * gz)
+    return bx, by, bz
+
+
+@functools.partial(jax.jit, static_argnames=("grid_blocks", "block",
+                                             "ray_samples", "max_weight"))
+def sparse_integrate(vol: SparseTsdfVolume, depth: jnp.ndarray,
+                     intr: jnp.ndarray, cam_to_world: jnp.ndarray,
+                     grid_blocks: Tuple[int, int, int], block: int = 8,
+                     depth_scale: float = 1.0, ray_samples: int = 3,
+                     max_weight: float = 64.0) -> SparseTsdfVolume:
+    """Allocate + fuse one depth frame (the sparse analog of
+    ops.tsdf.integrate; same projective-TSDF update semantics)."""
+    gx, gy, gz = grid_blocks
+    bsz = vol.voxel_size * block
+    h, w = depth.shape
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+
+    # ---- 1. allocation: blocks within ±truncation of each depth ray --
+    d = depth.astype(jnp.float32).reshape(-1) / depth_scale
+    u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
+    dir_cam = jnp.stack([(u - cx) / fx, (v - cy) / fy,
+                         jnp.ones_like(u)], axis=1)
+    r = cam_to_world[:3, :3]
+    t = cam_to_world[:3, 3]
+    offs = jnp.linspace(-1.0, 1.0, ray_samples) * vol.truncation
+    new_keys = []
+    for i in range(ray_samples):
+        z = d + offs[i]
+        p_cam = dir_cam * z[:, None]
+        p_w = jnp.matmul(p_cam, r.T,
+                         precision=jax.lax.Precision.HIGHEST) + t
+        b = jnp.floor((p_w - vol.origin) / bsz).astype(jnp.int32)
+        ok = (d > 1e-6) & (z > 1e-6) \
+            & (b[:, 0] >= 0) & (b[:, 0] < gx) \
+            & (b[:, 1] >= 0) & (b[:, 1] < gy) \
+            & (b[:, 2] >= 0) & (b[:, 2] < gz)
+        key = (b[:, 0] * gy + b[:, 1]) * gz + b[:, 2]
+        new_keys.append(jnp.where(ok, key, _INVALID))
+    cand = jnp.concatenate([vol.block_keys] + new_keys)
+
+    # sorted run-head compaction (scatter-free): unique keys to front
+    skeys = jnp.sort(cand)
+    head = jnp.concatenate([jnp.ones((1,), bool),
+                            skeys[1:] != skeys[:-1]])
+    head = head & (skeys != _INVALID)
+    comp = jnp.where(head, jnp.int32(0), jnp.int32(1))
+    pos = jnp.arange(cand.shape[0], dtype=jnp.int32)
+    _, _, uniq = jax.lax.sort((comp, pos, skeys), num_keys=2)
+    mb = vol.max_blocks
+    n_new = jnp.minimum(jnp.sum(head).astype(jnp.int32), mb)
+    row = jnp.arange(mb, dtype=jnp.int32)
+    keys_out = jnp.where(row < n_new, uniq[:mb], _INVALID)
+
+    # ---- 2. realign storage to the new key order ---------------------
+    # old position of each new key (searchsorted over the old sorted
+    # keys); fresh blocks initialise to (tsdf=1, weight=0)
+    old_pos = jnp.searchsorted(vol.block_keys, keys_out)
+    old_pos = jnp.clip(old_pos, 0, mb - 1)
+    existed = (vol.block_keys[old_pos] == keys_out) \
+        & (keys_out != _INVALID)
+    tsdf = jnp.where(existed[:, None], vol.tsdf[old_pos], 1.0)
+    weight = jnp.where(existed[:, None], vol.weight[old_pos], 0.0)
+
+    # ---- 3. projective update over allocated blocks ------------------
+    s1 = block + 1
+    bx, by, bz = _decode_keys(jnp.maximum(keys_out, 0), gy, gz)
+    corner = vol.origin + jnp.stack([bx, by, bz], 1).astype(jnp.float32) \
+        * bsz                                           # (mb, 3)
+    li = jnp.arange(s1, dtype=jnp.float32)
+    lx = jnp.repeat(jnp.repeat(li, s1), s1)             # (s1^3,)
+    ly = jnp.tile(jnp.repeat(li, s1), s1)
+    lz = jnp.tile(li, s1 * s1)
+    local = jnp.stack([lx, ly, lz], 1) + 0.5            # (s1^3, 3)
+    centers = corner[:, None, :] + local[None] * vol.voxel_size
+    cam = jnp.einsum("ij,mvj->mvi", r.T, centers - t)
+    z = cam[..., 2]
+    ui = jnp.round(cam[..., 0] / jnp.maximum(z, 1e-9) * fx + cx
+                   ).astype(jnp.int32)
+    vi = jnp.round(cam[..., 1] / jnp.maximum(z, 1e-9) * fy + cy
+                   ).astype(jnp.int32)
+    in_img = (z > 1e-6) & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+    ui = jnp.clip(ui, 0, w - 1)
+    vi = jnp.clip(vi, 0, h - 1)
+    dimg = depth.astype(jnp.float32) / depth_scale
+    dd = dimg[vi, ui]                                   # (mb, s1^3)
+    valid = in_img & (dd > 1e-6) & (keys_out != _INVALID)[:, None]
+    sdf = dd - z
+    update = valid & (sdf > -vol.truncation)
+    tsdf_new = jnp.clip(sdf / vol.truncation, -1.0, 1.0)
+    w_add = update.astype(jnp.float32)
+    w_new = jnp.minimum(weight + w_add, max_weight)
+    denom = jnp.maximum(weight + w_add, 1e-9)
+    fused = (tsdf * weight + tsdf_new * w_add) / denom
+    fused = jnp.where(update, fused, tsdf)
+
+    return SparseTsdfVolume(keys_out, n_new, fused, w_new, vol.origin,
+                            vol.voxel_size, vol.truncation)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_blocks", "block",
+                                             "min_weight"))
+def sparse_extract_surface(vol: SparseTsdfVolume,
+                           grid_blocks: Tuple[int, int, int],
+                           block: int = 8, min_weight: float = 1.0):
+    """Zero-crossing surface points (the sparse analog of
+    ops.tsdf.extract_surface): +x/+y/+z sign changes within each
+    block's apron grid — no cross-block lookups needed."""
+    from .tsdf import SurfacePoints
+
+    gx, gy, gz = grid_blocks
+    s1 = block + 1
+    mb = vol.max_blocks
+    tsdf = vol.tsdf.reshape(mb, s1, s1, s1)
+    wgt = vol.weight.reshape(mb, s1, s1, s1)
+    bx, by, bz = _decode_keys(jnp.maximum(vol.block_keys, 0), gy, gz)
+    bsz = vol.voxel_size * block
+    corner = vol.origin + jnp.stack([bx, by, bz], 1).astype(jnp.float32) \
+        * bsz
+    alive = vol.block_keys != _INVALID
+
+    li = jnp.arange(s1, dtype=jnp.float32)
+    grids = jnp.meshgrid(li, li, li, indexing="ij")
+    base = jnp.stack(grids, -1) + 0.5                   # (s1, s1, s1, 3)
+
+    pts_list, ok_list = [], []
+    for axis in range(3):
+        sl = [slice(None)] * 3
+        sl[axis] = slice(0, s1 - 1)
+        sh = [slice(None)] * 3
+        sh[axis] = slice(1, s1)
+        a = tsdf[(slice(None), *sl)]
+        b = tsdf[(slice(None), *sh)]
+        wa = wgt[(slice(None), *sl)]
+        wb = wgt[(slice(None), *sh)]
+        # only cubes whose LOW corner is in the block's own 8^3 region
+        # emit (the apron duplicates the neighbor's first layer —
+        # emitting there would double-count with the neighbor block)
+        cross = (jnp.sign(a) != jnp.sign(b)) & (wa >= min_weight) \
+            & (wb >= min_weight) & (jnp.abs(a - b) > 1e-12) \
+            & alive[:, None, None, None]
+        own = [slice(0, block)] * 3
+        own[axis] = slice(0, block)
+        keep = jnp.zeros((s1 - (axis == 0), s1 - (axis == 1),
+                          s1 - (axis == 2)), bool
+                         ).at[tuple(own)].set(True)
+        cross = cross & keep[None]
+        frac = a / jnp.where(jnp.abs(a - b) > 1e-12, a - b, 1.0)
+        off = jnp.zeros((3,), jnp.float32).at[axis].set(1.0)
+        p_local = base[(*sl,)] + frac[..., None] * off
+        p = corner[:, None, None, None, :] + p_local * vol.voxel_size
+        pts_list.append(p.reshape(mb, -1, 3))
+        ok_list.append(cross.reshape(mb, -1))
+    pts = jnp.concatenate(pts_list, axis=1).reshape(-1, 3)
+    ok = jnp.concatenate(ok_list, axis=1).reshape(-1)
+    key = jnp.where(ok, jnp.int32(0), jnp.int32(1))
+    _, sx, sy, sz, okf = jax.lax.sort(
+        (key, pts[:, 0], pts[:, 1], pts[:, 2], ok.astype(jnp.float32)),
+        num_keys=1)
+    cloud = PointCloud(jnp.stack([sx, sy, sz], 1), okf > 0.5, {})
+    return SurfacePoints(cloud, jnp.sum(ok).astype(jnp.int32))
+
+
+def sparse_to_dense(vol: SparseTsdfVolume,
+                    grid_blocks: Tuple[int, int, int],
+                    block: int = 8):
+    """Materialise the dense TsdfVolume (parity/testing; the inner 8^3
+    region of each block wins over neighbors' aprons)."""
+    import numpy as np
+
+    from .tsdf import TsdfVolume
+
+    gx, gy, gz = grid_blocks
+    s1 = block + 1
+    res = (gx * block, gy * block, gz * block)
+    tsdf = np.ones(res, np.float32)
+    weight = np.zeros(res, np.float32)
+    keys = np.asarray(vol.block_keys)
+    td = np.asarray(vol.tsdf).reshape(-1, s1, s1, s1)
+    wd = np.asarray(vol.weight).reshape(-1, s1, s1, s1)
+    n = int(vol.n_blocks)
+    for i in range(n):
+        k = int(keys[i])
+        bz = k % gz
+        by = (k // gz) % gy
+        bx = k // (gy * gz)
+        tsdf[bx * block:(bx + 1) * block, by * block:(by + 1) * block,
+             bz * block:(bz + 1) * block] = td[i, :block, :block, :block]
+        weight[bx * block:(bx + 1) * block, by * block:(by + 1) * block,
+               bz * block:(bz + 1) * block] = wd[i, :block, :block,
+                                                 :block]
+    return TsdfVolume(jnp.asarray(tsdf), jnp.asarray(weight), None,
+                      vol.origin, vol.voxel_size, vol.truncation)
