@@ -90,3 +90,40 @@ class TestSparseTsdf:
                                   jnp.asarray(np.eye(4, dtype=np.float32)),
                                   grid_blocks=GRID, block=BLOCK)
         assert int(out.n_blocks) == 8   # clamped at capacity
+
+
+class TestSparseMarchingCubes:
+    def test_mesh_matches_dense_mc(self):
+        from threecrate_tpu.reconstruction.marching_cubes import (
+            VolumetricGrid, marching_cubes, soup_to_mesh)
+        depth, intr = _frame()
+        pose = jnp.asarray(np.eye(4, dtype=np.float32))
+        dense = dense_mod.create_volume((64, 64, 64), VOX,
+                                        origin=(-2.0, -2.0, 0.5))
+        sparse = sp.create_sparse_volume(VOX, origin=(-2.0, -2.0, 0.5),
+                                         grid_blocks=GRID, block=BLOCK,
+                                         max_blocks=512)
+        dense = dense_mod.integrate(dense, jnp.asarray(depth), intr, pose)
+        sparse = sp.sparse_integrate(sparse, jnp.asarray(depth), intr,
+                                     pose, grid_blocks=GRID, block=BLOCK)
+        # dense MC: mask unobserved voxels the same way
+        vals = np.where(np.asarray(dense.weight) >= 1.0,
+                        np.asarray(dense.tsdf), 1.0)
+        g = VolumetricGrid(jnp.asarray(vals),
+                           dense.origin + 0.5 * dense.voxel_size,
+                           dense.voxel_size)
+        mesh_d = marching_cubes(g, 0.0)
+        soup_s = sp.sparse_marching_cubes_soup(sparse, GRID, BLOCK)
+        mesh_s = soup_to_mesh(soup_s)
+        fd, fs = int(mesh_d.face_count()), int(mesh_s.face_count())
+        assert fs > 0
+        # same triangle count up to the virtual-grid boundary seam
+        assert abs(fd - fs) <= 0.03 * max(fd, 1), (fd, fs)
+        # vertex sets match (rounded-row intersection)
+        vd = np.asarray(mesh_d.vertices)[:int(mesh_d.vertex_count())]
+        vs = np.asarray(mesh_s.vertices)[:int(mesh_s.vertex_count())]
+        kd = set(map(tuple, vd.round(4).tolist()))
+        ks = set(map(tuple, vs.round(4).tolist()))
+        inter = len(kd & ks)
+        assert inter > 0.95 * max(len(kd), len(ks)), (len(kd), len(ks),
+                                                     inter)

@@ -275,3 +275,46 @@ def sparse_to_dense(vol: SparseTsdfVolume,
                                                  :block]
     return TsdfVolume(jnp.asarray(tsdf), jnp.asarray(weight), None,
                       vol.origin, vol.voxel_size, vol.truncation)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_blocks", "block"))
+def sparse_marching_cubes_soup(vol: SparseTsdfVolume,
+                               grid_blocks: Tuple[int, int, int],
+                               block: int = 8, iso_level: float = 0.0,
+                               min_weight: float = 1.0):
+    """Marching cubes over allocated blocks only (vmapped per-block
+    component-wise extractor). The apron makes the cube set an EXACT
+    partition: each block owns the (B)³ cubes whose low corner lies in
+    its own region, and apron voxel values are bitwise identical to
+    the neighbor's own voxels (same projective update on the same
+    world coordinates), so the mesh is seamless with no cross-block
+    lookups or dedup. Returns a TriangleSoup (weld with
+    reconstruction.marching_cubes.soup_to_mesh)."""
+    from ..reconstruction.marching_cubes import (TriangleSoup,
+                                                 VolumetricGrid,
+                                                 extract_soup_cubes)
+
+    gx, gy, gz = grid_blocks
+    s1 = block + 1
+    mb = vol.max_blocks
+    tsdf = vol.tsdf.reshape(mb, s1, s1, s1)
+    wgt = vol.weight.reshape(mb, s1, s1, s1)
+    # voxels below min_weight read as "far" so no phantom surface
+    vals = jnp.where(wgt >= min_weight, tsdf, 1.0)
+    bx, by, bz = _decode_keys(jnp.maximum(vol.block_keys, 0), gy, gz)
+    bsz = vol.voxel_size * block
+    # grid nodes sit at voxel CENTERS (the dense-volume convention)
+    corner = vol.origin + jnp.stack([bx, by, bz], 1).astype(jnp.float32) \
+        * bsz + 0.5 * vol.voxel_size
+    alive = vol.block_keys != _INVALID
+
+    def one(td, c0):
+        soup = extract_soup_cubes(
+            VolumetricGrid(td, c0, vol.voxel_size),
+            jnp.float32(iso_level))
+        return soup.vertices, soup.mask
+
+    verts, masks = jax.vmap(one)(vals, corner)       # (mb, T*3, 3)
+    verts = verts.reshape(-1, 3)
+    masks = (masks & alive[:, None]).reshape(-1)
+    return TriangleSoup(verts, masks)
