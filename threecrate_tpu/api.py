@@ -91,6 +91,13 @@ from .ops.tsdf import (
     as tsdf_extract_surface, integrate as tsdf_integrate,
     integrate_sequence as tsdf_integrate_sequence,
 )
+from .ops.tsdf_sparse import (
+    SparseTsdfVolume, create_sparse_volume as create_sparse_tsdf_volume,
+    sparse_extract_surface as sparse_tsdf_extract_surface,
+    sparse_integrate as sparse_tsdf_integrate,
+    sparse_marching_cubes_soup as sparse_tsdf_marching_cubes_soup,
+    sparse_to_dense as sparse_tsdf_to_dense,
+)
 
 # -- reconstruction ------------------------------------------------------------
 from .reconstruction import (
