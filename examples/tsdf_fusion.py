@@ -47,6 +47,22 @@ def main():
     tc.write_mesh("/tmp/tsdf_surface.ply", mesh)
     print("wrote /tmp/tsdf_surface.ply")
 
+    # -- block-sparse variant: same frames, surface-band blocks only --
+    from threecrate_tpu.reconstruction.marching_cubes import soup_to_mesh
+    grid_blocks = (12, 12, 12)            # 96^3 virtual in 8^3 blocks
+    svol = tc.create_sparse_tsdf_volume(vox, origin=(-0.96, -0.96, 0.0),
+                                        grid_blocks=grid_blocks,
+                                        block=8, max_blocks=512)
+    for d, p in zip(depths, poses):
+        svol = tc.sparse_tsdf_integrate(svol, jnp.asarray(d), intr,
+                                        jnp.asarray(p),
+                                        grid_blocks=grid_blocks)
+    frac = int(svol.n_blocks) / (12 ** 3)
+    smesh = soup_to_mesh(tc.sparse_tsdf_marching_cubes_soup(
+        svol, grid_blocks))
+    print(f"sparse: {int(svol.n_blocks)} blocks ({frac:.1%} of the "
+          f"virtual grid), mesh {int(smesh.face_count())} faces")
+
 
 if __name__ == "__main__":
     main()
