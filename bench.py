@@ -271,6 +271,64 @@ def main() -> None:
         "vs_baseline": round(0.958 / tn, 2),
     }))
 
+    # sparse TSDF integrate at 256^3 virtual (r3 measured: 62.9 ms)
+    from threecrate_tpu.ops import tsdf_sparse as sp_mod
+
+    hh, ww = (120, 160) if smoke else (480, 640)
+    grid_b = (8, 8, 8) if smoke else (32, 32, 32)
+    mb_cap = 256 if smoke else 4096
+    intr_t = jnp.asarray([525.0, 525.0, ww / 2, hh / 2], jnp.float32)
+    yy, xx = np.mgrid[0:hh, 0:ww]
+    dimg = jnp.asarray(
+        (2.0 + 0.3 * np.sin(xx / 60.0) * np.cos(yy / 45.0)
+         ).astype(np.float32))
+    pose_t = jnp.asarray(np.eye(4, dtype=np.float32))
+    svol = sp_mod.create_sparse_volume(
+        4.0 / (grid_b[0] * 8), origin=(-2.0, -2.0, 0.5),
+        grid_blocks=grid_b, block=8, max_blocks=mb_cap)
+    svol = sp_mod.sparse_integrate(svol, dimg, intr_t, pose_t,
+                                   grid_blocks=grid_b, block=8)
+
+    def sparse_run():
+        out = sp_mod.sparse_integrate(svol, dimg, intr_t, pose_t,
+                                      grid_blocks=grid_b, block=8)
+        return float(jnp.sum(out.weight))
+
+    tsp = median_time(sparse_run, warmup=1, iters=3, sync_fn=lambda x: x)
+    print(json.dumps({
+        "metric": "tsdf_sparse_256_ms_per_frame",
+        "value": round(tsp * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(0.0629 / tsp, 2),
+    }))
+
+    # marching cubes at 256^3 (r3 measured: 672 ms packed tables)
+    from threecrate_tpu.ops import tsdf as tsdf_mod
+    from threecrate_tpu.reconstruction.marching_cubes import (
+        VolumetricGrid, extract_soup_cubes)
+
+    res_mc = 64 if smoke else 256
+    dvol = tsdf_mod.create_volume((res_mc,) * 3, 4.0 / res_mc,
+                                  origin=(-2.0, -2.0, 0.5))
+    dvol = tsdf_mod.integrate(dvol, dimg, intr_t, pose_t)
+    mc_grid = VolumetricGrid(values=dvol.tsdf, origin=dvol.origin,
+                             spacing=dvol.voxel_size)
+
+    @jax.jit
+    def mc_scalar(g):
+        soup = extract_soup_cubes(g, jnp.float32(0.0))
+        keep = jnp.repeat(soup.mask, 3)
+        return jnp.sum(jnp.where(keep[:, None], soup.vertices, 0.0))
+
+    tmc = median_time(lambda: float(mc_scalar(mc_grid)), warmup=1,
+                      iters=3, sync_fn=lambda x: x)
+    print(json.dumps({
+        "metric": "marching_cubes_256_ms",
+        "value": round(tmc * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(0.672 / tmc, 2),
+    }))
+
     # SHOT-352 at 250k (round-2 re-measure baseline: 292 ms)
     from threecrate_tpu.ops.features import extract_shot_features, ShotConfig
     shot_pc = PointCloud(points=src_n, mask=mask_n)

@@ -127,3 +127,30 @@ class TestSparseMarchingCubes:
         inter = len(kd & ks)
         assert inter > 0.95 * max(len(kd), len(ks)), (len(kd), len(ks),
                                                      inter)
+
+
+class TestSparseSequence:
+    def test_scan_matches_loop(self):
+        depth, intr = _frame()
+        n_frames = 3
+        depths = np.stack([depth] * n_frames)
+        poses = np.tile(np.eye(4, dtype=np.float32), (n_frames, 1, 1))
+        poses[:, 0, 3] = np.linspace(0, 0.04, n_frames)
+        v_loop = sp.create_sparse_volume(VOX, origin=(-2.0, -2.0, 0.5),
+                                         grid_blocks=GRID, block=BLOCK,
+                                         max_blocks=512)
+        for i in range(n_frames):
+            v_loop = sp.sparse_integrate(v_loop, jnp.asarray(depths[i]),
+                                         intr, jnp.asarray(poses[i]),
+                                         grid_blocks=GRID, block=BLOCK)
+        v_scan = sp.sparse_integrate_sequence(
+            sp.create_sparse_volume(VOX, origin=(-2.0, -2.0, 0.5),
+                                    grid_blocks=GRID, block=BLOCK,
+                                    max_blocks=512),
+            jnp.asarray(depths), intr, jnp.asarray(poses),
+            grid_blocks=GRID, block=BLOCK)
+        assert int(v_loop.n_blocks) == int(v_scan.n_blocks)
+        np.testing.assert_array_equal(np.asarray(v_loop.block_keys),
+                                      np.asarray(v_scan.block_keys))
+        np.testing.assert_allclose(np.asarray(v_loop.tsdf),
+                                   np.asarray(v_scan.tsdf), atol=1e-6)

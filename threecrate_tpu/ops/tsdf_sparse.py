@@ -318,3 +318,27 @@ def sparse_marching_cubes_soup(vol: SparseTsdfVolume,
     verts = verts.reshape(-1, 3)
     masks = (masks & alive[:, None]).reshape(-1)
     return TriangleSoup(verts, masks)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_blocks", "block",
+                                             "ray_samples", "max_weight"))
+def sparse_integrate_sequence(vol: SparseTsdfVolume, depths: jnp.ndarray,
+                              intr: jnp.ndarray, poses: jnp.ndarray,
+                              grid_blocks: Tuple[int, int, int],
+                              block: int = 8, depth_scale: float = 1.0,
+                              ray_samples: int = 3,
+                              max_weight: float = 64.0
+                              ) -> SparseTsdfVolume:
+    """Fuse a (T, H, W) depth sequence via lax.scan — allocation and
+    storage realignment are fixed-shape, so the whole trajectory is
+    one device program (the sparse analog of
+    ops.tsdf.integrate_sequence)."""
+    def step(v, frame):
+        depth, pose = frame
+        return sparse_integrate(v, depth, intr, pose,
+                                grid_blocks=grid_blocks, block=block,
+                                depth_scale=depth_scale,
+                                ray_samples=ray_samples,
+                                max_weight=max_weight), None
+    out, _ = jax.lax.scan(step, vol, (depths, poses))
+    return out
