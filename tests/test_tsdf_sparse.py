@@ -154,3 +154,47 @@ class TestSparseSequence:
                                       np.asarray(v_scan.block_keys))
         np.testing.assert_allclose(np.asarray(v_loop.tsdf),
                                    np.asarray(v_scan.tsdf), atol=1e-6)
+
+
+class TestSparseColor:
+    def test_color_fuses_like_dense(self):
+        depth, intr = _frame()
+        h, w = depth.shape
+        rgb = (np.random.default_rng(3).uniform(0, 1, (h, w, 3))
+               ).astype(np.float32)
+        pose = jnp.asarray(np.eye(4, dtype=np.float32))
+        dense = dense_mod.create_volume((64, 64, 64), VOX,
+                                        origin=(-2.0, -2.0, 0.5),
+                                        with_color=True)
+        sparse = sp.create_sparse_volume(VOX, origin=(-2.0, -2.0, 0.5),
+                                         grid_blocks=GRID, block=BLOCK,
+                                         max_blocks=512, with_color=True)
+        for _ in range(2):
+            dense = dense_mod.integrate(dense, jnp.asarray(depth), intr,
+                                        pose, rgb=jnp.asarray(rgb))
+            sparse = sp.sparse_integrate(sparse, jnp.asarray(depth),
+                                         intr, pose, grid_blocks=GRID,
+                                         block=BLOCK,
+                                         rgb=jnp.asarray(rgb))
+        d2 = sp.sparse_to_dense(sparse, GRID, BLOCK)
+        # compare fused colors on voxels the sparse volume observed
+        s1 = BLOCK + 1
+        sc = np.asarray(sparse.color).reshape(-1, s1, s1, s1, 3)
+        sw = np.asarray(sparse.weight).reshape(-1, s1, s1, s1)
+        keys = np.asarray(sparse.block_keys)
+        dcol = np.asarray(dense.color)
+        checked = 0
+        for i in range(int(sparse.n_blocks)):
+            k = int(keys[i])
+            bz = k % GRID[2]
+            by = (k // GRID[2]) % GRID[1]
+            bx = k // (GRID[1] * GRID[2])
+            m = sw[i, :BLOCK, :BLOCK, :BLOCK] > 0
+            if not m.any():
+                continue
+            dsub = dcol[bx*BLOCK:(bx+1)*BLOCK, by*BLOCK:(by+1)*BLOCK,
+                        bz*BLOCK:(bz+1)*BLOCK]
+            np.testing.assert_allclose(
+                sc[i, :BLOCK, :BLOCK, :BLOCK][m], dsub[m], atol=1e-5)
+            checked += m.sum()
+        assert checked > 500

@@ -49,6 +49,7 @@ class SparseTsdfVolume(NamedTuple):
     origin: jnp.ndarray       # (3,)
     voxel_size: jnp.ndarray   # scalar
     truncation: jnp.ndarray   # scalar
+    color: Optional[jnp.ndarray] = None  # (max_blocks, (B+1)^3, 3)
 
     @property
     def max_blocks(self) -> int:
@@ -60,8 +61,8 @@ def create_sparse_volume(voxel_size: float,
                          grid_blocks: Tuple[int, int, int] = (64, 64, 64),
                          block: int = 8,
                          max_blocks: int = 8192,
-                         truncation: Optional[float] = None
-                         ) -> SparseTsdfVolume:
+                         truncation: Optional[float] = None,
+                         with_color: bool = False) -> SparseTsdfVolume:
     """Empty sparse volume spanning ``grid_blocks`` blocks of
     ``block``³ voxels each (a 64³-block grid of 8³ = a 512³ virtual
     volume). ``block`` and ``grid_blocks`` are carried statically by
@@ -75,7 +76,9 @@ def create_sparse_volume(voxel_size: float,
         weight=jnp.zeros((max_blocks, s), jnp.float32),
         origin=jnp.asarray(origin, jnp.float32),
         voxel_size=jnp.float32(voxel_size),
-        truncation=jnp.float32(trunc))
+        truncation=jnp.float32(trunc),
+        color=(jnp.zeros((max_blocks, s, 3), jnp.float32)
+               if with_color else None))
 
 
 def _decode_keys(keys, gy: int, gz: int):
@@ -90,6 +93,7 @@ def _decode_keys(keys, gy: int, gz: int):
 def sparse_integrate(vol: SparseTsdfVolume, depth: jnp.ndarray,
                      intr: jnp.ndarray, cam_to_world: jnp.ndarray,
                      grid_blocks: Tuple[int, int, int], block: int = 8,
+                     rgb: Optional[jnp.ndarray] = None,
                      depth_scale: float = 1.0, ray_samples: int = 3,
                      max_weight: float = 64.0) -> SparseTsdfVolume:
     """Allocate + fuse one depth frame (the sparse analog of
@@ -145,6 +149,10 @@ def sparse_integrate(vol: SparseTsdfVolume, depth: jnp.ndarray,
         & (keys_out != _INVALID)
     tsdf = jnp.where(existed[:, None], vol.tsdf[old_pos], 1.0)
     weight = jnp.where(existed[:, None], vol.weight[old_pos], 0.0)
+    color = None
+    if vol.color is not None:
+        color = jnp.where(existed[:, None, None], vol.color[old_pos],
+                          0.0)
 
     # ---- 3. projective update over allocated blocks ------------------
     s1 = block + 1
@@ -178,8 +186,14 @@ def sparse_integrate(vol: SparseTsdfVolume, depth: jnp.ndarray,
     fused = (tsdf * weight + tsdf_new * w_add) / denom
     fused = jnp.where(update, fused, tsdf)
 
+    if color is not None and rgb is not None:
+        c = rgb[vi, ui].astype(jnp.float32)           # (mb, s1^3, 3)
+        cf = (color * weight[..., None] + c * w_add[..., None]) \
+            / denom[..., None]
+        color = jnp.where(update[..., None], cf, color)
+
     return SparseTsdfVolume(keys_out, n_new, fused, w_new, vol.origin,
-                            vol.voxel_size, vol.truncation)
+                            vol.voxel_size, vol.truncation, color)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_blocks", "block",
