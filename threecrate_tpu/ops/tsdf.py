@@ -89,7 +89,8 @@ def integrate(vol: TsdfVolume, depth: jnp.ndarray, intr: jnp.ndarray,
     t = cam_to_world[:3, 3]
     rt = r.T
     world = _voxel_centers(vol)                     # (nx, ny, nz, 3)
-    cam = jnp.einsum("ij,xyzj->xyzi", rt, world - t)
+    cam = jnp.einsum("ij,xyzj->xyzi", rt, world - t,
+                     precision=jax.lax.Precision.HIGHEST)
 
     z = cam[..., 2]
     u = cam[..., 0] / jnp.maximum(z, 1e-9) * fx + cx

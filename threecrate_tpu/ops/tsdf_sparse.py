@@ -165,7 +165,8 @@ def sparse_integrate(vol: SparseTsdfVolume, depth: jnp.ndarray,
     lz = jnp.tile(li, s1 * s1)
     local = jnp.stack([lx, ly, lz], 1) + 0.5            # (s1^3, 3)
     centers = corner[:, None, :] + local[None] * vol.voxel_size
-    cam = jnp.einsum("ij,mvj->mvi", r.T, centers - t)
+    cam = jnp.einsum("ij,mvj->mvi", r.T, centers - t,
+                     precision=jax.lax.Precision.HIGHEST)
     z = cam[..., 2]
     ui = jnp.round(cam[..., 0] / jnp.maximum(z, 1e-9) * fx + cx
                    ).astype(jnp.int32)
