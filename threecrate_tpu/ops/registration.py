@@ -63,9 +63,13 @@ def _prep(source: PointCloud, target: PointCloud):
     return (source.points, source.mask, target.points, target.mask)
 
 
-CORRESPONDENCE_WINDOW_THRESHOLD = 2 ** 35  # n_src · n_tgt above which the
+CORRESPONDENCE_WINDOW_THRESHOLD = 2 ** 32  # n_src · n_tgt above which the
 # exact blockwise search is replaced by the Morton-window search inside
-# the ICP loop (top-1 agreement ~100% on scan data; see tests)
+# the ICP loop (top-1 agreement ~100% on scan data; see tests). r3:
+# lowered from 2^35 — at Open3D's own 121k x 121k the window path runs
+# 2.7 ms/iter vs the exact HIGHEST-precision distance matmul's ~10+,
+# and the w=3 robustness suite holds from a few thousand points up;
+# below ~65k x 65k products the exact matmul is effectively free
 
 
 def auto_w_tiles(n_src: int, n_tgt: int, w_min: int = 3) -> int:
