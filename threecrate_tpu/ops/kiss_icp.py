@@ -78,32 +78,33 @@ def kiss_icp(source: PointCloud, target: PointCloud,
 class KissIcpOdometry:
     """Frame-to-map odometry pipeline: keeps a voxel-downsampled local
     map and a constant-velocity motion prior, mirroring the intended
-    usage of the reference's kiss_icp entry."""
+    usage of the reference's kiss_icp entry.
+
+    The local map is DEVICE-RESIDENT at a fixed padded capacity: the
+    first formulation round-tripped the map through numpy every frame
+    (~50 MB of host<->device transfers per 1M-point frame — several
+    seconds over a tunneled TPU, and needless PCIe traffic on any
+    host), and let the map's padded shape grow, re-tracing the
+    registration program every few frames. Fixed shapes + resident
+    arrays = one compile per program and zero per-frame transfers.
+    """
 
     def __init__(self, config: KissIcpConfig = KissIcpConfig(),
                  map_capacity: int = 1 << 18):
+        from ..utils import padding
         self.config = config
-        self.map_capacity = map_capacity
+        self.map_capacity = padding.round_up(map_capacity, 128)
         self.pose = Transform.identity()
         self._prev_delta = Transform.identity()
-        self._map_points: Optional[np.ndarray] = None
+        self._map_pc: Optional[PointCloud] = None
 
     @property
     def local_map(self) -> Optional[PointCloud]:
-        if self._map_points is None:
-            return None
-        # FIXED capacity: the map grows frame to frame, and letting
-        # from_numpy re-bucket it re-traces the registration program
-        # every few frames (minutes each on a remote compiler). One
-        # pinned shape = one compile for the whole trajectory.
-        from ..utils import padding
-        return PointCloud.from_numpy(
-            self._map_points,
-            capacity=padding.round_up(self.map_capacity, 128))
+        return self._map_pc
 
     def register_frame(self, scan: PointCloud) -> Transform:
         src = preprocess(scan, self.config)
-        if self._map_points is None:
+        if self._map_pc is None:
             self.pose = Transform.identity()
             self._update_map(src, self.pose)
             return self.pose
@@ -116,20 +117,19 @@ class KissIcpOdometry:
         return self.pose
 
     def _update_map(self, scan: PointCloud, pose: Transform) -> None:
-        from ..utils import padding
-        world = scan.transform(pose)
-        pts = world.to_numpy()
-        if self._map_points is None:
-            merged = pts
+        import jax.numpy as jnp
+        world = scan.transform(pose)               # device
+        if self._map_pc is None:
+            merged = PointCloud(world.points, world.mask, {})
         else:
-            merged = np.concatenate([self._map_points, pts])
-        # fixed merge capacity (map cap + the scan's padded bucket):
-        # a variable-size merge would re-trace the voxel filter as the
-        # map grows (see local_map's pinned-shape note)
-        cap_m = padding.round_up(self.map_capacity + scan.capacity, 128)
-        merged_pc = PointCloud.from_numpy(merged[-cap_m:], capacity=cap_m)
-        dedup = filtering.voxel_grid_filter(merged_pc, self.config.voxel_size)
-        out = dedup.to_numpy()
-        if len(out) > self.map_capacity:
-            out = out[-self.map_capacity:]
-        self._map_points = out
+            merged = PointCloud(
+                jnp.concatenate([self._map_pc.points, world.points]),
+                jnp.concatenate([self._map_pc.mask, world.mask]), {})
+        dedup = filtering.voxel_grid_filter(merged,
+                                            self.config.voxel_size)
+        # voxel output packs valid centroids to the front: cropping to
+        # the fixed map capacity keeps shapes pinned; overflow drops
+        # the back of the voxel order (spatially arbitrary — size the
+        # capacity for the scene)
+        self._map_pc = PointCloud(dedup.points[:self.map_capacity],
+                                  dedup.mask[:self.map_capacity], {})
