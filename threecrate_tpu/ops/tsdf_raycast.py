@@ -1,0 +1,344 @@
+"""TSDF raycasting: per-pixel ray marching over dense and block-sparse
+volumes.
+
+Closes the KinectFusion-style frame-to-model loop that the reference
+leaves open: threecrate-gpu renders point clouds and meshes
+(renderer.rs:139-550, mesh.rs) but has no volume renderer — its TSDF
+(tsdf.rs:83-310) can only be viewed by extracting points or a mesh
+first. Raycasting the volume directly gives (a) synthetic depth /
+vertex / normal maps for projective frame-to-model tracking
+(``ops/frame_to_model.py``) and (b) a direct volume view for the viz
+layer with no extraction pass.
+
+TPU shape: all H·W rays march together inside ONE ``lax.while_loop``
+(exit when every ray has hit or left the far plane — no per-ray Python
+control flow). During the march each step costs a single
+nearest-neighbor volume fetch per ray (the HBM-latency gather is the
+budget; trilinear would be 8×), with the step length scaled by the
+fetched TSDF value (sphere-tracing-style skipping: a voxel that reads
+"far" cannot hide a surface within ~0.75·truncation of projective
+band). The zero crossing is then REFINED once per ray with trilinear
+samples at the bracketing points (secant step) and the normal comes
+from the analytic gradient of the same 8-corner trilinear patch — no
+extra fetches beyond the refinement's.
+
+Unobserved voxels (weight = 0) read as free space during the march but
+invalidate a crossing: a hit requires both bracketing samples observed,
+so rays never report surfaces conjured from the initial tsdf=1 fill.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .tsdf import TsdfVolume
+from .tsdf_sparse import SparseTsdfVolume, _INVALID
+
+
+class RaycastResult(NamedTuple):
+    """Synthetic camera maps from one raycast pass."""
+
+    depth: jnp.ndarray     # (H, W) f32 ray depth (z in camera), 0 = miss
+    vertices: jnp.ndarray  # (H, W, 3) f32 world-space hit points
+    normals: jnp.ndarray   # (H, W, 3) f32 world-space unit normals
+    mask: jnp.ndarray      # (H, W) bool
+
+
+# ---------------------------------------------------------------------------
+# samplers: value at a world point + (for trilinear) analytic gradient
+# ---------------------------------------------------------------------------
+
+def _dense_nearest(vol: TsdfVolume, p: jnp.ndarray):
+    """Nearest-voxel TSDF at world points p (R, 3). Out-of-volume and
+    unobserved voxels read (1.0, observed=False)."""
+    nx, ny, nz = vol.resolution
+    g = (p - vol.origin) / vol.voxel_size - 0.5
+    i = jnp.round(g).astype(jnp.int32)
+    inb = jnp.all((i >= 0) & (i < jnp.array([nx, ny, nz])), axis=1)
+    i = jnp.clip(i, 0, jnp.array([nx - 1, ny - 1, nz - 1]))
+    lin = (i[:, 0] * ny + i[:, 1]) * nz + i[:, 2]
+    val = jnp.where(inb, vol.tsdf.reshape(-1)[lin], 1.0)
+    obs = inb & (vol.weight.reshape(-1)[lin] > 0)
+    return val, obs
+
+
+def _corner_weights(f: jnp.ndarray):
+    """Trilinear corner weights (R, 8) and the per-axis derivative
+    factors, corner order (dx, dy, dz) lexicographic."""
+    fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
+    wx = jnp.stack([1 - fx, fx], 1)            # (R, 2)
+    wy = jnp.stack([1 - fy, fy], 1)
+    wz = jnp.stack([1 - fz, fz], 1)
+    w = (wx[:, :, None, None] * wy[:, None, :, None]
+         * wz[:, None, None, :]).reshape(-1, 8)
+    return w, (wx, wy, wz)
+
+
+def _trilinear_from_corners(vals, obs, f, voxel):
+    """Value, gradient (world units), and all-corners-observed flag from
+    8 corner samples (R, 8) in (dx, dy, dz) lexicographic order."""
+    w, (wx, wy, wz) = _corner_weights(f)
+    val = jnp.sum(vals * w, axis=1)
+    v = vals.reshape(-1, 2, 2, 2)
+    # d/dx of trilinear = Σ (v1yz − v0yz)·wy·wz etc.; /voxel → world
+    gx = jnp.sum((v[:, 1] - v[:, 0])
+                 * (wy[:, :, None] * wz[:, None, :]), axis=(1, 2))
+    gy = jnp.sum((v[:, :, 1] - v[:, :, 0])
+                 * (wx[:, :, None] * wz[:, None, :]), axis=(1, 2))
+    gz = jnp.sum((v[:, :, :, 1] - v[:, :, :, 0])
+                 * (wx[:, :, None] * wy[:, None, :]), axis=(1, 2))
+    grad = jnp.stack([gx, gy, gz], axis=1) / voxel
+    return val, grad, jnp.all(obs, axis=1)
+
+
+_CORNER_OFFS = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1)
+                for dz in (0, 1)]
+
+
+def _dense_trilinear(vol: TsdfVolume, p: jnp.ndarray):
+    """Trilinear TSDF value + world-space gradient at p (R, 3)."""
+    nx, ny, nz = vol.resolution
+    g = (p - vol.origin) / vol.voxel_size - 0.5
+    i0 = jnp.floor(g).astype(jnp.int32)
+    f = g - i0.astype(jnp.float32)
+    inb = jnp.all((i0 >= 0) & (i0 + 1 < jnp.array([nx, ny, nz])), axis=1)
+    i0 = jnp.clip(i0, 0, jnp.array([nx - 2, ny - 2, nz - 2]))
+    tflat = vol.tsdf.reshape(-1)
+    wflat = vol.weight.reshape(-1)
+    vals, obs = [], []
+    for dx, dy, dz in _CORNER_OFFS:
+        lin = ((i0[:, 0] + dx) * ny + i0[:, 1] + dy) * nz + i0[:, 2] + dz
+        vals.append(tflat[lin])
+        obs.append(wflat[lin] > 0)
+    vals = jnp.stack(vals, axis=1)              # (R, 8)
+    obs = jnp.stack(obs, axis=1) & inb[:, None]
+    return _trilinear_from_corners(vals, obs, f, vol.voxel_size)
+
+
+def _sparse_rows(vol: SparseTsdfVolume, vox: jnp.ndarray,
+                 grid_blocks: Tuple[int, int, int], block: int):
+    """Block-table row + in-apron flat index for global voxel indices
+    vox (R, 3). Returns (row·s1³ + flat, allocated)."""
+    gx, gy, gz = grid_blocks
+    s1 = block + 1
+    b = vox // block
+    l = vox - b * block                          # [0, block-1]
+    inb = jnp.all((vox >= 0), axis=1) \
+        & (b[:, 0] < gx) & (b[:, 1] < gy) & (b[:, 2] < gz)
+    key = (b[:, 0] * gy + b[:, 1]) * gz + b[:, 2]
+    row = jnp.searchsorted(vol.block_keys, key)
+    row = jnp.clip(row, 0, vol.max_blocks - 1)
+    alloc = (vol.block_keys[row] == key) & (key != _INVALID) & inb
+    flat = (l[:, 0] * s1 + l[:, 1]) * s1 + l[:, 2]
+    return row * (s1 ** 3) + flat, alloc
+
+
+def _sparse_nearest(vol: SparseTsdfVolume, p: jnp.ndarray,
+                    grid_blocks: Tuple[int, int, int], block: int):
+    g = (p - vol.origin) / vol.voxel_size - 0.5
+    vox = jnp.round(g).astype(jnp.int32)
+    lin, alloc = _sparse_rows(vol, vox, grid_blocks, block)
+    val = jnp.where(alloc, vol.tsdf.reshape(-1)[lin], 1.0)
+    obs = alloc & (vol.weight.reshape(-1)[lin] > 0)
+    return val, obs
+
+
+def _sparse_trilinear(vol: SparseTsdfVolume, p: jnp.ndarray,
+                      grid_blocks: Tuple[int, int, int], block: int):
+    """Trilinear sample in the block table. The 8 corners of a cell
+    whose LOW corner is voxel v all lie inside v's block thanks to the
+    one-voxel apron (local index block → apron layer), so one block
+    lookup serves all 8 fetches."""
+    s1 = block + 1
+    g = (p - vol.origin) / vol.voxel_size - 0.5
+    v0 = jnp.floor(g).astype(jnp.int32)
+    f = g - v0.astype(jnp.float32)
+    b = v0 // block
+    l0 = v0 - b * block
+    gx, gy, gz = grid_blocks
+    inb = jnp.all(v0 >= 0, axis=1) \
+        & (b[:, 0] < gx) & (b[:, 1] < gy) & (b[:, 2] < gz)
+    key = (b[:, 0] * gy + b[:, 1]) * gz + b[:, 2]
+    row = jnp.searchsorted(vol.block_keys, key)
+    row = jnp.clip(row, 0, vol.max_blocks - 1)
+    alloc = (vol.block_keys[row] == key) & (key != _INVALID) & inb
+    tflat = vol.tsdf.reshape(-1)
+    wflat = vol.weight.reshape(-1)
+    base = row * (s1 ** 3)
+    vals, obs = [], []
+    for dx, dy, dz in _CORNER_OFFS:
+        flat = ((l0[:, 0] + dx) * s1 + l0[:, 1] + dy) * s1 + l0[:, 2] + dz
+        vals.append(jnp.where(alloc, tflat[base + flat], 1.0))
+        obs.append(alloc & (wflat[base + flat] > 0))
+    vals = jnp.stack(vals, axis=1)
+    obs = jnp.stack(obs, axis=1)
+    return _trilinear_from_corners(vals, obs, f, vol.voxel_size)
+
+
+# ---------------------------------------------------------------------------
+# the march
+# ---------------------------------------------------------------------------
+
+def _march(nearest, trilinear, origin_w, dirs_w, near, far, trunc, voxel,
+           max_steps: int):
+    """Shared ray-march core. ``nearest(p) -> (val, obs)``,
+    ``trilinear(p) -> (val, grad, obs)`` close over the volume."""
+    r = dirs_w.shape[0]
+    inf = jnp.float32(jnp.inf)
+    t0 = jnp.full((r,), jnp.float32(near))
+    state = (t0,                                  # t
+             jnp.ones((r,), jnp.float32),         # prev val
+             jnp.zeros((r,), bool),               # prev observed
+             jnp.zeros((r,), bool),               # hit
+             jnp.zeros((r,), jnp.float32),        # t at bracket low
+             jnp.zeros((r,), jnp.float32),        # t at bracket high
+             jnp.int32(0))
+
+    coarse = jnp.float32(0.75) * trunc
+    fine = jnp.maximum(jnp.float32(voxel), jnp.float32(0.1) * trunc)
+
+    def cond(s):
+        t, _, _, hit, _, _, step = s
+        active = ~hit & (t <= far)
+        return (step < max_steps) & jnp.any(active)
+
+    def body(s):
+        t, pv, pobs, hit, tlo, thi, step = s
+        p = origin_w[None] + t[:, None] * dirs_w
+        val, obs = nearest(p)
+        active = ~hit & (t <= far)
+        # a crossing needs both bracketing samples observed — the
+        # initial tsdf=1 fill must never read as a surface
+        cross = active & pobs & obs & (pv > 0) & (val < 0)
+        hit2 = hit | cross
+        tlo2 = jnp.where(cross, t - _last_dt(pv, coarse, fine), tlo)
+        thi2 = jnp.where(cross, t, thi)
+        dt = _next_dt(val, coarse, fine)
+        t2 = jnp.where(active & ~cross, t + dt, t)
+        pv2 = jnp.where(active, val, pv)
+        pobs2 = jnp.where(active, obs, pobs)
+        return (t2, pv2, pobs2, hit2, tlo2, thi2, step + 1)
+
+    def _next_dt(val, coarse, fine):
+        # far reading → skip ~0.75·trunc; near the band → voxel steps
+        return jnp.where(val > 0.5, coarse, fine)
+
+    def _last_dt(pv, coarse, fine):
+        return jnp.where(pv > 0.5, coarse, fine)
+
+    t, pv, pobs, hit, tlo, thi, _ = jax.lax.while_loop(cond, body, state)
+
+    # ---- refinement: bracketed secant on trilinear samples -----------
+    # the march brackets the crossing to one step; 4 secant rounds pull
+    # the residual well under 1% of a voxel (2 rounds left slope-
+    # correlated errors up to a voxel on curved surfaces — enough to
+    # bias frame-to-model tracking by ~0.3°)
+    plo = origin_w[None] + tlo[:, None] * dirs_w
+    phi = origin_w[None] + thi[:, None] * dirs_w
+    flo, _, _ = trilinear(plo)
+    fhi, _, _ = trilinear(phi)
+    ts = tlo
+    for _ in range(4):
+        denom = flo - fhi
+        frac = jnp.where(jnp.abs(denom) > 1e-12, flo / denom, 0.5)
+        ts = tlo + jnp.clip(frac, 0.0, 1.0) * (thi - tlo)
+        ps = origin_w[None] + ts[:, None] * dirs_w
+        fs, _, _ = trilinear(ps)
+        move_hi = fs > 0      # crossing is beyond ts → tighten low end
+        tlo = jnp.where(move_hi, ts, tlo)
+        flo = jnp.where(move_hi, fs, flo)
+        thi = jnp.where(move_hi, thi, ts)
+        fhi = jnp.where(move_hi, fhi, fs)
+    ps = origin_w[None] + ts[:, None] * dirs_w
+    _, grad, _ = trilinear(ps)
+
+    # validity comes from the nearest-sample bracket (both ends
+    # observed); trilinear corner observability can be stricter at
+    # surface borders and would punch pinholes in the maps
+    ok = hit
+    n = grad / jnp.maximum(jnp.linalg.norm(grad, axis=1, keepdims=True),
+                           1e-12)
+    return ts, ps, n, ok
+
+
+def _pixel_dirs(h: int, w: int, intr: jnp.ndarray,
+                cam_to_world: jnp.ndarray):
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
+    d_cam = jnp.stack([(u - cx) / fx, (v - cy) / fy,
+                       jnp.ones_like(u)], axis=1)
+    r = cam_to_world[:3, :3]
+    d_w = jnp.matmul(d_cam, r.T, precision=jax.lax.Precision.HIGHEST)
+    return d_w, cam_to_world[:3, 3]
+
+
+def _as_result(h, w, ts, ps, n, ok):
+    # d_cam has camera-z component exactly 1, so the ray parameter IS
+    # camera-z depth — directly comparable to integrate()'s depth input
+    depth = jnp.where(ok, ts, 0.0).reshape(h, w)
+    return RaycastResult(depth=depth,
+                         vertices=ps.reshape(h, w, 3),
+                         normals=jnp.where(ok[:, None], n, 0.0
+                                           ).reshape(h, w, 3),
+                         mask=ok.reshape(h, w))
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width",
+                                             "max_steps"))
+def raycast(vol: TsdfVolume, intr: jnp.ndarray, cam_to_world: jnp.ndarray,
+            height: int, width: int, near: float = 0.1,
+            far: float = 10.0, max_steps: int = 96) -> RaycastResult:
+    """Raycast a dense TSDF volume into depth/vertex/normal maps.
+
+    ``intr`` = [fx, fy, cx, cy]; ``cam_to_world`` (4, 4). Rays are cast
+    per pixel; ``depth`` is camera-z depth (comparable to the depth
+    images ``integrate`` consumes). Normals point along the TSDF
+    gradient — out of the surface, toward the observed free space.
+    """
+    d_w, o_w = _pixel_dirs(height, width, intr, cam_to_world)
+    nearest = lambda p: _dense_nearest(vol, p)
+    trilinear = lambda p: _dense_trilinear(vol, p)
+    ts, ps, n, ok = _march(nearest, trilinear, o_w, d_w,
+                           near, far, vol.truncation, vol.voxel_size,
+                           max_steps)
+    return _as_result(height, width, ts, ps, n, ok)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_blocks", "block",
+                                             "height", "width",
+                                             "max_steps"))
+def sparse_raycast(vol: SparseTsdfVolume, intr: jnp.ndarray,
+                   cam_to_world: jnp.ndarray, height: int, width: int,
+                   grid_blocks: Tuple[int, int, int], block: int = 8,
+                   near: float = 0.1, far: float = 10.0,
+                   max_steps: int = 96) -> RaycastResult:
+    """Raycast the block-sparse TSDF (same maps as ``raycast``).
+
+    Each march step is one searchsorted block lookup + one in-block
+    fetch; unallocated space reads as free, so empty-space skipping
+    covers the virtual grid without touching memory for it.
+    """
+    d_w, o_w = _pixel_dirs(height, width, intr, cam_to_world)
+    nearest = lambda p: _sparse_nearest(vol, p, grid_blocks, block)
+    trilinear = lambda p: _sparse_trilinear(vol, p, grid_blocks, block)
+    ts, ps, n, ok = _march(nearest, trilinear, o_w, d_w,
+                           near, far, vol.truncation, vol.voxel_size,
+                           max_steps)
+    return _as_result(height, width, ts, ps, n, ok)
+
+
+def shade(res: RaycastResult, light_dir=(0.4, -0.3, -0.85),
+          ambient: float = 0.15,
+          background: float = 0.0) -> jnp.ndarray:
+    """Lambertian shading of a raycast result → (H, W) grayscale in
+    [0, 1] (light direction in world space, pointing FROM the light)."""
+    l = jnp.asarray(light_dir, jnp.float32)
+    l = -l / jnp.maximum(jnp.linalg.norm(l), 1e-12)
+    lam = jnp.clip(jnp.einsum("hwc,c->hw", res.normals, l), 0.0, 1.0)
+    img = ambient + (1.0 - ambient) * lam
+    return jnp.where(res.mask, img, background)
