@@ -98,6 +98,15 @@ from .ops.tsdf_sparse import (
     sparse_marching_cubes_soup as sparse_tsdf_marching_cubes_soup,
     sparse_to_dense as sparse_tsdf_to_dense,
 )
+from .ops.tsdf_raycast import (
+    RaycastResult, raycast as tsdf_raycast,
+    shade as tsdf_shade,
+    sparse_raycast as sparse_tsdf_raycast,
+)
+from .ops.frame_to_model import (
+    FrameToModelConfig, FrameToModelOdometry, TrackResult,
+    track as track_frame_to_model,
+)
 
 # -- reconstruction ------------------------------------------------------------
 from .reconstruction import (

@@ -4,6 +4,7 @@ from . import (
     colorization,
     features,
     filtering,
+    frame_to_model,
     gicp,
     global_registration,
     ground,
@@ -19,13 +20,15 @@ from . import (
     registration,
     segmentation,
     tsdf,
+    tsdf_raycast,
+    tsdf_sparse,
     voxel_hash,
 )
 
 __all__ = [
-    "colorization", "features", "filtering", "gicp",
+    "colorization", "features", "filtering", "frame_to_model", "gicp",
     "global_registration", "ground", "kiss_icp", "linalg",
     "mesh_boolean", "mesh_smoothing", "morton", "ndt", "neighbors",
     "normals", "point_cloud_ops", "registration", "segmentation",
-    "tsdf", "voxel_hash",
+    "tsdf", "tsdf_raycast", "tsdf_sparse", "voxel_hash",
 ]

@@ -1,0 +1,252 @@
+"""Frame-to-model depth tracking: projective point-to-plane ICP against
+raycast TSDF maps (the KinectFusion loop).
+
+The reference tracks frames against accumulated point maps with
+kNN-based ICP (kiss_icp.rs, registration.rs); with a TSDF resident on
+device the classic dense alternative becomes available: raycast the
+model into the previous camera (``ops/tsdf_raycast``), then align the
+new depth frame by PROJECTIVE data association — each frame pixel's
+correspondence is found by projecting it into the model view, a
+constant-time pixel lookup instead of a neighbor search. The entire
+Gauss-Newton iteration is elementwise math over the (H, W) maps plus
+one 6×6 normal-equation reduction: no kNN, no sort, no scatter — the
+best-conditioned shape this hardware offers, and the reason
+KinectFusion ran realtime in 2011 on far weaker silicon.
+
+Pipeline per frame (``FrameToModelOdometry.register_frame``):
+  raycast model @ last pose → track (GN, fori_loop, one jit) →
+  sparse_integrate @ new pose. All state stays device-resident (the
+  odometry round-trip lesson: host transfers of padded state through a
+  tunneled device dominate everything else).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.transform import Transform, se3_exp
+from . import linalg
+from .tsdf_raycast import RaycastResult, sparse_raycast
+from .tsdf_sparse import SparseTsdfVolume, create_sparse_volume, \
+    sparse_integrate
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameToModelConfig:
+    """Tracking + fusion knobs (defaults sized for indoor RGB-D)."""
+
+    max_iterations: int = 10
+    dist_gate: float = 0.10          # reject |plane residual| above (m)
+    normal_gate: float = 0.5         # reject cos(frame n, model n) below
+    near: float = 0.1
+    far: float = 6.0
+    max_steps: int = 96              # raycast march budget
+    depth_scale: float = 1.0
+    min_valid_pixels: int = 100      # below → tracking lost, keep pose
+
+    def __post_init__(self):
+        if self.max_iterations < 1:
+            raise ValueError("max_iterations must be >= 1")
+        if self.dist_gate <= 0:
+            raise ValueError("dist_gate must be positive")
+
+
+class TrackResult(NamedTuple):
+    cam_to_world: jnp.ndarray   # (4, 4) refined pose
+    rmse: jnp.ndarray           # scalar plane-residual RMSE (gated set)
+    n_valid: jnp.ndarray        # scalar int32 gated correspondences
+    converged: jnp.ndarray      # bool: enough correspondences at exit
+
+
+def _backproject(depth: jnp.ndarray, intr: jnp.ndarray,
+                 depth_scale: float):
+    """Depth image → camera-frame vertex map + central-difference
+    normal map (normals point toward the camera, −z halfspace)."""
+    h, w = depth.shape
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    d = depth.astype(jnp.float32) / depth_scale
+    u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    pts = jnp.stack([(u - cx) / fx * d, (v - cy) / fy * d, d], axis=-1)
+    valid = d > 1e-6
+
+    dx = jnp.roll(pts, -1, axis=1) - jnp.roll(pts, 1, axis=1)
+    dy = jnp.roll(pts, -1, axis=0) - jnp.roll(pts, 1, axis=0)
+    n = jnp.cross(dy, dx)          # oriented so n·z < 0 for a wall
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.maximum(nn, 1e-12)
+    vx = jnp.roll(valid, -1, 1) & jnp.roll(valid, 1, 1)
+    vy = jnp.roll(valid, -1, 0) & jnp.roll(valid, 1, 0)
+    border = jnp.zeros((h, w), bool).at[1:-1, 1:-1].set(True)
+    nvalid = valid & vx & vy & border & (nn[..., 0] > 1e-12)
+    return pts, n, valid & nvalid
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",
+                                             "depth_scale"))
+def track(model: RaycastResult, model_cam_to_world: jnp.ndarray,
+          depth: jnp.ndarray, intr: jnp.ndarray,
+          init_cam_to_world: jnp.ndarray,
+          max_iterations: int = 10, dist_gate: float = 0.1,
+          normal_gate: float = 0.5, depth_scale: float = 1.0,
+          min_valid_pixels: int = 100) -> TrackResult:
+    """Align one depth frame to raycast model maps.
+
+    ``model``: raycast of the TSDF from ``model_cam_to_world`` (world-
+    space vertices/normals). ``init_cam_to_world``: pose seed for the
+    new frame (constant-velocity or last pose). Returns the refined
+    camera-to-world pose.
+    """
+    h, w = depth.shape
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    pts_c, nrm_c, fvalid = _backproject(depth, intr, depth_scale)
+    p_f = pts_c.reshape(-1, 3)
+    n_f = nrm_c.reshape(-1, 3)
+    okf = fvalid.reshape(-1)
+
+    v_m = model.vertices.reshape(-1, 3)
+    n_m = model.normals.reshape(-1, 3)
+    ok_m = model.mask.reshape(-1)
+
+    # world → model camera (for projective association)
+    r_m = model_cam_to_world[:3, :3]
+    t_m = model_cam_to_world[:3, 3]
+    hi = jax.lax.Precision.HIGHEST
+
+    def gn_step(i, carry):
+        t_mat, _, _ = carry
+        r = t_mat[:3, :3]
+        t = t_mat[:3, 3]
+        p_w = jnp.matmul(p_f, r.T, precision=hi) + t
+        n_w = jnp.matmul(n_f, r.T, precision=hi)
+
+        # project into the model view; BILINEAR map interpolation —
+        # nearest-pixel association leaves a half-pixel quantization
+        # bias that GN converges onto (measured ~0.3° on a 80×60 wavy
+        # scene; bilinear removes it)
+        p_mc = jnp.matmul(p_w - t_m, r_m, precision=hi)  # r_m.T @ x
+        z = p_mc[:, 2]
+        uf = p_mc[:, 0] / jnp.maximum(z, 1e-9) * fx + cx
+        vf = p_mc[:, 1] / jnp.maximum(z, 1e-9) * fy + cy
+        u0 = jnp.floor(uf).astype(jnp.int32)
+        v0 = jnp.floor(vf).astype(jnp.int32)
+        au = (uf - u0.astype(jnp.float32))[:, None]
+        av = (vf - v0.astype(jnp.float32))[:, None]
+        inb = (z > 1e-6) & (u0 >= 0) & (u0 + 1 < w) \
+            & (v0 >= 0) & (v0 + 1 < h)
+        u0 = jnp.clip(u0, 0, w - 2)
+        v0 = jnp.clip(v0, 0, h - 2)
+        p00 = v0 * w + u0
+        q = ((1 - av) * ((1 - au) * v_m[p00] + au * v_m[p00 + 1])
+             + av * ((1 - au) * v_m[p00 + w] + au * v_m[p00 + w + 1]))
+        nq = ((1 - av) * ((1 - au) * n_m[p00] + au * n_m[p00 + 1])
+              + av * ((1 - au) * n_m[p00 + w] + au * n_m[p00 + w + 1]))
+        nq = nq / jnp.maximum(jnp.linalg.norm(nq, axis=1, keepdims=True),
+                              1e-12)
+        all_ok = ok_m[p00] & ok_m[p00 + 1] & ok_m[p00 + w] \
+            & ok_m[p00 + w + 1]
+
+        res = jnp.sum((p_w - q) * nq, axis=1)
+        ok = okf & inb & all_ok \
+            & (jnp.abs(res) < dist_gate) \
+            & (jnp.sum(n_w * nq, axis=1) > normal_gate)
+        wgt = ok.astype(jnp.float32)
+
+        a = jnp.concatenate([jnp.cross(p_w, nq), nq], axis=1)   # (N, 6)
+        aw = a * wgt[:, None]
+        hmat = jnp.matmul(aw.T, a, precision=hi)
+        g = -jnp.matmul(aw.T, res, precision=hi)
+        n_ok = jnp.sum(wgt)
+        xi = linalg.solve_psd(hmat, g, damping=1e-6)
+        enough = n_ok >= min_valid_pixels
+        xi = jnp.where(enough, xi, jnp.zeros_like(xi))
+        t_new = jnp.matmul(se3_exp(xi), t_mat, precision=hi)
+        mse = jnp.sum(jnp.where(ok, res * res, 0.0)) \
+            / jnp.maximum(n_ok, 1.0)
+        return (t_new, mse, n_ok)
+
+    t0 = init_cam_to_world.astype(jnp.float32)
+    t_fin, mse, n_ok = jax.lax.fori_loop(
+        0, max_iterations, gn_step,
+        (t0, jnp.float32(0.0), jnp.float32(0.0)))
+    conv = n_ok >= min_valid_pixels
+    t_fin = jnp.where(conv, t_fin, t0)
+    return TrackResult(t_fin, jnp.sqrt(mse), n_ok.astype(jnp.int32),
+                       conv)
+
+
+class FrameToModelOdometry:
+    """KinectFusion-style odometry: a device-resident sparse TSDF is
+    the map; each frame is tracked against its raycast and fused in.
+
+    Mirrors ``KissIcpOdometry``'s surface (``register_frame`` →
+    ``Transform``) for depth-camera streams. All per-frame state stays
+    on device; only the 4×4 pose is materialised per call.
+    """
+
+    def __init__(self, intrinsics, height: int, width: int,
+                 voxel_size: float = 0.02,
+                 origin=(-2.0, -2.0, 0.0),
+                 grid_blocks: Tuple[int, int, int] = (32, 32, 32),
+                 block: int = 8, max_blocks: int = 16384,
+                 config: FrameToModelConfig = FrameToModelConfig(),
+                 with_color: bool = False):
+        self.config = config
+        self.height, self.width = height, width
+        self.grid_blocks, self.block = grid_blocks, block
+        self.intr = jnp.asarray(
+            [intrinsics.fx, intrinsics.fy, intrinsics.cx, intrinsics.cy]
+            if hasattr(intrinsics, "fx") else intrinsics, jnp.float32)
+        self.volume: SparseTsdfVolume = create_sparse_volume(
+            voxel_size, origin=origin, grid_blocks=grid_blocks,
+            block=block, max_blocks=max_blocks, with_color=with_color)
+        self.pose = jnp.eye(4, dtype=jnp.float32)
+        self._prev_delta = jnp.eye(4, dtype=jnp.float32)
+        self.n_frames = 0
+        self.last_track: Optional[TrackResult] = None
+
+    def register_frame(self, depth, rgb=None) -> Transform:
+        """Track + fuse one depth frame; returns the world pose."""
+        cfg = self.config
+        depth = jnp.asarray(depth)
+        if self.n_frames > 0:
+            # constant-velocity seed, then raycast the model from it
+            seed = jnp.matmul(self.pose, self._prev_delta,
+                              precision=jax.lax.Precision.HIGHEST)
+            model = sparse_raycast(
+                self.volume, self.intr, seed, self.height, self.width,
+                grid_blocks=self.grid_blocks, block=self.block,
+                near=cfg.near, far=cfg.far, max_steps=cfg.max_steps)
+            tr = track(model, seed, depth, self.intr, seed,
+                       max_iterations=cfg.max_iterations,
+                       dist_gate=cfg.dist_gate,
+                       normal_gate=cfg.normal_gate,
+                       depth_scale=cfg.depth_scale,
+                       min_valid_pixels=cfg.min_valid_pixels)
+            self.last_track = tr
+            new_pose = tr.cam_to_world
+            inv_prev = Transform.from_matrix(self.pose).inverse().matrix
+            self._prev_delta = jnp.matmul(
+                inv_prev, new_pose, precision=jax.lax.Precision.HIGHEST)
+            self.pose = new_pose
+        self.volume = sparse_integrate(
+            self.volume, depth, self.intr, self.pose,
+            grid_blocks=self.grid_blocks, block=self.block, rgb=rgb,
+            depth_scale=cfg.depth_scale)
+        self.n_frames += 1
+        return Transform.from_matrix(self.pose)
+
+    def render(self, cam_to_world=None) -> RaycastResult:
+        """Raycast the current model (default: from the current pose)."""
+        pose = self.pose if cam_to_world is None else \
+            jnp.asarray(cam_to_world, jnp.float32)
+        return sparse_raycast(
+            self.volume, self.intr, pose, self.height, self.width,
+            grid_blocks=self.grid_blocks, block=self.block,
+            near=self.config.near, far=self.config.far,
+            max_steps=self.config.max_steps)
