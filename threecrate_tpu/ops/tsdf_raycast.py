@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from .tsdf import TsdfVolume
-from .tsdf_sparse import SparseTsdfVolume, _INVALID
+from .tsdf_sparse import SparseTsdfVolume
 
 
 class RaycastResult(NamedTuple):
@@ -119,35 +119,45 @@ def _dense_trilinear(vol: TsdfVolume, p: jnp.ndarray):
     return _trilinear_from_corners(vals, obs, f, vol.voxel_size)
 
 
-def _sparse_rows(vol: SparseTsdfVolume, vox: jnp.ndarray,
-                 grid_blocks: Tuple[int, int, int], block: int):
-    """Block-table row + in-apron flat index for global voxel indices
-    vox (R, 3). Returns (row·s1³ + flat, allocated)."""
+def _block_row_map(vol: SparseTsdfVolume,
+                   grid_blocks: Tuple[int, int, int]) -> jnp.ndarray:
+    """Dense block-key → table-row map (gx·gy·gz,), −1 if unallocated.
+
+    Built ONCE per raycast (one vectorised searchsorted over the whole
+    virtual block grid, ≤64³ = 262k entries) so every march step's
+    lookup is a single cheap gather instead of a log(max_blocks)
+    binary-search round per sample."""
+    gx, gy, gz = grid_blocks
+    keys = jnp.arange(gx * gy * gz, dtype=jnp.int32)
+    row = jnp.searchsorted(vol.block_keys, keys).astype(jnp.int32)
+    row = jnp.clip(row, 0, vol.max_blocks - 1)
+    hit = vol.block_keys[row] == keys
+    return jnp.where(hit, row, jnp.int32(-1))
+
+
+def _sparse_nearest(vol: SparseTsdfVolume, row_map: jnp.ndarray,
+                    p: jnp.ndarray,
+                    grid_blocks: Tuple[int, int, int], block: int):
     gx, gy, gz = grid_blocks
     s1 = block + 1
-    b = vox // block
-    l = vox - b * block                          # [0, block-1]
-    inb = jnp.all((vox >= 0), axis=1) \
-        & (b[:, 0] < gx) & (b[:, 1] < gy) & (b[:, 2] < gz)
-    key = (b[:, 0] * gy + b[:, 1]) * gz + b[:, 2]
-    row = jnp.searchsorted(vol.block_keys, key)
-    row = jnp.clip(row, 0, vol.max_blocks - 1)
-    alloc = (vol.block_keys[row] == key) & (key != _INVALID) & inb
-    flat = (l[:, 0] * s1 + l[:, 1]) * s1 + l[:, 2]
-    return row * (s1 ** 3) + flat, alloc
-
-
-def _sparse_nearest(vol: SparseTsdfVolume, p: jnp.ndarray,
-                    grid_blocks: Tuple[int, int, int], block: int):
     g = (p - vol.origin) / vol.voxel_size - 0.5
     vox = jnp.round(g).astype(jnp.int32)
-    lin, alloc = _sparse_rows(vol, vox, grid_blocks, block)
+    b = vox // block
+    l = vox - b * block                          # [0, block-1]
+    inb = jnp.all(vox >= 0, axis=1) \
+        & (b[:, 0] < gx) & (b[:, 1] < gy) & (b[:, 2] < gz)
+    key = (b[:, 0] * gy + b[:, 1]) * gz + b[:, 2]
+    row = row_map[jnp.clip(key, 0, row_map.shape[0] - 1)]
+    alloc = (row >= 0) & inb
+    flat = (l[:, 0] * s1 + l[:, 1]) * s1 + l[:, 2]
+    lin = jnp.maximum(row, 0) * (s1 ** 3) + flat
     val = jnp.where(alloc, vol.tsdf.reshape(-1)[lin], 1.0)
     obs = alloc & (vol.weight.reshape(-1)[lin] > 0)
     return val, obs
 
 
-def _sparse_trilinear(vol: SparseTsdfVolume, p: jnp.ndarray,
+def _sparse_trilinear(vol: SparseTsdfVolume, row_map: jnp.ndarray,
+                      p: jnp.ndarray,
                       grid_blocks: Tuple[int, int, int], block: int):
     """Trilinear sample in the block table. The 8 corners of a cell
     whose LOW corner is voxel v all lie inside v's block thanks to the
@@ -163,9 +173,9 @@ def _sparse_trilinear(vol: SparseTsdfVolume, p: jnp.ndarray,
     inb = jnp.all(v0 >= 0, axis=1) \
         & (b[:, 0] < gx) & (b[:, 1] < gy) & (b[:, 2] < gz)
     key = (b[:, 0] * gy + b[:, 1]) * gz + b[:, 2]
-    row = jnp.searchsorted(vol.block_keys, key)
-    row = jnp.clip(row, 0, vol.max_blocks - 1)
-    alloc = (vol.block_keys[row] == key) & (key != _INVALID) & inb
+    row = row_map[jnp.clip(key, 0, row_map.shape[0] - 1)]
+    alloc = (row >= 0) & inb
+    row = jnp.maximum(row, 0)
     tflat = vol.tsdf.reshape(-1)
     wflat = vol.weight.reshape(-1)
     base = row * (s1 ** 3)
@@ -324,8 +334,11 @@ def sparse_raycast(vol: SparseTsdfVolume, intr: jnp.ndarray,
     covers the virtual grid without touching memory for it.
     """
     d_w, o_w = _pixel_dirs(height, width, intr, cam_to_world)
-    nearest = lambda p: _sparse_nearest(vol, p, grid_blocks, block)
-    trilinear = lambda p: _sparse_trilinear(vol, p, grid_blocks, block)
+    row_map = _block_row_map(vol, grid_blocks)
+    nearest = lambda p: _sparse_nearest(vol, row_map, p, grid_blocks,
+                                        block)
+    trilinear = lambda p: _sparse_trilinear(vol, row_map, p,
+                                            grid_blocks, block)
     ts, ps, n, ok = _march(nearest, trilinear, o_w, d_w,
                            near, far, vol.truncation, vol.voxel_size,
                            max_steps)
