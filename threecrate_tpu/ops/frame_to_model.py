@@ -111,7 +111,11 @@ def track(model: RaycastResult, model_cam_to_world: jnp.ndarray,
 
     v_m = model.vertices.reshape(-1, 3)
     n_m = model.normals.reshape(-1, 3)
-    ok_m = model.mask.reshape(-1)
+    # gate on the confident channel when present: grazing/border hits
+    # whose depth came from nearest-sample interpolation carry a
+    # systematic half-voxel bias that GN would converge onto
+    ok_src = model.mask if model.confident is None else model.confident
+    ok_m = ok_src.reshape(-1)
 
     # world → model camera (for projective association)
     r_m = model_cam_to_world[:3, :3]

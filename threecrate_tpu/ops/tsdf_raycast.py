@@ -46,24 +46,39 @@ class RaycastResult(NamedTuple):
     vertices: jnp.ndarray  # (H, W, 3) f32 world-space hit points
     normals: jnp.ndarray   # (H, W, 3) f32 world-space unit normals
     mask: jnp.ndarray      # (H, W) bool
+    # mask minus grazing/border hits whose trilinear bracket had no
+    # sign change (their depth comes from nearest-sample interpolation
+    # — good enough to render, half-voxel biased for tracking)
+    confident: jnp.ndarray = None  # (H, W) bool
 
 
 # ---------------------------------------------------------------------------
 # samplers: value at a world point + (for trilinear) analytic gradient
 # ---------------------------------------------------------------------------
 
-def _dense_nearest(vol: TsdfVolume, p: jnp.ndarray):
-    """Nearest-voxel TSDF at world points p (R, 3). Out-of-volume and
-    unobserved voxels read (1.0, observed=False)."""
+_UNOBS = jnp.float32(2.0)   # sentinel: > 1 ⇒ unobserved / out of volume
+
+
+def _encode_observed(tsdf: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    """Fold the weight>0 flag into the value array ONCE before the
+    march: unobserved voxels read the sentinel 2.0. The march then
+    costs a single gather per ray step instead of two (tsdf + weight)
+    — the gathers are HBM-latency bound, so this halves the step."""
+    return jnp.where(weight.reshape(-1) > 0, tsdf.reshape(-1), _UNOBS)
+
+
+def _dense_nearest(enc: jnp.ndarray, vol: TsdfVolume, p: jnp.ndarray):
+    """Nearest-voxel encoded TSDF at world points p (R, 3).
+    Out-of-volume and unobserved voxels read (1.0, observed=False)."""
     nx, ny, nz = vol.resolution
     g = (p - vol.origin) / vol.voxel_size - 0.5
     i = jnp.round(g).astype(jnp.int32)
     inb = jnp.all((i >= 0) & (i < jnp.array([nx, ny, nz])), axis=1)
     i = jnp.clip(i, 0, jnp.array([nx - 1, ny - 1, nz - 1]))
     lin = (i[:, 0] * ny + i[:, 1]) * nz + i[:, 2]
-    val = jnp.where(inb, vol.tsdf.reshape(-1)[lin], 1.0)
-    obs = inb & (vol.weight.reshape(-1)[lin] > 0)
-    return val, obs
+    v = jnp.where(inb, enc[lin], _UNOBS)
+    obs = v < 1.5
+    return jnp.minimum(v, 1.0), obs
 
 
 def _corner_weights(f: jnp.ndarray):
@@ -84,13 +99,29 @@ def _trilinear_from_corners(vals, obs, f, voxel):
     w, (wx, wy, wz) = _corner_weights(f)
     val = jnp.sum(vals * w, axis=1)
     v = vals.reshape(-1, 2, 2, 2)
-    # d/dx of trilinear = Σ (v1yz − v0yz)·wy·wz etc.; /voxel → world
-    gx = jnp.sum((v[:, 1] - v[:, 0])
-                 * (wy[:, :, None] * wz[:, None, :]), axis=(1, 2))
-    gy = jnp.sum((v[:, :, 1] - v[:, :, 0])
-                 * (wx[:, :, None] * wz[:, None, :]), axis=(1, 2))
-    gz = jnp.sum((v[:, :, :, 1] - v[:, :, :, 0])
-                 * (wx[:, :, None] * wy[:, None, :]), axis=(1, 2))
+    o = obs.reshape(-1, 2, 2, 2)
+
+    # d/dx of trilinear = Σ (v1yz − v0yz)·wy·wz etc.; /voxel → world.
+    # Unobserved corners carry a clamped 1.0 fill whose finite
+    # difference is fake signal (it tilts plane normals by >70° on
+    # grazing border rays) — weight each corner-pair difference by
+    # both-corners-observed and renormalise; an axis with NO observed
+    # pair carries no information and contributes 0 (the raw sum there
+    # is pure clamp artifact). Fully-observed cells (the bulk) are
+    # bit-identical to the unmasked formula.
+    def axis_grad(dv, pair_obs, wgt):
+        m = pair_obs.astype(dv.dtype)
+        den = jnp.sum(wgt * m, axis=(1, 2))
+        num = jnp.sum(dv * wgt * m, axis=(1, 2))
+        return jnp.where(den > 1e-6, num / jnp.maximum(den, 1e-6), 0.0)
+
+    wyz = wy[:, :, None] * wz[:, None, :]
+    wxz = wx[:, :, None] * wz[:, None, :]
+    wxy = wx[:, :, None] * wy[:, None, :]
+    gx = axis_grad(v[:, 1] - v[:, 0], o[:, 1] & o[:, 0], wyz)
+    gy = axis_grad(v[:, :, 1] - v[:, :, 0], o[:, :, 1] & o[:, :, 0], wxz)
+    gz = axis_grad(v[:, :, :, 1] - v[:, :, :, 0],
+                   o[:, :, :, 1] & o[:, :, :, 0], wxy)
     grad = jnp.stack([gx, gy, gz], axis=1) / voxel
     return val, grad, jnp.all(obs, axis=1)
 
@@ -99,21 +130,22 @@ _CORNER_OFFS = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1)
                 for dz in (0, 1)]
 
 
-def _dense_trilinear(vol: TsdfVolume, p: jnp.ndarray):
-    """Trilinear TSDF value + world-space gradient at p (R, 3)."""
+def _dense_trilinear(enc: jnp.ndarray, vol: TsdfVolume, p: jnp.ndarray):
+    """Trilinear TSDF value + world-space gradient at p (R, 3).
+    Unobserved corners read their stored 1.0 fill (enc min-clamps the
+    sentinel back), matching the un-encoded behavior."""
     nx, ny, nz = vol.resolution
     g = (p - vol.origin) / vol.voxel_size - 0.5
     i0 = jnp.floor(g).astype(jnp.int32)
     f = g - i0.astype(jnp.float32)
     inb = jnp.all((i0 >= 0) & (i0 + 1 < jnp.array([nx, ny, nz])), axis=1)
     i0 = jnp.clip(i0, 0, jnp.array([nx - 2, ny - 2, nz - 2]))
-    tflat = vol.tsdf.reshape(-1)
-    wflat = vol.weight.reshape(-1)
     vals, obs = [], []
     for dx, dy, dz in _CORNER_OFFS:
         lin = ((i0[:, 0] + dx) * ny + i0[:, 1] + dy) * nz + i0[:, 2] + dz
-        vals.append(tflat[lin])
-        obs.append(wflat[lin] > 0)
+        v = enc[lin]
+        vals.append(jnp.minimum(v, 1.0))
+        obs.append(v < 1.5)
     vals = jnp.stack(vals, axis=1)              # (R, 8)
     obs = jnp.stack(obs, axis=1) & inb[:, None]
     return _trilinear_from_corners(vals, obs, f, vol.voxel_size)
@@ -135,9 +167,18 @@ def _block_row_map(vol: SparseTsdfVolume,
     return jnp.where(hit, row, jnp.int32(-1))
 
 
-def _sparse_nearest(vol: SparseTsdfVolume, row_map: jnp.ndarray,
-                    p: jnp.ndarray,
+def _sparse_nearest(enc: jnp.ndarray, vol: SparseTsdfVolume,
+                    row_map: jnp.ndarray, p: jnp.ndarray,
+                    dirs: jnp.ndarray,
                     grid_blocks: Tuple[int, int, int], block: int):
+    """Encoded nearest sample + empty-block skip distance.
+
+    An unallocated block contains NO part of the surface band (sparse
+    allocation covers the band plus a one-voxel apron), so when the
+    sampled voxel's block is unallocated the ray can jump straight to
+    its exit from that block (per-axis DDA boundary, in ray-parameter
+    units) instead of crawling through it at coarse steps. ``skip`` is
+    0 where no such jump applies."""
     gx, gy, gz = grid_blocks
     s1 = block + 1
     g = (p - vol.origin) / vol.voxel_size - 0.5
@@ -151,39 +192,54 @@ def _sparse_nearest(vol: SparseTsdfVolume, row_map: jnp.ndarray,
     alloc = (row >= 0) & inb
     flat = (l[:, 0] * s1 + l[:, 1]) * s1 + l[:, 2]
     lin = jnp.maximum(row, 0) * (s1 ** 3) + flat
-    val = jnp.where(alloc, vol.tsdf.reshape(-1)[lin], 1.0)
-    obs = alloc & (vol.weight.reshape(-1)[lin] > 0)
-    return val, obs
+    v = jnp.where(alloc, enc[lin], _UNOBS)
+    obs = v < 1.5
+
+    # DDA exit of the sampled block, in t units (p = o + t·d, so
+    # (boundary − p)/d IS a t increment). Boundaries from the rounded
+    # voxel's block; landing ≤¼ voxel into the next block is no deeper
+    # than an ordinary coarse step would reach.
+    bw = jnp.float32(block) * vol.voxel_size
+    lo = jnp.asarray(vol.origin) + b.astype(jnp.float32) * bw
+    bound = jnp.where(dirs > 0, lo + bw, lo)
+    ax = jnp.where(jnp.abs(dirs) > 1e-12, (bound - p) / dirs, jnp.inf)
+    exit_t = jnp.min(jnp.where(jnp.isfinite(ax), ax, jnp.inf), axis=1)
+    skip = jnp.where(inb & (row < 0),
+                     jnp.maximum(exit_t, 0.0) + 0.25 * vol.voxel_size,
+                     0.0)
+    return jnp.minimum(v, 1.0), obs, skip
 
 
-def _sparse_trilinear(vol: SparseTsdfVolume, row_map: jnp.ndarray,
-                      p: jnp.ndarray,
+def _sparse_trilinear(enc: jnp.ndarray, vol: SparseTsdfVolume,
+                      row_map: jnp.ndarray, p: jnp.ndarray,
                       grid_blocks: Tuple[int, int, int], block: int):
-    """Trilinear sample in the block table. The 8 corners of a cell
-    whose LOW corner is voxel v all lie inside v's block thanks to the
-    one-voxel apron (local index block → apron layer), so one block
-    lookup serves all 8 fetches."""
+    """Trilinear sample in the block table, each corner fetched from
+    its OWN voxel's block. A single low-corner-block lookup (the
+    apron trick) reads all 8 corners as clamped 1.0 whenever the low
+    corner falls one voxel into an unallocated neighbor — exactly the
+    block-boundary cells the refinement secant lands on — flattening
+    gradients to zero there. Per-corner lookups cost 8 row-map
+    gathers, paid only in the ~6 refinement evals, not the march."""
     s1 = block + 1
+    gx, gy, gz = grid_blocks
     g = (p - vol.origin) / vol.voxel_size - 0.5
     v0 = jnp.floor(g).astype(jnp.int32)
     f = g - v0.astype(jnp.float32)
-    b = v0 // block
-    l0 = v0 - b * block
-    gx, gy, gz = grid_blocks
-    inb = jnp.all(v0 >= 0, axis=1) \
-        & (b[:, 0] < gx) & (b[:, 1] < gy) & (b[:, 2] < gz)
-    key = (b[:, 0] * gy + b[:, 1]) * gz + b[:, 2]
-    row = row_map[jnp.clip(key, 0, row_map.shape[0] - 1)]
-    alloc = (row >= 0) & inb
-    row = jnp.maximum(row, 0)
-    tflat = vol.tsdf.reshape(-1)
-    wflat = vol.weight.reshape(-1)
-    base = row * (s1 ** 3)
     vals, obs = [], []
     for dx, dy, dz in _CORNER_OFFS:
-        flat = ((l0[:, 0] + dx) * s1 + l0[:, 1] + dy) * s1 + l0[:, 2] + dz
-        vals.append(jnp.where(alloc, tflat[base + flat], 1.0))
-        obs.append(alloc & (wflat[base + flat] > 0))
+        vc = v0 + jnp.array([dx, dy, dz], jnp.int32)
+        b = vc // block
+        l = vc - b * block
+        inb = jnp.all(vc >= 0, axis=1) \
+            & (b[:, 0] < gx) & (b[:, 1] < gy) & (b[:, 2] < gz)
+        key = (b[:, 0] * gy + b[:, 1]) * gz + b[:, 2]
+        row = row_map[jnp.clip(key, 0, row_map.shape[0] - 1)]
+        alloc = (row >= 0) & inb
+        flat = (l[:, 0] * s1 + l[:, 1]) * s1 + l[:, 2]
+        lin = jnp.maximum(row, 0) * (s1 ** 3) + flat
+        v = jnp.where(alloc, enc[lin], _UNOBS)
+        vals.append(jnp.minimum(v, 1.0))
+        obs.append(v < 1.5)
     vals = jnp.stack(vals, axis=1)
     obs = jnp.stack(obs, axis=1)
     return _trilinear_from_corners(vals, obs, f, vol.voxel_size)
@@ -195,52 +251,60 @@ def _sparse_trilinear(vol: SparseTsdfVolume, row_map: jnp.ndarray,
 
 def _march(nearest, trilinear, origin_w, dirs_w, near, far, trunc, voxel,
            max_steps: int):
-    """Shared ray-march core. ``nearest(p) -> (val, obs)``,
-    ``trilinear(p) -> (val, grad, obs)`` close over the volume."""
+    """Shared ray-march core. ``nearest(p) -> (val, obs, skip)`` (skip =
+    extra empty-space jump in t units, 0 if none), ``trilinear(p) ->
+    (val, grad, obs)``; both close over the volume."""
     r = dirs_w.shape[0]
-    inf = jnp.float32(jnp.inf)
     t0 = jnp.full((r,), jnp.float32(near))
     state = (t0,                                  # t
+             t0,                                  # prev t
              jnp.ones((r,), jnp.float32),         # prev val
              jnp.zeros((r,), bool),               # prev observed
              jnp.zeros((r,), bool),               # hit
              jnp.zeros((r,), jnp.float32),        # t at bracket low
              jnp.zeros((r,), jnp.float32),        # t at bracket high
+             jnp.ones((r,), jnp.float32),         # nearest val at lo
+             -jnp.ones((r,), jnp.float32),        # nearest val at hi
              jnp.int32(0))
 
     coarse = jnp.float32(0.75) * trunc
     fine = jnp.maximum(jnp.float32(voxel), jnp.float32(0.1) * trunc)
 
     def cond(s):
-        t, _, _, hit, _, _, step = s
+        t, _, _, _, hit, _, _, _, _, step = s
         active = ~hit & (t <= far)
         return (step < max_steps) & jnp.any(active)
 
     def body(s):
-        t, pv, pobs, hit, tlo, thi, step = s
+        t, pt, pv, pobs, hit, tlo, thi, vlo, vhi, step = s
         p = origin_w[None] + t[:, None] * dirs_w
-        val, obs = nearest(p)
+        val, obs, skip = nearest(p)
         active = ~hit & (t <= far)
         # a crossing needs both bracketing samples observed — the
         # initial tsdf=1 fill must never read as a surface
         cross = active & pobs & obs & (pv > 0) & (val < 0)
         hit2 = hit | cross
-        tlo2 = jnp.where(cross, t - _last_dt(pv, coarse, fine), tlo)
+        tlo2 = jnp.where(cross, pt, tlo)
         thi2 = jnp.where(cross, t, thi)
-        dt = _next_dt(val, coarse, fine)
-        t2 = jnp.where(active & ~cross, t + dt, t)
+        vlo2 = jnp.where(cross, pv, vlo)
+        vhi2 = jnp.where(cross, val, vhi)
+        # clamped free-space reading (val≈1 ⇒ surface ≥ 0.97·trunc
+        # away, so a 0.75·trunc step can never cross it) → coarse;
+        # inside the band → voxel steps, so every crossing is
+        # bracketed at FINE width; unallocated block → jump to its
+        # DDA exit
+        dt = jnp.where(skip > 0, jnp.maximum(skip, fine),
+                       jnp.where(val > 0.97, coarse, fine))
+        adv = active & ~cross
+        t2 = jnp.where(adv, t + dt, t)
+        pt2 = jnp.where(adv, t, pt)
         pv2 = jnp.where(active, val, pv)
         pobs2 = jnp.where(active, obs, pobs)
-        return (t2, pv2, pobs2, hit2, tlo2, thi2, step + 1)
+        return (t2, pt2, pv2, pobs2, hit2, tlo2, thi2, vlo2, vhi2,
+                step + 1)
 
-    def _next_dt(val, coarse, fine):
-        # far reading → skip ~0.75·trunc; near the band → voxel steps
-        return jnp.where(val > 0.5, coarse, fine)
-
-    def _last_dt(pv, coarse, fine):
-        return jnp.where(pv > 0.5, coarse, fine)
-
-    t, pv, pobs, hit, tlo, thi, _ = jax.lax.while_loop(cond, body, state)
+    (t, _, pv, pobs, hit, tlo, thi, vlo, vhi,
+     _) = jax.lax.while_loop(cond, body, state)
 
     # ---- refinement: bracketed secant on trilinear samples -----------
     # the march brackets the crossing to one step; 4 secant rounds pull
@@ -251,6 +315,28 @@ def _march(nearest, trilinear, origin_w, dirs_w, near, far, trunc, voxel,
     phi = origin_w[None] + thi[:, None] * dirs_w
     flo, _, _ = trilinear(plo)
     fhi, _, _ = trilinear(phi)
+    # the trilinear zero can sit up to ~half a voxel OUTSIDE the
+    # nearest-sample bracket (the two fields are offset): when an end
+    # lacks its sign, extend that end by one fine step — this rescues
+    # ~⅔ of the would-be-degenerate rays into the phase-independent
+    # secant (one extra trilinear eval per side, paid once)
+    t_nn = tlo + vlo / (vlo - vhi) * (thi - tlo)
+    ext_lo = tlo - fine
+    ext_hi = thi + fine
+    felo, _, _ = trilinear(origin_w[None] + ext_lo[:, None] * dirs_w)
+    fehi, _, _ = trilinear(origin_w[None] + ext_hi[:, None] * dirs_w)
+    use_lo = (flo <= 0) & (felo > 0)
+    use_hi = (fhi >= 0) & (fehi < 0)
+    tlo = jnp.where(use_lo, ext_lo, tlo)
+    flo = jnp.where(use_lo, felo, flo)
+    thi = jnp.where(use_hi, ext_hi, thi)
+    fhi = jnp.where(use_hi, fehi, fhi)
+    # truly degenerate rays (grazing/border: unobserved-clamped corners
+    # pull the interpolant positive throughout) have NO trilinear sign
+    # change even extended: the secant would pin to whichever endpoint
+    # the march phase produced. Interpolate the NEAREST bracket values
+    # instead — vlo>0>vhi by construction.
+    tri_ok = (flo > 0) & (fhi < 0)
     ts = tlo
     for _ in range(4):
         denom = flo - fhi
@@ -263,6 +349,7 @@ def _march(nearest, trilinear, origin_w, dirs_w, near, far, trunc, voxel,
         flo = jnp.where(move_hi, fs, flo)
         thi = jnp.where(move_hi, thi, ts)
         fhi = jnp.where(move_hi, fhi, fs)
+    ts = jnp.where(tri_ok, ts, t_nn)
     ps = origin_w[None] + ts[:, None] * dirs_w
     _, grad, _ = trilinear(ps)
 
@@ -272,7 +359,7 @@ def _march(nearest, trilinear, origin_w, dirs_w, near, far, trunc, voxel,
     ok = hit
     n = grad / jnp.maximum(jnp.linalg.norm(grad, axis=1, keepdims=True),
                            1e-12)
-    return ts, ps, n, ok
+    return ts, ps, n, ok, hit & tri_ok
 
 
 def _pixel_dirs(h: int, w: int, intr: jnp.ndarray,
@@ -287,7 +374,7 @@ def _pixel_dirs(h: int, w: int, intr: jnp.ndarray,
     return d_w, cam_to_world[:3, 3]
 
 
-def _as_result(h, w, ts, ps, n, ok):
+def _as_result(h, w, ts, ps, n, ok, conf):
     # d_cam has camera-z component exactly 1, so the ray parameter IS
     # camera-z depth — directly comparable to integrate()'s depth input
     depth = jnp.where(ok, ts, 0.0).reshape(h, w)
@@ -295,7 +382,8 @@ def _as_result(h, w, ts, ps, n, ok):
                          vertices=ps.reshape(h, w, 3),
                          normals=jnp.where(ok[:, None], n, 0.0
                                            ).reshape(h, w, 3),
-                         mask=ok.reshape(h, w))
+                         mask=ok.reshape(h, w),
+                         confident=conf.reshape(h, w))
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width",
@@ -311,12 +399,14 @@ def raycast(vol: TsdfVolume, intr: jnp.ndarray, cam_to_world: jnp.ndarray,
     gradient — out of the surface, toward the observed free space.
     """
     d_w, o_w = _pixel_dirs(height, width, intr, cam_to_world)
-    nearest = lambda p: _dense_nearest(vol, p)
-    trilinear = lambda p: _dense_trilinear(vol, p)
-    ts, ps, n, ok = _march(nearest, trilinear, o_w, d_w,
-                           near, far, vol.truncation, vol.voxel_size,
-                           max_steps)
-    return _as_result(height, width, ts, ps, n, ok)
+    enc = _encode_observed(vol.tsdf, vol.weight)
+    zero = jnp.zeros((height * width,), jnp.float32)
+    nearest = lambda p: _dense_nearest(enc, vol, p) + (zero,)
+    trilinear = lambda p: _dense_trilinear(enc, vol, p)
+    ts, ps, n, ok, conf = _march(nearest, trilinear, o_w, d_w,
+                                 near, far, vol.truncation,
+                                 vol.voxel_size, max_steps)
+    return _as_result(height, width, ts, ps, n, ok, conf)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_blocks", "block",
@@ -329,20 +419,23 @@ def sparse_raycast(vol: SparseTsdfVolume, intr: jnp.ndarray,
                    max_steps: int = 96) -> RaycastResult:
     """Raycast the block-sparse TSDF (same maps as ``raycast``).
 
-    Each march step is one searchsorted block lookup + one in-block
-    fetch; unallocated space reads as free, so empty-space skipping
-    covers the virtual grid without touching memory for it.
+    Each march step is one row-map lookup + one in-block fetch of the
+    observedness-encoded TSDF; an unallocated block (no surface band
+    inside, by the allocator's invariant) is crossed in a single DDA
+    jump to its exit, so empty space costs ~1 step per block instead
+    of per coarse-step.
     """
     d_w, o_w = _pixel_dirs(height, width, intr, cam_to_world)
     row_map = _block_row_map(vol, grid_blocks)
-    nearest = lambda p: _sparse_nearest(vol, row_map, p, grid_blocks,
-                                        block)
-    trilinear = lambda p: _sparse_trilinear(vol, row_map, p,
+    enc = _encode_observed(vol.tsdf, vol.weight)
+    nearest = lambda p: _sparse_nearest(enc, vol, row_map, p, d_w,
+                                        grid_blocks, block)
+    trilinear = lambda p: _sparse_trilinear(enc, vol, row_map, p,
                                             grid_blocks, block)
-    ts, ps, n, ok = _march(nearest, trilinear, o_w, d_w,
-                           near, far, vol.truncation, vol.voxel_size,
-                           max_steps)
-    return _as_result(height, width, ts, ps, n, ok)
+    ts, ps, n, ok, conf = _march(nearest, trilinear, o_w, d_w,
+                                 near, far, vol.truncation,
+                                 vol.voxel_size, max_steps)
+    return _as_result(height, width, ts, ps, n, ok, conf)
 
 
 def shade(res: RaycastResult, light_dir=(0.4, -0.3, -0.85),
