@@ -338,3 +338,30 @@ class TestFpfhSoftBinning:
         cos = np.sum(ch * cs, axis=1)
         assert np.mean(cos) > 0.95
         assert not np.allclose(dh[v], ds[v])
+
+
+class TestLrfWeightedVote:
+    """The LRF sign vote is (R−d)-weighted: radius-boundary candidates
+    — exactly the ones that churn between candidate sets — carry ~0
+    influence, so dropping them must (almost) never flip the frame."""
+
+    def test_boundary_dropout_sign_stability(self):
+        rng = np.random.default_rng(3)
+        pts = bumpy_surface(600, seed=3)
+        pc = PointCloud.from_numpy(pts)
+        radius = np.float32(0.5)
+        from threecrate_tpu.ops import neighbors
+        res = neighbors.radius_neighbors(pc.points, pc.mask, pc.points,
+                                         pc.mask, radius, 64,
+                                         exclude_self=True)
+        idx, ok, dist = res.indices, res.mask, res.distances
+        x0, y0, z0 = features._shot_lrf(pc.points, idx, ok, dist, radius)
+        # drop candidates in the outer 10% shell
+        ok2 = ok & (np.asarray(dist) < 0.9 * radius)
+        x1, y1, z1 = features._shot_lrf(pc.points, idx, ok2, dist, radius)
+        n = pc.size()
+        zdot = np.sum(np.asarray(z0)[:n] * np.asarray(z1)[:n], axis=1)
+        cnt = np.asarray(ok.sum(axis=1))[:n]
+        well = cnt >= 10
+        # sign flips (zdot < 0) must be rare among well-supported queries
+        assert (zdot[well] < 0).mean() < 0.02

@@ -333,9 +333,14 @@ def _shot_lrf(points, nbr_idx, nbr_ok, nbr_dist, radius, own=None):
     z = vecs[..., :, 0]   # smallest eigval → normal-ish axis
     x = vecs[..., :, 2]   # largest → dominant tangent
     d = nbr - own[:, None, :]
-    # disambiguate: majority vote of neighbor displacement projections
-    zs = jnp.sum(jnp.where(nbr_ok, jnp.einsum("nkj,nj->nk", d, z), 0.0), 1)
-    xs = jnp.sum(jnp.where(nbr_ok, jnp.einsum("nkj,nj->nk", d, x), 0.0), 1)
+    # disambiguate: (R−d)-WEIGHTED vote of neighbor displacement
+    # projections. The reference (and PCL) count unweighted signs;
+    # weighting by the same support weights as the covariance sends
+    # radius-boundary candidates — exactly the ones that differ
+    # between candidate sets / after resampling — to ~0 influence,
+    # measurably stabilising the sign on ambiguous neighborhoods.
+    zs = jnp.sum(w * jnp.einsum("nkj,nj->nk", d, z), 1)
+    xs = jnp.sum(w * jnp.einsum("nkj,nj->nk", d, x), 1)
     z = jnp.where((zs < 0)[:, None], -z, z)
     x = jnp.where((xs < 0)[:, None], -x, x)
     # re-orthogonalise x against z, y = z × x
@@ -428,7 +433,8 @@ def _shot_fused(points, mask, normals_arr, radius: float,
     _, vecs = linalg.eigh3x3(cov)
     z = vecs[..., :, 0]
     x = vecs[..., :, 2]
-    sd = m[:, 11:14]                       # Σ (c − q) over binary sel
+    # (R−d)-weighted sign vote (see _shot_lrf): rows 1:4 are Σ w·d
+    sd = m[:, 1:4]
     zs = jnp.sum(sd * z, axis=1)
     xs = jnp.sum(sd * x, axis=1)
     z = jnp.where((zs < 0)[:, None], -z, z)
