@@ -347,6 +347,25 @@ def main() -> None:
         "vs_baseline": round(0.292 / tsh, 2),
     }))
 
+    # sparse TSDF raycast 480x640 over the 256^3 virtual volume
+    # (hierarchical seed + 2-eval refinement; baseline = the first
+    # working implementation this round, 1.2 s/frame)
+    from threecrate_tpu.ops import tsdf_raycast as rc_mod
+
+    def raycast_run():
+        out = rc_mod.sparse_raycast(svol, intr_t, pose_t, hh, ww,
+                                    grid_blocks=grid_b, block=8,
+                                    near=0.6, far=4.0)
+        return float(jnp.sum(out.depth))
+
+    trc = median_time(raycast_run, warmup=1, iters=3, sync_fn=lambda x: x)
+    print(json.dumps({
+        "metric": "sparse_raycast_256_480x640_ms",
+        "value": round(trc * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(1.2 / trc, 2),
+    }))
+
     # ---- normals: library-default path (union merge) at 1M ----
     def normals_union_scalar(points, m):
         mn = jnp.min(jnp.where(m[:, None], points, big), 0)

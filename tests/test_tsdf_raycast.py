@@ -136,3 +136,59 @@ class TestSparseRaycast:
         assert img.min() >= 0.0 and img.max() <= 1.0
         assert np.all(img[np.asarray(rs.mask)] >= 0.15 - 1e-6)
         assert np.all(img[~np.asarray(rs.mask)] == 0.0)
+
+
+class TestHierarchicalSeeding:
+    """coarse_factor>1 runs a 1/f² seed pass; results must match the
+    flat march away from silhouette borders, and all-miss regions
+    (declared misses without marching) must stay misses."""
+
+    def test_matches_flat_on_plane(self):
+        vol = _plane_volume(2.0)
+        flat = rc.raycast(vol, INTR, EYE, H, W, near=0.6, far=3.5,
+                          coarse_factor=1)
+        hier = rc.raycast(vol, INTR, EYE, H, W, near=0.6, far=3.5,
+                          coarse_factor=4)
+        mf = np.asarray(flat.mask)[8:-8, 8:-8]
+        mh = np.asarray(hier.mask)[8:-8, 8:-8]
+        # central hits identical
+        assert (mf == mh).mean() > 0.99
+        both = mf & mh
+        df = np.asarray(flat.depth)[8:-8, 8:-8][both]
+        dh = np.asarray(hier.depth)[8:-8, 8:-8][both]
+        assert np.abs(df - dh).max() < 0.51 * VOX
+        assert np.median(np.abs(df - dh)) < 0.05 * VOX
+
+    def test_sphere_center_depth(self):
+        c, r = np.array([0.0, 0.0, 2.0]), 0.8
+        vol = _sphere_volume(tuple(c), r)
+        res = rc.raycast(vol, INTR, EYE, H, W, near=0.6, far=3.5,
+                         coarse_factor=4)
+        assert bool(res.mask[H // 2, W // 2])
+        assert abs(float(res.depth[H // 2, W // 2]) - (2.0 - r)) < VOX
+
+    def test_far_short_of_surface_all_miss(self):
+        vol = _plane_volume(2.0)
+        res = rc.raycast(vol, INTR, EYE, H, W, near=0.6, far=1.2,
+                         coarse_factor=4)
+        assert not bool(np.asarray(res.mask).any())
+
+    def test_sparse_hier_matches_flat(self):
+        depth = jnp.full((H, W), jnp.float32(2.0))
+        sparse = sp.create_sparse_volume(VOX, origin=ORIGIN,
+                                         grid_blocks=(8, 8, 8), block=8,
+                                         max_blocks=512)
+        sparse = sp.sparse_integrate(sparse, depth, INTR, EYE,
+                                     grid_blocks=(8, 8, 8), block=8)
+        flat = rc.sparse_raycast(sparse, INTR, EYE, H, W,
+                                 grid_blocks=(8, 8, 8), block=8,
+                                 near=0.6, far=3.5, coarse_factor=1)
+        hier = rc.sparse_raycast(sparse, INTR, EYE, H, W,
+                                 grid_blocks=(8, 8, 8), block=8,
+                                 near=0.6, far=3.5, coarse_factor=4)
+        mf, mh = np.asarray(flat.mask), np.asarray(hier.mask)
+        both = (mf & mh)[8:-8, 8:-8]
+        assert both.mean() > 0.9
+        df = np.asarray(flat.depth)[8:-8, 8:-8][both]
+        dh = np.asarray(hier.depth)[8:-8, 8:-8][both]
+        assert np.median(np.abs(df - dh)) < 0.05 * VOX
