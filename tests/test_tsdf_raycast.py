@@ -192,3 +192,55 @@ class TestHierarchicalSeeding:
         df = np.asarray(flat.depth)[8:-8, 8:-8][both]
         dh = np.asarray(hier.depth)[8:-8, 8:-8][both]
         assert np.median(np.abs(df - dh)) < 0.05 * VOX
+
+
+class TestColorRaycast:
+    """Color channel sampling: volumes integrated with_color=True give
+    per-hit nearest-voxel colors; shade_rgb lights them."""
+
+    def test_dense_color_roundtrip(self):
+        vol = dense_mod.create_volume(RES, VOX, origin=ORIGIN,
+                                      with_color=True)
+        depth = jnp.full((H, W), jnp.float32(2.0))
+        rgb = jnp.broadcast_to(jnp.asarray([0.8, 0.4, 0.1], jnp.float32),
+                               (H, W, 3))
+        vol = dense_mod.integrate(vol, depth, INTR, EYE, rgb=rgb)
+        res = rc.raycast(vol, INTR, EYE, H, W, near=0.6, far=3.5)
+        m = np.asarray(res.mask)
+        assert res.color is not None and res.color.shape == (H, W, 3)
+        c = np.asarray(res.color)[m]
+        # hit colors match the constant input (nearest-voxel, weighted
+        # average of identical samples)
+        assert np.allclose(np.median(c, axis=0), [0.8, 0.4, 0.1],
+                           atol=0.02)
+        img = rc.shade_rgb(res)
+        assert img.shape == (H, W, 3)
+        assert float(img.max()) <= 1.0 and float(img.min()) >= 0.0
+        # background black, lit pixels tinted toward the input hue
+        assert np.all(np.asarray(img)[~m] == 0.0)
+
+    def test_sparse_color_matches_dense(self):
+        depth = jnp.full((H, W), jnp.float32(2.0))
+        rgb = jnp.broadcast_to(jnp.asarray([0.2, 0.9, 0.5], jnp.float32),
+                               (H, W, 3))
+        sparse = sp.create_sparse_volume(VOX, origin=ORIGIN,
+                                         grid_blocks=(8, 8, 8), block=8,
+                                         max_blocks=512, with_color=True)
+        sparse = sp.sparse_integrate(sparse, depth, INTR, EYE,
+                                     grid_blocks=(8, 8, 8), block=8,
+                                     rgb=rgb)
+        res = rc.sparse_raycast(sparse, INTR, EYE, H, W,
+                                grid_blocks=(8, 8, 8), block=8,
+                                near=0.6, far=3.5)
+        m = np.asarray(res.mask)
+        assert res.color is not None
+        c = np.asarray(res.color)[m]
+        assert np.allclose(np.median(c, axis=0), [0.2, 0.9, 0.5],
+                           atol=0.02)
+
+    def test_no_color_volume_gives_none(self):
+        vol = _plane_volume(2.0)
+        res = rc.raycast(vol, INTR, EYE, H, W, near=0.6, far=3.5)
+        assert res.color is None
+        img = rc.shade_rgb(res)      # shades white
+        assert img.shape == (H, W, 3)

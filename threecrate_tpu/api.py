@@ -101,6 +101,7 @@ from .ops.tsdf_sparse import (
 from .ops.tsdf_raycast import (
     RaycastResult, raycast as tsdf_raycast,
     shade as tsdf_shade,
+    shade_rgb as tsdf_shade_rgb,
     sparse_raycast as sparse_tsdf_raycast,
 )
 from .ops.frame_to_model import (

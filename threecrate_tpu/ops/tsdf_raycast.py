@@ -50,6 +50,9 @@ class RaycastResult(NamedTuple):
     # sign change (their depth comes from nearest-sample interpolation
     # — good enough to render, half-voxel biased for tracking)
     confident: jnp.ndarray = None  # (H, W) bool
+    # nearest-voxel color at the hit point when the volume carries a
+    # color channel (integrated with with_color=True); None otherwise
+    color: jnp.ndarray = None      # (H, W, 3) f32 in [0, 1]
 
 
 # ---------------------------------------------------------------------------
@@ -208,6 +211,38 @@ def _sparse_nearest(enc: jnp.ndarray, vol: SparseTsdfVolume,
                      jnp.maximum(exit_t, 0.0) + 0.25 * vol.voxel_size,
                      0.0)
     return jnp.minimum(v, 1.0), obs, skip
+
+
+def _dense_color(vol: TsdfVolume, p: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-voxel color rows at hit points (one row gather)."""
+    nx, ny, nz = vol.resolution
+    g = (p - vol.origin) / vol.voxel_size - 0.5
+    i = jnp.clip(jnp.round(g).astype(jnp.int32), 0,
+                 jnp.array([nx - 1, ny - 1, nz - 1]))
+    lin = (i[:, 0] * ny + i[:, 1]) * nz + i[:, 2]
+    return vol.color.reshape(-1, 3)[lin]
+
+
+def _sparse_color(vol: SparseTsdfVolume, row_map: jnp.ndarray,
+                  p: jnp.ndarray, grid_blocks: Tuple[int, int, int],
+                  block: int) -> jnp.ndarray:
+    """Nearest-voxel color rows from the block table (0 where the
+    block is unallocated — misses are masked by the caller anyway)."""
+    gx, gy, gz = grid_blocks
+    s1 = block + 1
+    g = (p - vol.origin) / vol.voxel_size - 0.5
+    vox = jnp.round(g).astype(jnp.int32)
+    b = vox // block
+    l = vox - b * block
+    inb = jnp.all(vox >= 0, axis=1) \
+        & (b[:, 0] < gx) & (b[:, 1] < gy) & (b[:, 2] < gz)
+    key = (b[:, 0] * gy + b[:, 1]) * gz + b[:, 2]
+    row = row_map[jnp.clip(key, 0, row_map.shape[0] - 1)]
+    alloc = (row >= 0) & inb
+    flat = (l[:, 0] * s1 + l[:, 1]) * s1 + l[:, 2]
+    lin = jnp.maximum(row, 0) * (s1 ** 3) + flat
+    c = vol.color.reshape(-1, 3)[lin]
+    return jnp.where(alloc[:, None], c, 0.0)
 
 
 def _sparse_trilinear(enc: jnp.ndarray, vol: SparseTsdfVolume,
@@ -376,7 +411,7 @@ def _pixel_dirs(h: int, w: int, intr: jnp.ndarray,
     return d_w, cam_to_world[:3, 3]
 
 
-def _as_result(h, w, ts, ps, n, ok, conf):
+def _as_result(h, w, ts, ps, n, ok, conf, color=None):
     # d_cam has camera-z component exactly 1, so the ray parameter IS
     # camera-z depth — directly comparable to integrate()'s depth input
     depth = jnp.where(ok, ts, 0.0).reshape(h, w)
@@ -385,7 +420,10 @@ def _as_result(h, w, ts, ps, n, ok, conf):
                          normals=jnp.where(ok[:, None], n, 0.0
                                            ).reshape(h, w, 3),
                          mask=ok.reshape(h, w),
-                         confident=conf.reshape(h, w))
+                         confident=conf.reshape(h, w),
+                         color=(None if color is None else
+                                jnp.where(ok[:, None], color, 0.0
+                                          ).reshape(h, w, 3)))
 
 
 def _coarse_intr(intr: jnp.ndarray, f: int) -> jnp.ndarray:
@@ -493,7 +531,8 @@ def raycast(vol: TsdfVolume, intr: jnp.ndarray, cam_to_world: jnp.ndarray,
     ts, ps, n, ok, conf = _two_level(run_level, intr, height, width,
                                      near, far, vol.truncation,
                                      coarse_factor)
-    return _as_result(height, width, ts, ps, n, ok, conf)
+    col = None if vol.color is None else _dense_color(vol, ps)
+    return _as_result(height, width, ts, ps, n, ok, conf, col)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_blocks", "block",
@@ -530,7 +569,9 @@ def sparse_raycast(vol: SparseTsdfVolume, intr: jnp.ndarray,
     ts, ps, n, ok, conf = _two_level(run_level, intr, height, width,
                                      near, far, vol.truncation,
                                      coarse_factor)
-    return _as_result(height, width, ts, ps, n, ok, conf)
+    col = (None if vol.color is None else
+           _sparse_color(vol, row_map, ps, grid_blocks, block))
+    return _as_result(height, width, ts, ps, n, ok, conf, col)
 
 
 def shade(res: RaycastResult, light_dir=(0.4, -0.3, -0.85),
@@ -543,3 +584,18 @@ def shade(res: RaycastResult, light_dir=(0.4, -0.3, -0.85),
     lam = jnp.clip(jnp.einsum("hwc,c->hw", res.normals, l), 0.0, 1.0)
     img = ambient + (1.0 - ambient) * lam
     return jnp.where(res.mask, img, background)
+
+
+def shade_rgb(res: RaycastResult, light_dir=(0.4, -0.3, -0.85),
+              ambient: float = 0.15,
+              background=(0.0, 0.0, 0.0)) -> jnp.ndarray:
+    """Lambertian-lit color render → (H, W, 3) in [0, 1]. Uses the
+    result's sampled color channel when present (volume integrated
+    with ``with_color=True``), else shades white."""
+    lit = shade(res, light_dir, ambient, background=0.0)
+    base = jnp.ones(res.mask.shape + (3,), jnp.float32) \
+        if res.color is None else res.color
+    img = lit[..., None] * base
+    bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32),
+                          img.shape)
+    return jnp.where(res.mask[..., None], img, bg)
