@@ -244,3 +244,28 @@ class TestColorRaycast:
         assert res.color is None
         img = rc.shade_rgb(res)      # shades white
         assert img.shape == (H, W, 3)
+
+
+class TestMaterializedParity:
+    """materialize=True (block-major dense copy, default ≤512³) and
+    materialize=False (row-map + table chain) must agree exactly —
+    the sentinel encodings are equivalent by construction."""
+
+    def test_paths_identical(self):
+        depth = jnp.full((H, W), jnp.float32(2.0))
+        sparse = sp.create_sparse_volume(VOX, origin=ORIGIN,
+                                         grid_blocks=(8, 8, 8), block=8,
+                                         max_blocks=512)
+        sparse = sp.sparse_integrate(sparse, depth, INTR, EYE,
+                                     grid_blocks=(8, 8, 8), block=8)
+        a = rc.sparse_raycast(sparse, INTR, EYE, H, W,
+                              grid_blocks=(8, 8, 8), block=8,
+                              near=0.6, far=3.5, materialize=True)
+        b = rc.sparse_raycast(sparse, INTR, EYE, H, W,
+                              grid_blocks=(8, 8, 8), block=8,
+                              near=0.6, far=3.5, materialize=False)
+        assert np.array_equal(np.asarray(a.mask), np.asarray(b.mask))
+        np.testing.assert_allclose(np.asarray(a.depth),
+                                   np.asarray(b.depth), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.normals),
+                                   np.asarray(b.normals), atol=1e-5)
