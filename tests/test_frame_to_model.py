@@ -146,3 +146,44 @@ class TestOdometry:
             f2m.FrameToModelConfig(max_iterations=0)
         with pytest.raises(ValueError):
             f2m.FrameToModelConfig(dist_gate=-1.0)
+
+
+class TestPyramidModel:
+    """model_render_scale=2: model raycast at half resolution, frame
+    tracked against the coarser maps (KinectFusion pyramid). Accuracy
+    must stay within the full-res tolerance band."""
+
+    def test_recovers_motion_halfres_model(self):
+        depth0 = _wavy_depth()
+        vol = _fused_volume(depth0)
+        true_pose = _pose(rx=0.02, ry=-0.015, rz=0.01,
+                          t=(0.03, -0.02, 0.025))
+        frame = rc.sparse_raycast(vol, INTR, true_pose, H, W,
+                                  grid_blocks=GRID, block=8,
+                                  near=0.6, far=4.0)
+        s = 2
+        mh, mw = H // s, W // s
+        half = (s - 1) / 2.0
+        mintr = jnp.stack([INTR[0] / s, INTR[1] / s,
+                           (INTR[2] - half) / s, (INTR[3] - half) / s])
+        model = rc.sparse_raycast(vol, mintr, EYE, mh, mw,
+                                  grid_blocks=GRID, block=8,
+                                  near=0.6, far=4.0)
+        res = f2m.track(model, EYE, frame.depth, INTR, EYE,
+                        max_iterations=15, model_intr=mintr)
+        assert bool(res.converged)
+        rot, trans = _pose_err(np.asarray(true_pose),
+                               np.asarray(res.cam_to_world))
+        assert rot < 2e-3, rot
+        assert trans < 0.5 * VOX, trans
+
+    def test_odometry_config_knob(self):
+        depth0 = _wavy_depth()
+        cfg = f2m.FrameToModelConfig(model_render_scale=2)
+        odo = f2m.FrameToModelOdometry(
+            INTR, H, W, voxel_size=VOX, origin=(-2.0, -2.0, 0.5),
+            grid_blocks=GRID, block=8, max_blocks=4096, config=cfg)
+        odo.register_frame(depth0)
+        tr = odo.register_frame(depth0)   # same frame → ~identity
+        rot, trans = _pose_err(np.eye(4), np.asarray(tr.matrix))
+        assert rot < 2e-3 and trans < VOX

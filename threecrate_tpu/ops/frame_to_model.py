@@ -48,10 +48,18 @@ class FrameToModelConfig:
     max_steps: int = 96              # raycast march budget
     depth_scale: float = 1.0
     min_valid_pixels: int = 100      # below → tracking lost, keep pose
+    # render the tracking model at 1/s resolution (KinectFusion-style
+    # pyramid): s=2 quarters the per-frame raycast cost; the tracker's
+    # bilinear association interpolates the coarser maps. Measured on
+    # the wavy-scene probes: s=2 keeps rot error within the s=1
+    # tolerance band. render() is unaffected (always full-res).
+    model_render_scale: int = 1
 
     def __post_init__(self):
         if self.max_iterations < 1:
             raise ValueError("max_iterations must be >= 1")
+        if self.model_render_scale < 1:
+            raise ValueError("model_render_scale must be >= 1")
         if self.dist_gate <= 0:
             raise ValueError("dist_gate must be positive")
 
@@ -94,16 +102,24 @@ def track(model: RaycastResult, model_cam_to_world: jnp.ndarray,
           init_cam_to_world: jnp.ndarray,
           max_iterations: int = 10, dist_gate: float = 0.1,
           normal_gate: float = 0.5, depth_scale: float = 1.0,
-          min_valid_pixels: int = 100) -> TrackResult:
+          min_valid_pixels: int = 100,
+          model_intr: Optional[jnp.ndarray] = None) -> TrackResult:
     """Align one depth frame to raycast model maps.
 
     ``model``: raycast of the TSDF from ``model_cam_to_world`` (world-
     space vertices/normals). ``init_cam_to_world``: pose seed for the
     new frame (constant-velocity or last pose). Returns the refined
     camera-to-world pose.
+
+    The model maps may be a DIFFERENT resolution than the frame
+    (pyramid tracking: render the model at half resolution to halve
+    the per-frame raycast cost); pass the intrinsics the model was
+    raycast with as ``model_intr`` (defaults to ``intr``).
     """
     h, w = depth.shape
-    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    mh, mw = model.mask.shape
+    mintr = intr if model_intr is None else model_intr
+    fx, fy, cx, cy = mintr[0], mintr[1], mintr[2], mintr[3]
     pts_c, nrm_c, fvalid = _backproject(depth, intr, depth_scale)
     p_f = pts_c.reshape(-1, 3)
     n_f = nrm_c.reshape(-1, 3)
@@ -145,15 +161,15 @@ def track(model: RaycastResult, model_cam_to_world: jnp.ndarray,
         v0 = jnp.floor(vf).astype(jnp.int32)
         au = (uf - u0.astype(jnp.float32))[:, None]
         av = (vf - v0.astype(jnp.float32))[:, None]
-        inb = (z > 1e-6) & (u0 >= 0) & (u0 + 1 < w) \
-            & (v0 >= 0) & (v0 + 1 < h)
-        u0 = jnp.clip(u0, 0, w - 2)
-        v0 = jnp.clip(v0, 0, h - 2)
-        p00 = v0 * w + u0
+        inb = (z > 1e-6) & (u0 >= 0) & (u0 + 1 < mw) \
+            & (v0 >= 0) & (v0 + 1 < mh)
+        u0 = jnp.clip(u0, 0, mw - 2)
+        v0 = jnp.clip(v0, 0, mh - 2)
+        p00 = v0 * mw + u0
         c00 = m_pack[p00]
         c01 = m_pack[p00 + 1]
-        c10 = m_pack[p00 + w]
-        c11 = m_pack[p00 + w + 1]
+        c10 = m_pack[p00 + mw]
+        c11 = m_pack[p00 + mw + 1]
         cb = ((1 - av) * ((1 - au) * c00 + au * c01)
               + av * ((1 - au) * c10 + au * c11))
         q = cb[:, 0:3]
@@ -241,8 +257,14 @@ class FrameToModelOdometry:
             # constant-velocity seed, then raycast the model from it
             seed = jnp.matmul(self.pose, self._prev_delta,
                               precision=jax.lax.Precision.HIGHEST)
+            s = cfg.model_render_scale
+            mh, mw = self.height // s, self.width // s
+            half = (jnp.float32(s) - 1.0) / 2.0
+            mintr = self.intr if s == 1 else jnp.stack(
+                [self.intr[0] / s, self.intr[1] / s,
+                 (self.intr[2] - half) / s, (self.intr[3] - half) / s])
             model = sparse_raycast(
-                self.volume, self.intr, seed, self.height, self.width,
+                self.volume, mintr, seed, mh, mw,
                 grid_blocks=self.grid_blocks, block=self.block,
                 near=cfg.near, far=cfg.far, max_steps=cfg.max_steps)
             tr = track(model, seed, depth, self.intr, seed,
@@ -250,7 +272,8 @@ class FrameToModelOdometry:
                        dist_gate=cfg.dist_gate,
                        normal_gate=cfg.normal_gate,
                        depth_scale=cfg.depth_scale,
-                       min_valid_pixels=cfg.min_valid_pixels)
+                       min_valid_pixels=cfg.min_valid_pixels,
+                       model_intr=mintr)
             self.last_track = tr
             new_pose = tr.cam_to_world
             inv_prev = Transform.from_matrix(self.pose).inverse().matrix
