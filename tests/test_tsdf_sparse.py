@@ -198,3 +198,38 @@ class TestSparseColor:
                 sc[i, :BLOCK, :BLOCK, :BLOCK][m], dsub[m], atol=1e-5)
             checked += m.sum()
         assert checked > 500
+
+
+class TestUpdateCompaction:
+    """update_fraction caps the per-frame update to the frame's band
+    blocks; when the band fits the cap the result must be identical to
+    updating every row."""
+
+    def test_fraction_parity(self):
+        import jax.numpy as jnp
+        H, W = 48, 64
+        intr = jnp.asarray([60.0, 60.0, W / 2 - 0.5, H / 2 - 0.5],
+                           jnp.float32)
+        eye = jnp.eye(4, dtype=jnp.float32)
+        import numpy as np
+        yy, xx = np.mgrid[0:H, 0:W]
+        d1 = jnp.asarray(2.0 + 0.2 * np.sin(xx / 9.0), jnp.float32)
+        d2 = jnp.asarray(2.1 + 0.2 * np.cos(yy / 7.0), jnp.float32)
+        gb = (8, 8, 8)
+
+        def fuse(frac):
+            v = sp.create_sparse_volume(4.0 / 64, origin=(-2., -2., .5),
+                                        grid_blocks=gb, block=8,
+                                        max_blocks=512)
+            for d in (d1, d2):
+                v = sp.sparse_integrate(v, d, intr, eye, grid_blocks=gb,
+                                        block=8, update_fraction=frac)
+            return v
+
+        a, b = fuse(1.0), fuse(0.5)
+        assert np.array_equal(np.asarray(a.block_keys),
+                              np.asarray(b.block_keys))
+        np.testing.assert_allclose(np.asarray(a.tsdf),
+                                   np.asarray(b.tsdf), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(a.weight),
+                                   np.asarray(b.weight), atol=1e-7)
