@@ -54,6 +54,10 @@ class FrameToModelConfig:
     # the wavy-scene probes: s=2 keeps rot error within the s=1
     # tolerance band. render() is unaffected (always full-res).
     model_render_scale: int = 1
+    # per-frame fusion touches only blocks in the frame's truncation
+    # band, compacted to this fraction of max_blocks (see
+    # tsdf_sparse.sparse_integrate); 1.0 = update every row.
+    update_fraction: float = 0.5
 
     def __post_init__(self):
         if self.max_iterations < 1:
@@ -62,6 +66,8 @@ class FrameToModelConfig:
             raise ValueError("model_render_scale must be >= 1")
         if self.dist_gate <= 0:
             raise ValueError("dist_gate must be positive")
+        if not 0.0 < self.update_fraction <= 1.0:
+            raise ValueError("update_fraction must be in (0, 1]")
 
 
 class TrackResult(NamedTuple):
@@ -283,7 +289,8 @@ class FrameToModelOdometry:
         self.volume = sparse_integrate(
             self.volume, depth, self.intr, self.pose,
             grid_blocks=self.grid_blocks, block=self.block, rgb=rgb,
-            depth_scale=cfg.depth_scale)
+            depth_scale=cfg.depth_scale,
+            update_fraction=cfg.update_fraction)
         self.n_frames += 1
         return Transform.from_matrix(self.pose)
 

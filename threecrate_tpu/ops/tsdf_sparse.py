@@ -97,7 +97,9 @@ def sparse_integrate(vol: SparseTsdfVolume, depth: jnp.ndarray,
                      rgb: Optional[jnp.ndarray] = None,
                      depth_scale: float = 1.0, ray_samples: int = 3,
                      max_weight: float = 64.0,
-                     update_fraction: float = 0.5) -> SparseTsdfVolume:
+                     update_fraction: float = 0.5,
+                     key_range: Optional[Tuple[jnp.ndarray, jnp.ndarray]]
+                     = None) -> SparseTsdfVolume:
     """Allocate + fuse one depth frame (the sparse analog of
     ops.tsdf.integrate; same projective-TSDF update semantics).
 
@@ -109,6 +111,13 @@ def sparse_integrate(vol: SparseTsdfVolume, depth: jnp.ndarray,
     frame whose band exceeds the cap updates the lowest-keyed cap
     blocks and merely defers the rest's weight accumulation (their
     allocation is never lost); set 1.0 to update every row.
+
+    ``key_range`` (traced ``(lo, hi)`` scalars) restricts allocation to
+    block keys in ``[lo, hi)`` — the hook for spatially-partitioned
+    multi-chip fusion (parallel.sharded.make_sharded_tsdf): x-slabs of
+    the block grid are contiguous key ranges, each shard allocates and
+    fuses only its own slab, and the per-block apron layout keeps the
+    shards independent (no collectives).
     """
     gx, gy, gz = grid_blocks
     bsz = vol.voxel_size * block
@@ -136,6 +145,8 @@ def sparse_integrate(vol: SparseTsdfVolume, depth: jnp.ndarray,
             & (b[:, 1] >= 0) & (b[:, 1] < gy) \
             & (b[:, 2] >= 0) & (b[:, 2] < gz)
         key = (b[:, 0] * gy + b[:, 1]) * gz + b[:, 2]
+        if key_range is not None:
+            ok = ok & (key >= key_range[0]) & (key < key_range[1])
         new_keys.append(jnp.where(ok, key, _INVALID))
     cand = jnp.concatenate([vol.block_keys] + new_keys)
 
