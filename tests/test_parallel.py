@@ -413,3 +413,108 @@ class TestShardedP2PlaneAndGicp:
         np.testing.assert_allclose(np.asarray(got_pay),
                                    pay[np.asarray(res.indices[:, 0])],
                                    atol=1e-5)
+
+
+class TestShardedTsdf:
+    """Spatially-partitioned sparse TSDF: parity vs the single-device
+    sparse pipeline (each x-slab of the block grid lives on one
+    device; fusion and extraction are collective-free)."""
+
+    H, W = 48, 64
+    INTR = jnp.asarray([52.0, 52.0, 31.5, 23.5], jnp.float32)
+    GRID = (16, 16, 16)
+    VSIZE = 4.0 / 128
+
+    def _depth(self, shift=0.0):
+        yy, xx = np.mgrid[0:self.H, 0:self.W]
+        d = 2.0 + 0.3 * np.sin((xx + shift) / 10.0) * np.cos(yy / 8.0)
+        return jnp.asarray(d.astype(np.float32))
+
+    def _poses(self, n):
+        out = []
+        for i in range(n):
+            m = np.eye(4, dtype=np.float32)
+            m[0, 3] = 0.03 * i
+            out.append(jnp.asarray(m))
+        return out
+
+    def _fuse_both(self, n_frames=3):
+        from threecrate_tpu.ops import tsdf_sparse as sp
+        from threecrate_tpu.parallel import sharded
+
+        mesh = make_mesh(8)
+        fac = sharded.make_sharded_tsdf(
+            mesh, self.GRID, self.VSIZE, origin=(-2.0, -2.0, 0.5),
+            block=8, max_blocks_per_shard=512, update_fraction=1.0)
+        st = fac.init()
+        ref = sp.create_sparse_volume(
+            self.VSIZE, origin=(-2.0, -2.0, 0.5), grid_blocks=self.GRID,
+            block=8, max_blocks=4096)
+        for i, pose in enumerate(self._poses(n_frames)):
+            d = self._depth(shift=2.0 * i)
+            st = fac.integrate(st, d, self.INTR, pose)
+            ref = sp.sparse_integrate(ref, d, self.INTR, pose,
+                                      grid_blocks=self.GRID, block=8,
+                                      update_fraction=1.0)
+        return fac, st, ref
+
+    def test_integrate_matches_single_device(self):
+        from threecrate_tpu.ops import tsdf_sparse as sp
+
+        fac, st, ref = self._fuse_both()
+        # both allocate the same key set with identical voxel data:
+        # compare via key->(tsdf,weight) dictionaries
+        n_dev, mb = 8, st.block_keys.shape[0] // 8
+        got = {}
+        keys = np.asarray(st.block_keys)
+        td = np.asarray(st.tsdf)
+        wd = np.asarray(st.weight)
+        for i in range(keys.shape[0]):
+            if keys[i] != 2**31 - 1:
+                got[int(keys[i])] = (td[i], wd[i])
+        rk = np.asarray(ref.block_keys)
+        rt = np.asarray(ref.tsdf)
+        rw = np.asarray(ref.weight)
+        want = {int(rk[i]): (rt[i], rw[i])
+                for i in range(int(ref.n_blocks))}
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_allclose(got[k][0], want[k][0], atol=1e-5)
+            np.testing.assert_allclose(got[k][1], want[k][1], atol=1e-5)
+        # per-shard counts sum to the global count
+        assert int(np.sum(np.asarray(st.n_blocks))) == int(ref.n_blocks)
+
+    def test_extract_matches_single_device(self):
+        from threecrate_tpu.ops import tsdf_sparse as sp
+
+        fac, st, ref = self._fuse_both()
+        pts, mask = fac.extract_surface(st)
+        got = np.asarray(pts)[np.asarray(mask)]
+        rs = sp.sparse_extract_surface(ref, self.GRID, block=8)
+        want = np.asarray(rs.cloud.points)[np.asarray(rs.cloud.mask)]
+        assert got.shape == want.shape
+        # same point multiset (sort rows lexicographically)
+        gs = got[np.lexsort(got.T)]
+        ws = want[np.lexsort(want.T)]
+        np.testing.assert_allclose(gs, ws, atol=1e-5)
+
+    def test_marching_cubes_matches_single_device(self):
+        from threecrate_tpu.ops import tsdf_sparse as sp
+
+        fac, st, ref = self._fuse_both()
+        verts, vmask = fac.marching_cubes(st)
+        got = np.asarray(verts)[np.asarray(vmask)]
+        soup = sp.sparse_marching_cubes_soup(ref, self.GRID, block=8)
+        want = np.asarray(soup.vertices)[
+            np.repeat(np.asarray(soup.mask), 3)]
+        assert got.shape == want.shape
+        gs = got[np.lexsort(got.T)]
+        ws = want[np.lexsort(want.T)]
+        np.testing.assert_allclose(gs, ws, atol=1e-5)
+
+    def test_grid_not_divisible_raises(self):
+        from threecrate_tpu.parallel import sharded
+
+        mesh = make_mesh(8)
+        with pytest.raises(ValueError):
+            sharded.make_sharded_tsdf(mesh, (12, 16, 16), self.VSIZE)

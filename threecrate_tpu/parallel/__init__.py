@@ -21,10 +21,13 @@ from .sharded import (
     make_sharded_knn,
     make_sharded_normals,
     make_sharded_normals_window,
+    make_sharded_tsdf,
     morton_presort,
     make_sharded_outlier_stats,
     make_sharded_voxel_filter,
     ring_knn_local,
+    ShardedTsdf,
+    ShardedTsdfState,
 )
 
 __all__ = [
@@ -35,7 +38,9 @@ __all__ = [
     "make_sharded_batch_icp", "make_sharded_gicp", "make_sharded_icp",
     "make_sharded_icp_p2plane", "make_sharded_knn",
     "make_sharded_normals", "make_sharded_normals_window",
+    "make_sharded_tsdf",
     "morton_presort", "make_sharded_outlier_stats",
     "make_sharded_voxel_filter",
     "ring_knn_local",
+    "ShardedTsdf", "ShardedTsdfState",
 ]
