@@ -82,6 +82,27 @@ def main():
     print(f"sharded ICP: recovered translation to {terr:.2e} "
           f"in {int(it)} iters (converged={bool(conv)})")
 
+    # 5. sharded TSDF fusion: the virtual block grid split into
+    #    x-slabs (one per device); fusion + extraction collective-free
+    from threecrate_tpu.parallel import make_sharded_tsdf
+    tsdf_fac = make_sharded_tsdf(
+        mesh, (16, 16, 16), 4.0 / 128, origin=(-2.0, -2.0, 0.5),
+        block=8, max_blocks_per_shard=512)
+    st = tsdf_fac.init()
+    yy, xx = np.mgrid[0:48, 0:64]
+    intr = jnp.asarray([52.0, 52.0, 31.5, 23.5], jnp.float32)
+    for i in range(3):
+        depth = jnp.asarray((2.0 + 0.3 * np.sin((xx + 2.0 * i) / 10.0)
+                             * np.cos(yy / 8.0)).astype(np.float32))
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 0.03 * i
+        st = tsdf_fac.integrate(st, depth, intr, jnp.asarray(pose))
+    spts, smask2 = tsdf_fac.extract_surface(st)
+    per_shard = np.asarray(st.n_blocks)
+    print(f"sharded TSDF: {int(per_shard.sum())} blocks "
+          f"(per-device {per_shard.tolist()}), "
+          f"{int(np.asarray(smask2).sum())} surface points")
+
 
 if __name__ == "__main__":
     main()
