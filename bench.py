@@ -366,6 +366,63 @@ def main() -> None:
         "vs_baseline": round(1.2 / trc, 2),
     }))
 
+    # frame-to-model tracking: projective point-to-plane GN against
+    # the raycast model maps (baseline = the r3 measured 55 ms after
+    # map packing + early exit; first working implementation was 277)
+    from threecrate_tpu.ops import frame_to_model as f2m_mod
+
+    pose_moved = np.eye(4, dtype=np.float32)
+    pose_moved[0, 3] = 0.01
+    pose_moved = jnp.asarray(pose_moved)
+    model_rc = rc_mod.sparse_raycast(svol, intr_t, pose_t, hh, ww,
+                                     grid_blocks=grid_b, block=8,
+                                     near=0.6, far=4.0)
+    frame_rc = rc_mod.sparse_raycast(svol, intr_t, pose_moved, hh, ww,
+                                     grid_blocks=grid_b, block=8,
+                                     near=0.6, far=4.0)
+    frame_depth = frame_rc.depth
+
+    def track_run():
+        tr = f2m_mod.track(model_rc, pose_t, frame_depth, intr_t,
+                           pose_t, max_iterations=10)
+        return float(jnp.sum(tr.cam_to_world))
+
+    ttk = median_time(track_run, warmup=1, iters=3, sync_fn=lambda x: x)
+    print(json.dumps({
+        "metric": "f2m_track_480x640_ms",
+        "value": round(ttk * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(0.055 / ttk, 2),
+    }))
+
+    # sparse TSDF with the color channel (weighted running average per
+    # voxel; baseline = this line's first measurement, r3)
+    rgb_img = jnp.asarray(
+        np.tile(np.linspace(0, 1, ww, dtype=np.float32)[None, :, None],
+                (hh, 1, 3)))
+    svol_c = sp_mod.create_sparse_volume(
+        4.0 / (grid_b[0] * 8), origin=(-2.0, -2.0, 0.5),
+        grid_blocks=grid_b, block=8, max_blocks=mb_cap,
+        with_color=True)
+    svol_c = sp_mod.sparse_integrate(svol_c, dimg, intr_t, pose_t,
+                                     grid_blocks=grid_b, block=8,
+                                     rgb=rgb_img)
+
+    def sparse_color_run():
+        out = sp_mod.sparse_integrate(svol_c, dimg, intr_t, pose_t,
+                                      grid_blocks=grid_b, block=8,
+                                      rgb=rgb_img)
+        return float(jnp.sum(out.weight))
+
+    tspc = median_time(sparse_color_run, warmup=1, iters=3,
+                       sync_fn=lambda x: x)
+    print(json.dumps({
+        "metric": "tsdf_sparse_color_256_ms_per_frame",
+        "value": round(tspc * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(0.080 / tspc, 2),
+    }))
+
     # ---- normals: library-default path (union merge) at 1M ----
     def normals_union_scalar(points, m):
         mn = jnp.min(jnp.where(m[:, None], points, big), 0)

@@ -187,3 +187,49 @@ class TestPyramidModel:
         tr = odo.register_frame(depth0)   # same frame → ~identity
         rot, trans = _pose_err(np.eye(4), np.asarray(tr.matrix))
         assert rot < 2e-3 and trans < VOX
+
+
+class TestTrackStride:
+    """track_stride=2: the frame subsampled by strided slicing for
+    tracking (fusion stays full-res). Accuracy must stay within the
+    full-res tolerance band despite 4x fewer residuals."""
+
+    def test_recovers_motion_strided_frame(self):
+        depth0 = _wavy_depth()
+        vol = _fused_volume(depth0)
+        true_pose = _pose(rx=0.02, ry=-0.015, rz=0.01,
+                          t=(0.03, -0.02, 0.025))
+        frame = rc.sparse_raycast(vol, INTR, true_pose, H, W,
+                                  grid_blocks=GRID, block=8,
+                                  near=0.6, far=4.0)
+        model = rc.sparse_raycast(vol, INTR, EYE, H, W,
+                                  grid_blocks=GRID, block=8,
+                                  near=0.6, far=4.0)
+        ts = 2
+        tintr = jnp.stack([INTR[0] / ts, INTR[1] / ts,
+                           INTR[2] / ts, INTR[3] / ts])
+        res = f2m.track(model, EYE, frame.depth[::ts, ::ts], tintr,
+                        EYE, max_iterations=15, model_intr=INTR,
+                        min_valid_pixels=100)
+        assert bool(res.converged)
+        rot, trans = _pose_err(np.asarray(true_pose),
+                               np.asarray(res.cam_to_world))
+        assert rot < 2e-3, rot
+        assert trans < 0.5 * VOX, trans
+
+    def test_odometry_stride_knob(self):
+        depth0 = _wavy_depth()
+        cfg = f2m.FrameToModelConfig(model_render_scale=2,
+                                     track_stride=2)
+        odo = f2m.FrameToModelOdometry(
+            INTR, H, W, voxel_size=VOX, origin=(-2.0, -2.0, 0.5),
+            grid_blocks=GRID, block=8, max_blocks=4096, config=cfg)
+        odo.register_frame(depth0)
+        tr = odo.register_frame(depth0)   # same frame → ~identity
+        rot, trans = _pose_err(np.eye(4), np.asarray(tr.matrix))
+        assert rot < 2e-3 and trans < VOX
+
+    def test_stride_validation(self):
+        import pytest
+        with pytest.raises(ValueError):
+            f2m.FrameToModelConfig(track_stride=0)

@@ -54,6 +54,11 @@ class FrameToModelConfig:
     # the wavy-scene probes: s=2 keeps rot error within the s=1
     # tolerance band. render() is unaffected (always full-res).
     model_render_scale: int = 1
+    # subsample the FRAME by this stride for tracking (GN residual
+    # and association-gather count scale with frame pixels; a 480x640
+    # frame at stride 2 still contributes ~77k correspondences).
+    # Fusion always uses the full-resolution frame.
+    track_stride: int = 1
     # per-frame fusion touches only blocks in the frame's truncation
     # band, compacted to this fraction of max_blocks (see
     # tsdf_sparse.sparse_integrate); 1.0 = update every row.
@@ -64,6 +69,8 @@ class FrameToModelConfig:
             raise ValueError("max_iterations must be >= 1")
         if self.model_render_scale < 1:
             raise ValueError("model_render_scale must be >= 1")
+        if self.track_stride < 1:
+            raise ValueError("track_stride must be >= 1")
         if self.dist_gate <= 0:
             raise ValueError("dist_gate must be positive")
         if not 0.0 < self.update_fraction <= 1.0:
@@ -273,12 +280,25 @@ class FrameToModelOdometry:
                 self.volume, mintr, seed, mh, mw,
                 grid_blocks=self.grid_blocks, block=self.block,
                 near=cfg.near, far=cfg.far, max_steps=cfg.max_steps)
-            tr = track(model, seed, depth, self.intr, seed,
+            ts = cfg.track_stride
+            if ts > 1:
+                # strided slice keeps original pixel j·ts as the new
+                # pixel j: u_orig = ts·u_new ⇒ (fx, cx) divide by ts
+                # (unlike the model pyramid's box-center convention)
+                tdepth = depth[::ts, ::ts]
+                tintr = jnp.stack(
+                    [self.intr[0] / ts, self.intr[1] / ts,
+                     self.intr[2] / ts, self.intr[3] / ts])
+                min_px = max(1, cfg.min_valid_pixels // (ts * ts))
+            else:
+                tdepth, tintr = depth, self.intr
+                min_px = cfg.min_valid_pixels
+            tr = track(model, seed, tdepth, tintr, seed,
                        max_iterations=cfg.max_iterations,
                        dist_gate=cfg.dist_gate,
                        normal_gate=cfg.normal_gate,
                        depth_scale=cfg.depth_scale,
-                       min_valid_pixels=cfg.min_valid_pixels,
+                       min_valid_pixels=min_px,
                        model_intr=mintr)
             self.last_track = tr
             new_pose = tr.cam_to_world
