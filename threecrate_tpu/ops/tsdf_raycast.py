@@ -698,11 +698,17 @@ def sparse_raycast(vol: SparseTsdfVolume, intr: jnp.ndarray,
     return _as_result(height, width, ts, ps, n, ok, conf, col)
 
 
-def shade(res: RaycastResult, light_dir=(0.4, -0.3, -0.85),
+def shade(res: RaycastResult, light_dir=(0.4, -0.3, 0.85),
           ambient: float = 0.15,
           background: float = 0.0) -> jnp.ndarray:
     """Lambertian shading of a raycast result → (H, W) grayscale in
-    [0, 1] (light direction in world space, pointing FROM the light)."""
+    [0, 1] (light direction in world space, pointing FROM the light).
+
+    The default is a headlight slightly off the camera axis: the
+    canonical camera looks along +z, so visible surface normals face
+    −z and a light propagating toward +z illuminates them (the old
+    −z default lit the scene from BEHIND — everything came out at the
+    ambient floor)."""
     l = jnp.asarray(light_dir, jnp.float32)
     l = -l / jnp.maximum(jnp.linalg.norm(l), 1e-12)
     lam = jnp.clip(jnp.einsum("hwc,c->hw", res.normals, l), 0.0, 1.0)
@@ -710,7 +716,7 @@ def shade(res: RaycastResult, light_dir=(0.4, -0.3, -0.85),
     return jnp.where(res.mask, img, background)
 
 
-def shade_rgb(res: RaycastResult, light_dir=(0.4, -0.3, -0.85),
+def shade_rgb(res: RaycastResult, light_dir=(0.4, -0.3, 0.85),
               ambient: float = 0.15,
               background=(0.0, 0.0, 0.0)) -> jnp.ndarray:
     """Lambertian-lit color render → (H, W, 3) in [0, 1]. Uses the
