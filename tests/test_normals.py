@@ -113,6 +113,42 @@ class TestEigh3x3:
         np.testing.assert_allclose(float(vals[0, 2]), 14.0, atol=1e-4)
         np.testing.assert_allclose(np.abs(np.asarray(vals[0, :2])), 0.0, atol=1e-4)
 
+    def test_scale_invariance(self, rng):
+        """The analytic solver must work at ANY matrix scale: tiny
+        covariances (mm-scale neighborhoods -> entries ~1e-8) used to
+        trip the absolute-eps rank guards and return arbitrary
+        in-plane vectors (~33 deg median normal error on a unit
+        sphere scene — caught by the r3 verify drive, invisible to
+        the O(1)-scale tests above)."""
+        from threecrate_tpu.ops import linalg
+        import jax.numpy as jnp
+        a = rng.normal(size=(40, 3, 3)).astype(np.float32)
+        sym = (a + a.transpose(0, 2, 1)) / 2
+        base_vals, base_vecs = linalg.eigh3x3(jnp.asarray(sym))
+        base_vals, base_vecs = np.asarray(base_vals), np.asarray(base_vecs)
+        for s in (1e-10, 1e-6, 1e-3, 1e3, 1e6):
+            vals, vecs = linalg.eigh3x3(jnp.asarray(sym * s))
+            vals, vecs = np.asarray(vals), np.asarray(vecs)
+            np.testing.assert_allclose(vals, base_vals * s,
+                                       rtol=2e-5, atol=s * 1e-5)
+            # same eigenvectors up to sign
+            dots = np.abs(np.einsum("nij,nij->nj", vecs, base_vecs))
+            np.testing.assert_allclose(dots, 1.0, atol=1e-3)
+
+    def test_smallest_eigenvector_tiny_covariance(self, rng):
+        """Flat-patch covariance at 1e-4 scale: smallest eigenvector
+        must be the plane normal, not a fallback direction."""
+        from threecrate_tpu.ops import linalg
+        import jax.numpy as jnp
+        # points on z=0 plane, extent ~0.02 (post-voxel neighborhood)
+        p = rng.normal(0, 0.02, (200, 16, 3)).astype(np.float32)
+        p[..., 2] = rng.normal(0, 0.0005, (200, 16)).astype(np.float32)
+        d = p - p.mean(1, keepdims=True)
+        cov = np.einsum("nki,nkj->nij", d, d) / 16.0
+        n, _ = linalg.smallest_eigenvector_sym3x3(jnp.asarray(cov))
+        n = np.asarray(n)
+        assert np.median(np.abs(n[:, 2])) > 0.999
+
 
 class TestWindowParity:
     def test_window_normals_match_exact_quality(self):
@@ -230,13 +266,21 @@ class TestWindowUnion:
         return np.degrees(np.arccos(dots))
 
     def test_union_repairs_noise_free_surface(self):
-        """On a noise-free surface the union merge must beat
-        pick-tighter by a wide margin (the documented caveat)."""
+        """On a noise-free surface the union merge must never be worse
+        than pick-tighter, and both must be sub-degree vs exact.
+
+        Pre-r3c this asserted a 4x union-over-tighter margin — that
+        margin was an ARTIFACT of the eigensolver scale bug (the
+        'exact' oracle itself was degraded at this scene's covariance
+        scale, and 'tighter' tracked the broken oracle worse than
+        'union' did). With the scale-invariant solver both merges sit
+        at ~0.04 deg mean; union stays modestly tighter."""
         pc = PointCloud.from_numpy(self._surface(30000))
         tighter = self._angles(pc, dict(window_merge="tighter"))
         union = self._angles(pc, dict(window_merge="union"))
-        assert union.mean() < 3.0, union.mean()
-        assert union.mean() < 0.25 * tighter.mean(), \
+        assert union.mean() < 1.0, union.mean()
+        assert tighter.mean() < 1.0, tighter.mean()
+        assert union.mean() <= tighter.mean() * 1.05, \
             (union.mean(), tighter.mean())
 
     def test_union_matches_exact_on_scan(self):

@@ -33,6 +33,12 @@ def eigvals_sym3x3(a: jnp.ndarray) -> jnp.ndarray:
     3x3, fully elementwise -> maps to VPU lanes with no iteration.
     """
     a = a.astype(jnp.float32)
+    # SCALE INVARIANCE: every guard below is an absolute epsilon, so
+    # normalise to max|a| ~ 1 first (tiny covariances — mm-scale
+    # neighborhoods give entries ~1e-4..1e-8 — otherwise trip the
+    # degeneracy guards and collapse to garbage; r3 verify-drive bug).
+    scale = jnp.maximum(jnp.max(jnp.abs(a), axis=(-2, -1)), 1e-30)
+    a = a / scale[..., None, None]
     q = jnp.trace(a, axis1=-2, axis2=-1) / 3.0
     a_sub = a - q[..., None, None] * jnp.eye(3, dtype=a.dtype)
     p2 = jnp.sum(a_sub * a_sub, axis=(-2, -1)) / 6.0
@@ -49,7 +55,7 @@ def eigvals_sym3x3(a: jnp.ndarray) -> jnp.ndarray:
     e1 = jnp.where(isotropic, q, e1)
     e2 = jnp.where(isotropic, q, e2)
     e3 = jnp.where(isotropic, q, e3)
-    return jnp.stack([e3, e2, e1], axis=-1)  # ascending
+    return jnp.stack([e3, e2, e1], axis=-1) * scale[..., None]  # ascending
 
 
 def _eigenvector_for(a: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
@@ -59,6 +65,13 @@ def _eigenvector_for(a: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
     the largest cross product of row pairs (robust rank-2 case), with a
     fallback chain for rank-1 / rank-0 degeneracy.
     """
+    # normalise to max|a| ~ 1: the rank guards below are absolute
+    # epsilons and misfire on tiny-scale matrices otherwise (the
+    # rank-1 fallback then returns an arbitrary in-plane vector —
+    # ~33 deg median normal error on mm-scale covariances)
+    scale = jnp.maximum(jnp.max(jnp.abs(a), axis=(-2, -1)), 1e-30)
+    a = a / scale[..., None, None]
+    lam = lam / scale
     m = a - lam[..., None, None] * jnp.eye(3, dtype=a.dtype)
     r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
     c01 = jnp.cross(r0, r1)

@@ -42,11 +42,12 @@ class NormalEstimationConfig:
     outdoor-scan-like data "window_fast" matches exact-kNN quality
     (0.12 deg mean, noise-dominated), but it inherits the quality of
     the BEST single pass rather than the union: where per-pass window
-    recall drops (noise-free surfaces: ~1% tail to ~15 deg; thin noisy
-    slabs whose thickness ~ point spacing: broad degradation), only
-    the union merge of "window" repairs it — hence "window_fast" is
-    opt-in. "auto" picks "window" above ``AUTO_WINDOW_THRESHOLD``
-    points.
+    recall drops (thin noisy slabs whose thickness ~ point spacing),
+    the union merge repairs it — hence "window_fast" is opt-in.
+    (Round-2's "~1% tail to ~15 deg on noise-free surfaces" claim for
+    pick-tighter was an artifact of the eigensolver scale bug; the
+    honest re-measure is p99 0.91 deg tighter vs 0.76 deg union.)
+    "auto" picks "window" above ``AUTO_WINDOW_THRESHOLD`` points.
     """
 
     k_neighbors: int = 10
