@@ -8,14 +8,21 @@ fields (marching_cubes.rs:12-80), isosurface extraction, and the
 
 Design: the reference uses classic marching cubes with the 256-entry
 edge/triangle lookup tables (marching_cubes.rs:174,199). This rebuild
-uses **marching tetrahedra** (each cube → 6 tets, 16-case table): the
-tiny table is derived from first principles below, there are no
-ambiguous cases, and the whole extraction is a fixed-shape batched
-computation — every cube's 8 corners come from *dense shifted slices*
-of the grid (zero gathers), and every tet emits its ≤2 triangles into a
-fixed-capacity masked soup. Output triangle counts are ~2× MC's, which
-costs memory not quality; a table-generated true-MC variant is a
-planned upgrade.
+offers three extractors, all fixed-shape batched computations:
+
+- ``extract_soup`` — **marching tetrahedra** (each cube → 6 tets,
+  16-case table derived from first principles below; no ambiguous
+  cases, ~2× MC's triangle count).
+- ``extract_soup_cubes`` — true 256-case marching cubes over tables
+  DERIVED by edge-loop tracing (mc_tables.py), every intermediate 1-D
+  or (small, C) shaped for TPU-friendly layouts.
+- ``extract_soup_cubes_banded`` / ``_auto`` — band-compacted MC: one
+  reduce_window min/max pass flags iso-crossing blocks, one sort
+  compacts them, and the per-window extractor runs vmapped over only
+  those (~5% of blocks for a typical surface). Bit-identical output
+  to the dense sweep (global integer index offsets, no origin
+  re-rounding); the auto wrapper sizes the block cap from a cheap
+  counting pass and falls back to dense on dense-crossing fields.
 """
 
 from __future__ import annotations
@@ -267,7 +274,8 @@ def extract_soup(grid: VolumetricGrid, iso_level=0.0) -> TriangleSoup:
 
 
 @functools.partial(jax.jit, static_argnames=())
-def extract_soup_cubes(grid: VolumetricGrid, iso_level=0.0) -> TriangleSoup:
+def extract_soup_cubes(grid: VolumetricGrid, iso_level=0.0,
+                       index_offset=None) -> TriangleSoup:
     """True 256-case marching cubes using the algorithmically derived
     tables (mc_tables.py): ≤5 triangles per cube, ~2x fewer triangles
     than the tetrahedra path; same gradient-based winding rule.
@@ -295,6 +303,15 @@ def extract_soup_cubes(grid: VolumetricGrid, iso_level=0.0) -> TriangleSoup:
     bx = jax.lax.broadcasted_iota(jnp.float32, (cx, cy, cz), 0).reshape(-1)
     by = jax.lax.broadcasted_iota(jnp.float32, (cx, cy, cz), 1).reshape(-1)
     bz = jax.lax.broadcasted_iota(jnp.float32, (cx, cy, cz), 2).reshape(-1)
+    if index_offset is not None:
+        # banded extraction passes the window's global cube base so
+        # every index coordinate (and thus every emitted vertex) is
+        # BIT-IDENTICAL to the dense sweep's (int-valued f32 adds are
+        # exact below 2^24)
+        off = jnp.asarray(index_offset, jnp.float32)
+        bx = bx + off[0]
+        by = by + off[1]
+        bz = bz + off[2]
 
     # interpolated point on each of the 12 cube edges → (12, C) rows
     offs = _CORNER_OFFSET
@@ -386,6 +403,131 @@ def extract_soup_cubes(grid: VolumetricGrid, iso_level=0.0) -> TriangleSoup:
     return TriangleSoup(world, valid)
 
 
+@functools.partial(jax.jit, static_argnames=("block",))
+def _block_active_count(values: jnp.ndarray, iso_level,
+                        block: int = 8) -> jnp.ndarray:
+    """Number of ``block``³-cube blocks whose (B+1)³ value window
+    crosses ``iso_level`` (the cheap sizing pass for the banded
+    extractor — one reduce_window min/max over the grid)."""
+    vp, _ = _pad_to_blocks(values, block)
+    mn, mx = _window_minmax(vp, block)
+    return jnp.sum((mn < iso_level) & (mx >= iso_level)
+                   ).astype(jnp.int32)
+
+
+def _pad_to_blocks(values: jnp.ndarray, block: int):
+    """Edge-pad so the cube grid (dims−1) is a multiple of ``block``.
+    Edge replication makes padded cubes zero-extent in the padded
+    axis (equal corner values ⇒ case 0/255 ⇒ no triangles), so
+    padding never emits and never changes real cubes."""
+    nx, ny, nz = values.shape
+    nbx = -(-(nx - 1) // block)
+    nby = -(-(ny - 1) // block)
+    nbz = -(-(nz - 1) // block)
+    px = nbx * block + 1 - nx
+    py = nby * block + 1 - ny
+    pz = nbz * block + 1 - nz
+    vp = jnp.pad(values, ((0, px), (0, py), (0, pz)), mode="edge")
+    return vp, (nbx, nby, nbz)
+
+
+def _window_minmax(vp: jnp.ndarray, block: int):
+    win = (block + 1,) * 3
+    strides = (block,) * 3
+    mn = jax.lax.reduce_window(vp, jnp.float32(jnp.inf), jax.lax.min,
+                               win, strides, "VALID")
+    mx = jax.lax.reduce_window(vp, jnp.float32(-jnp.inf), jax.lax.max,
+                               win, strides, "VALID")
+    return mn, mx
+
+
+@functools.partial(jax.jit, static_argnames=("block", "max_blocks"))
+def extract_soup_cubes_banded(grid: VolumetricGrid, iso_level=0.0,
+                              block: int = 8,
+                              max_blocks: int = 4096) -> TriangleSoup:
+    """Band-compacted marching cubes: only blocks whose value window
+    crosses the iso level are extracted (the sparse-TSDF compaction
+    idea applied to a DENSE grid — at 256³ a surface touches ~5% of
+    blocks, and the dense sweep's 16.7M-cube edge interpolation +
+    table selects are ~95% wasted work).
+
+    Three fixed-shape stages: (1) per-block window min/max via one
+    ``reduce_window`` pair flags crossing blocks; (2) one (flag, key)
+    sort compacts active block ids to the front, capped at the static
+    ``max_blocks``; (3) the windows gather via vmapped dynamic_slice
+    and the standard per-window extractor (extract_soup_cubes) runs
+    vmapped over them. EXACT parity with the dense extractor when the
+    active count fits the cap — use :func:`extract_soup_cubes_auto`
+    to size the cap (or fall back) from the cheap counting pass.
+    """
+    v = grid.values
+    s1 = block + 1
+    vp, (nbx, nby, nbz) = _pad_to_blocks(v, block)
+    mn, mx = _window_minmax(vp, block)
+    active = ((mn < iso_level) & (mx >= iso_level)).reshape(-1)
+    nb = nbx * nby * nbz
+
+    key = jnp.arange(nb, dtype=jnp.int32)
+    _, order = jax.lax.sort(
+        (jnp.where(active, jnp.int32(0), jnp.int32(1)), key),
+        num_keys=1)
+    cap = min(max_blocks, nb)
+    sel = order[:cap]                                  # block ids
+    live = active[sel]
+    bz = sel % nbz
+    by = (sel // nbz) % nby
+    bx = sel // (nby * nbz)
+    corners = jnp.stack([bx, by, bz], 1) * block       # (cap, 3) i32
+
+    windows = jax.vmap(
+        lambda c: jax.lax.dynamic_slice(vp, (c[0], c[1], c[2]),
+                                        (s1, s1, s1)))(corners)
+
+    # real cube range: padded windows contain fake cubes past dims−1
+    # whose y/z variation can still emit — mask them exactly
+    nx, ny, nz = v.shape
+    lx = jax.lax.broadcasted_iota(jnp.int32, (block,) * 3, 0).reshape(-1)
+    ly = jax.lax.broadcasted_iota(jnp.int32, (block,) * 3, 1).reshape(-1)
+    lz = jax.lax.broadcasted_iota(jnp.int32, (block,) * 3, 2).reshape(-1)
+
+    def one(win, corner):
+        # global origin + integer index offset => emitted vertices are
+        # bit-identical to the dense sweep (no origin re-rounding)
+        g = VolumetricGrid(win, grid.origin, grid.spacing)
+        soup = extract_soup_cubes(g, iso_level, index_offset=corner)
+        okc = ((corner[0] + lx < nx - 1) & (corner[1] + ly < ny - 1)
+               & (corner[2] + lz < nz - 1))              # (B³,)
+        m = soup.mask.reshape(-1, 5) & okc[:, None]
+        return soup.vertices, m.reshape(-1)
+
+    verts, masks = jax.vmap(one)(windows, corners)
+    return TriangleSoup(verts.reshape(-1, 3),
+                        (masks & live[:, None]).reshape(-1))
+
+
+def extract_soup_cubes_auto(grid: VolumetricGrid, iso_level=0.0,
+                            block: int = 8,
+                            dense_fraction: float = 0.5) -> TriangleSoup:
+    """Banded extraction with host-side capacity sizing: one cheap
+    counting dispatch picks the power-of-two block cap (bounded
+    recompiles), and fields denser than ``dense_fraction`` of all
+    blocks fall back to the plain dense sweep (exact same output
+    either way)."""
+    n_act = int(_block_active_count(grid.values, jnp.float32(iso_level),
+                                    block=block))
+    nx, ny, nz = grid.values.shape
+    nb = (-(-(nx - 1) // block)) * (-(-(ny - 1) // block)) \
+        * (-(-(nz - 1) // block))
+    if n_act > dense_fraction * nb:
+        return extract_soup_cubes(grid, jnp.float32(iso_level))
+    cap = 256
+    while cap < n_act:
+        cap *= 2
+    return extract_soup_cubes_banded(grid, jnp.float32(iso_level),
+                                     block=block,
+                                     max_blocks=min(cap, nb))
+
+
 def soup_to_mesh(soup: TriangleSoup, weld_decimals: int = 5
                  ) -> TriangleMesh:
     """Host-side weld: triangle soup → indexed mesh."""
@@ -413,7 +555,7 @@ def marching_cubes(grid: VolumetricGrid, iso_level: float = 0.0,
     if method == "tetrahedra":
         soup = extract_soup(grid, jnp.float32(iso_level))
     else:
-        soup = extract_soup_cubes(grid, jnp.float32(iso_level))
+        soup = extract_soup_cubes_auto(grid, iso_level)
     return soup_to_mesh(soup)
 
 
