@@ -26,6 +26,22 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_debug_nans", False)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.
+
+    The full suite (~400 tests, one process, hundreds of XLA:CPU
+    compilations) segfaulted inside LLVM compilation around test ~300
+    (r3c, twice, same spot; any 3-file subset passes) — accumulated
+    backend/JIT state, not any single test. Dropping the jit caches at
+    module boundaries keeps the live compiler state bounded; modules
+    recompile their own programs anyway, so the wall-clock cost is
+    minutes over the whole suite.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
