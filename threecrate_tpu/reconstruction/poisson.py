@@ -34,18 +34,33 @@ from .marching_cubes import VolumetricGrid, marching_cubes as _extract_mesh
 
 @dataclasses.dataclass(frozen=True)
 class PoissonConfig:
-    """Mirrors PoissonConfig (poisson.rs:8-43); depth clamps to 6 like
-    the reference's effective limit."""
+    """Mirrors PoissonConfig (poisson.rs:8-43). The reference clamps
+    depth to 6 (poisson.rs:96-99); this rebuild accepts up to depth 8
+    (256³) — the geometric-multigrid solver (multigrid.py) keeps the
+    iteration count mesh-independent where unpreconditioned CG's grows
+    with resolution².
+
+    ``solver``: "auto" = CG at depth ≤ 6 (reference-parity behavior),
+    multigrid above; "cg" / "multigrid" force a path.
+    """
 
     depth: int = 6
     scale: float = 1.1
     cg_iterations: int = 200
     screening: float = 1e-4
     iso_from_points: bool = True
+    solver: str = "auto"
+    mg_cycles: int = 8
+    # drop output faces whose vertices ALL have zero splat support —
+    # χ is unconstrained away from the data, so its iso level can
+    # cross anywhere in the far field (on a noisy 60k sphere ~20% of
+    # verts were such spurious components). The external octree crate
+    # avoids this implicitly by only meshing refined-near-data cells.
+    density_trim: bool = True
 
     @property
     def resolution(self) -> int:
-        return 1 << min(self.depth, 6)
+        return 1 << min(self.depth, 8)
 
 
 def _laplacian(x: jnp.ndarray) -> jnp.ndarray:
@@ -59,8 +74,10 @@ def _laplacian(x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("res", "iters"))
-def _solve(points, normals, mask, origin, spacing, res, iters, screening):
+@functools.partial(jax.jit, static_argnames=("res", "iters", "solver",
+                                              "mg_cycles"))
+def _solve(points, normals, mask, origin, spacing, res, iters, screening,
+           solver="cg", mg_cycles=8):
     n = points.shape[0]
     # --- trilinear splat of the normal field ---------------------------
     g = (points - origin) / spacing
@@ -69,6 +86,10 @@ def _solve(points, normals, mask, origin, spacing, res, iters, screening):
     vfield = jnp.zeros((res, res, res, 3), jnp.float32)
     wfield = jnp.zeros((res, res, res), jnp.float32)
     m = mask.astype(jnp.float32)
+    # padded/masked rows may carry nan normals (e.g. 0/0 from a user
+    # normalising the padded array) — nan·0 = nan would poison the
+    # whole splat; zero them explicitly under the mask
+    normals = jnp.where(mask[:, None], jnp.nan_to_num(normals), 0.0)
     for dx in (0, 1):
         for dy in (0, 1):
             for dz in (0, 1):
@@ -99,24 +120,28 @@ def _solve(points, normals, mask, origin, spacing, res, iters, screening):
         return screening * x - _laplacian(x)
 
     rhs = -b
-    x = jnp.zeros_like(rhs)
-    r = rhs
-    p = r
-    rs = jnp.sum(r * r)
+    if solver == "multigrid":
+        from . import multigrid
+        x = multigrid.mg_solve(rhs, screening, cycles=mg_cycles)
+    else:
+        x = jnp.zeros_like(rhs)
+        r = rhs
+        p = r
+        rs = jnp.sum(r * r)
 
-    def body(i, state):
-        x, r, p, rs = state
-        ap = apply_a(p)
-        denom = jnp.sum(p * ap)
-        alpha = rs / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
-        x = x + alpha * p
-        r = r - alpha * ap
-        rs_new = jnp.sum(r * r)
-        beta = rs_new / jnp.where(rs > 1e-30, rs, 1e-30)
-        p = r + beta * p
-        return x, r, p, rs_new
+        def body(i, state):
+            x, r, p, rs = state
+            ap = apply_a(p)
+            denom = jnp.sum(p * ap)
+            alpha = rs / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+            x = x + alpha * p
+            r = r - alpha * ap
+            rs_new = jnp.sum(r * r)
+            beta = rs_new / jnp.where(rs > 1e-30, rs, 1e-30)
+            p = r + beta * p
+            return x, r, p, rs_new
 
-    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rs))
+        x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rs))
 
     # --- iso level from the points (trilinear sample) -------------------
     c000 = x[jnp.clip(g0[:, 0], 0, res - 1), jnp.clip(g0[:, 1], 0, res - 1),
@@ -133,7 +158,19 @@ def _solve(points, normals, mask, origin, spacing, res, iters, screening):
                 iz = jnp.clip(g0[:, 2] + dz, 0, res - 1)
                 acc = acc + w * x[ix, iy, iz]
     iso = jnp.sum(jnp.where(mask, acc, 0.0)) / jnp.maximum(jnp.sum(m), 1.0)
-    return x, iso
+
+    # support field for density trimming: one 3³ box-sum pass leaks
+    # each splat one cell outward, so every voxel the true surface
+    # passes through sees nonzero support while far-field spurious
+    # iso-crossings (χ is unconstrained away from the data) stay at 0
+    def box(a, axis):
+        def sh(d):
+            idx = jnp.clip(jnp.arange(a.shape[axis]) + d, 0,
+                           a.shape[axis] - 1)
+            return jnp.take(a, idx, axis=axis)
+        return sh(-1) + a + sh(1)
+    support = box(box(box(wfield, 0), 1), 2)
+    return x, iso, support
 
 
 def poisson_reconstruct(cloud: PointCloud,
@@ -158,9 +195,49 @@ def poisson_reconstruct(cloud: PointCloud,
     origin = center - span / 2
     spacing = span / (res - 1)
 
-    chi, iso = _solve(cloud.points, cloud.normals, cloud.mask,
-                      origin, spacing, res, config.cg_iterations,
-                      jnp.float32(config.screening))
+    solver = config.solver
+    if solver == "auto":
+        solver = "cg" if res <= 64 else "multigrid"
+    if solver not in ("cg", "multigrid"):
+        raise InvalidDataError(
+            f"solver must be 'auto', 'cg' or 'multigrid', got {solver!r}")
+    chi, iso, support = _solve(cloud.points, cloud.normals, cloud.mask,
+                               origin, spacing, res, config.cg_iterations,
+                               jnp.float32(config.screening), solver=solver,
+                               mg_cycles=config.mg_cycles)
     grid = VolumetricGrid(chi, origin, spacing)
     level = iso if config.iso_from_points else jnp.float32(0.0)
-    return _extract_mesh(grid, level)
+    mesh = _extract_mesh(grid, level)
+    if not config.density_trim:
+        return mesh
+    import numpy as np
+    v, f = mesh.to_numpy()
+    if len(f) == 0:
+        return mesh
+    sup = np.asarray(support)
+    g = (v - np.asarray(origin)[None, :]) / float(spacing)
+    gi = np.clip(np.floor(g).astype(np.int64), 0, res - 2)
+    fr = g - gi
+    dens = np.zeros(len(v), np.float64)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (np.where(dx, fr[:, 0], 1 - fr[:, 0])
+                     * np.where(dy, fr[:, 1], 1 - fr[:, 1])
+                     * np.where(dz, fr[:, 2], 1 - fr[:, 2]))
+                dens += w * sup[gi[:, 0] + dx, gi[:, 1] + dy,
+                                gi[:, 2] + dz]
+    # threshold: 5% of the median positive vertex density — true
+    # surface sits at O(median) (measured: good-vert p0.1 ≈ 0.4·med),
+    # far-field components at exactly 0, near-band skirts at ≪ 1% med
+    pos = dens[dens > 0]
+    thresh = 0.05 * float(np.median(pos)) if len(pos) else 0.0
+    keep = (dens[f] > thresh).any(axis=1)
+    if keep.all():
+        return mesh
+    f2 = f[keep]
+    used = np.unique(f2)
+    remap = np.full(len(v), -1, np.int64)
+    remap[used] = np.arange(len(used))
+    return TriangleMesh.from_numpy(v[used],
+                                   remap[f2].astype(np.int32))
