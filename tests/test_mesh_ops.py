@@ -216,6 +216,41 @@ class TestTsdf:
         # surface points near z = 0.5
         assert np.abs(pts[:, 2] - 0.5).mean() < 0.05
 
+    def test_extract_surface_banded_bitexact(self):
+        """Banded extraction = dense extraction, bitwise (same value
+        arithmetic on the same inputs; only the compaction differs)."""
+        vol = tsdf.create_volume((48, 48, 48), voxel_size=0.05,
+                                 origin=(-1.2, -1.2, -1.2))
+        ax = (np.arange(48) + 0.5) * 0.05 - 1.2
+        x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+        sdf = np.sqrt(x * x + y * y + z * z) - 0.8
+        t = np.clip(sdf / float(vol.truncation), -1, 1).astype(np.float32)
+        w = (np.abs(sdf) < 0.5).astype(np.float32) * 2.0
+        import jax.numpy as jnp
+        vol = vol._replace(tsdf=jnp.asarray(t), weight=jnp.asarray(w))
+        d = tsdf.extract_surface(vol)
+        b = tsdf.extract_surface_banded_auto(vol)
+        assert int(d.count) == int(b.count) > 1000
+        qd = np.asarray(d.cloud.points)[np.asarray(d.cloud.mask)]
+        qb = np.asarray(b.cloud.points)[np.asarray(b.cloud.mask)]
+        qd = qd[np.lexsort(qd.T)]
+        qb = qb[np.lexsort(qb.T)]
+        assert np.array_equal(qd, qb)
+
+    def test_extract_surface_banded_dense_fallback(self):
+        """Fields crossing everywhere must fall back to the dense
+        sweep (identical SurfacePoints shape contract)."""
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        vol = tsdf.create_volume((16, 16, 16), voxel_size=0.1)
+        t = rng.normal(size=(16, 16, 16)).astype(np.float32)
+        vol = vol._replace(tsdf=jnp.asarray(t),
+                           weight=jnp.ones((16, 16, 16), jnp.float32))
+        d = tsdf.extract_surface(vol)
+        b = tsdf.extract_surface_banded_auto(vol)
+        assert b.cloud.points.shape == d.cloud.points.shape
+        assert int(d.count) == int(b.count)
+
     def test_sequence_scan(self):
         vol = tsdf.create_volume((16, 16, 16), voxel_size=0.1,
                                  origin=(-0.8, -0.8, 0.0))

@@ -90,6 +90,7 @@ from .ops.tsdf import (
     TsdfVolume, create_volume as create_tsdf_volume, extract_surface
     as tsdf_extract_surface, integrate as tsdf_integrate,
     integrate_sequence as tsdf_integrate_sequence,
+    extract_surface_banded_auto as tsdf_extract_surface_banded,
 )
 from .ops.tsdf_sparse import (
     SparseTsdfVolume, create_sparse_volume as create_sparse_tsdf_volume,

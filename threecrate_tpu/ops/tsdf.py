@@ -186,6 +186,158 @@ def extract_surface(vol: TsdfVolume, min_weight: float = 1.0
     return SurfacePoints(cloud, jnp.sum(ok).astype(jnp.int32))
 
 
+def _pad_surface_blocks(tsdf: jnp.ndarray, weight: jnp.ndarray,
+                        block: int):
+    """Pad so the crossing-pair grid (dims−1 pairs per axis) tiles into
+    ``block``³ blocks with a +1 apron. tsdf edge-replicates (equal
+    values ⇒ no fake crossings), weight zero-pads (padded voxels can
+    never pass the min_weight gate)."""
+    nx, ny, nz = tsdf.shape
+    nbx = -(-(nx - 1) // block)
+    nby = -(-(ny - 1) // block)
+    nbz = -(-(nz - 1) // block)
+    pads = ((0, nbx * block + 1 - nx), (0, nby * block + 1 - ny),
+            (0, nbz * block + 1 - nz))
+    tp = jnp.pad(tsdf, pads, mode="edge")
+    wp = jnp.pad(weight, pads, mode="constant", constant_values=0.0)
+    return tp, wp, (nbx, nby, nbz)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _surface_active_count(vol: TsdfVolume, min_weight: float = 1.0,
+                          block: int = 8) -> jnp.ndarray:
+    """Cheap sizing pass: number of blocks whose (B+1)³ tsdf window
+    holds both signs among weight-observed voxels (superset of blocks
+    that emit crossings)."""
+    tp, wp, _ = _pad_surface_blocks(vol.tsdf, vol.weight, block)
+    win = (block + 1,) * 3
+    st = (block,) * 3
+    obs = wp >= min_weight
+    mn = jax.lax.reduce_window(jnp.where(obs, tp, jnp.inf),
+                               jnp.float32(jnp.inf), jax.lax.min,
+                               win, st, "VALID")
+    mx = jax.lax.reduce_window(jnp.where(obs, tp, -jnp.inf),
+                               jnp.float32(-jnp.inf), jax.lax.max,
+                               win, st, "VALID")
+    return jnp.sum((mn <= 0.0) & (mx >= 0.0)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("min_weight", "block",
+                                              "max_blocks"))
+def extract_surface_banded(vol: TsdfVolume, min_weight: float = 1.0,
+                           block: int = 8,
+                           max_blocks: int = 4096) -> SurfacePoints:
+    """Band-compacted zero-crossing extraction — the banded-MC idea
+    applied to :func:`extract_surface` (surface_extraction.wgsl:33-50):
+    a TSDF surface touches a few percent of ``block``³ regions, and the
+    dense path's 3·res³-row compaction sort is ~95% padding.
+
+    One reduce_window min/max over weight-observed tsdf flags crossing
+    -capable blocks, one small sort compacts their ids (static cap
+    ``max_blocks``), and a vmapped per-window extractor emits exactly
+    the dense path's interpolated points (same value arithmetic on the
+    same inputs — parity is point-multiset-exact when the active count
+    fits the cap). Output capacity is ``max_blocks · 3 · block³``.
+    """
+    tsdf, weight = vol.tsdf, vol.weight
+    nx, ny, nz = tsdf.shape
+    b = block
+    s1 = b + 1
+    tp, wp, (nbx, nby, nbz) = _pad_surface_blocks(tsdf, weight, b)
+    win = (s1,) * 3
+    st = (b,) * 3
+    obs = wp >= min_weight
+    mn = jax.lax.reduce_window(jnp.where(obs, tp, jnp.inf),
+                               jnp.float32(jnp.inf), jax.lax.min,
+                               win, st, "VALID")
+    mx = jax.lax.reduce_window(jnp.where(obs, tp, -jnp.inf),
+                               jnp.float32(-jnp.inf), jax.lax.max,
+                               win, st, "VALID")
+    active = ((mn <= 0.0) & (mx >= 0.0)).reshape(-1)
+    nb = nbx * nby * nbz
+
+    ids = jnp.arange(nb, dtype=jnp.int32)
+    _, order = jax.lax.sort(
+        (jnp.where(active, jnp.int32(0), jnp.int32(1)), ids), num_keys=1)
+    cap = min(max_blocks, nb)
+    sel = order[:cap]
+    live = active[sel]
+    cz = sel % nbz
+    cy = (sel // nbz) % nby
+    cx = sel // (nby * nbz)
+    corners = jnp.stack([cx, cy, cz], 1) * b            # (cap, 3) i32
+
+    t_win = jax.vmap(lambda c: jax.lax.dynamic_slice(
+        tp, (c[0], c[1], c[2]), (s1, s1, s1)))(corners)
+    w_win = jax.vmap(lambda c: jax.lax.dynamic_slice(
+        wp, (c[0], c[1], c[2]), (s1, s1, s1)))(corners)
+
+    dims = jnp.asarray([nx, ny, nz], jnp.int32)
+    li = [jax.lax.broadcasted_iota(jnp.int32, (b,) * 3, a)
+          for a in range(3)]
+
+    def one(wt, ww, corner):
+        cur_t = wt[:b, :b, :b]
+        cur_w = ww[:b, :b, :b]
+        gidx = jnp.stack([li[0] + corner[0], li[1] + corner[1],
+                          li[2] + corner[2]], -1)
+        # EXACT dense arithmetic: centers then frac·offset in the same
+        # op order as extract_surface (bit-identical points)
+        centers = vol.origin + (gidx.astype(jnp.float32) + 0.5) \
+            * vol.voxel_size
+        pts_l, ok_l = [], []
+        for axis in range(3):
+            starts = [0, 0, 0]
+            starts[axis] = 1
+            sh_t = jax.lax.dynamic_slice(wt, starts, (b, b, b))
+            sh_w = jax.lax.dynamic_slice(ww, starts, (b, b, b))
+            interior = gidx[..., axis] < dims[axis] - 1
+            inb = ((gidx[..., 0] < dims[0]) & (gidx[..., 1] < dims[1])
+                   & (gidx[..., 2] < dims[2]))
+            cross = (jnp.sign(cur_t) != jnp.sign(sh_t)) & interior & inb \
+                & (cur_w >= min_weight) & (sh_w >= min_weight) \
+                & (jnp.abs(cur_t - sh_t) > 1e-12)
+            frac = cur_t / jnp.where(jnp.abs(cur_t - sh_t) > 1e-12,
+                                     cur_t - sh_t, 1.0)
+            offset = jnp.zeros((3,), jnp.float32).at[axis].set(1.0) \
+                * vol.voxel_size
+            p = centers + frac[..., None] * offset
+            pts_l.append(p.reshape(-1, 3))
+            ok_l.append(cross.reshape(-1))
+        return jnp.concatenate(pts_l, 0), jnp.concatenate(ok_l, 0)
+
+    pts, ok = jax.vmap(one)(t_win, w_win, corners)      # (cap, 3b³, ·)
+    pts = pts.reshape(-1, 3)
+    ok = (ok & live[:, None]).reshape(-1)
+
+    key = jnp.where(ok, jnp.int32(0), jnp.int32(1))
+    _, sx, sy, sz, okf = jax.lax.sort(
+        (key, pts[:, 0], pts[:, 1], pts[:, 2], ok.astype(jnp.float32)),
+        num_keys=1)
+    cloud = PointCloud(jnp.stack([sx, sy, sz], axis=1), okf > 0.5, {})
+    return SurfacePoints(cloud, jnp.sum(ok).astype(jnp.int32))
+
+
+def extract_surface_banded_auto(vol: TsdfVolume, min_weight: float = 1.0,
+                                block: int = 8,
+                                dense_fraction: float = 0.5
+                                ) -> SurfacePoints:
+    """Banded extraction with host-side capacity sizing (power-of-two
+    caps bound recompiles); falls back to the dense sweep when the
+    surface touches more than ``dense_fraction`` of all blocks."""
+    n_act = int(_surface_active_count(vol, min_weight, block=block))
+    nx, ny, nz = vol.tsdf.shape
+    nb = (-(-(nx - 1) // block)) * (-(-(ny - 1) // block)) \
+        * (-(-(nz - 1) // block))
+    if n_act > dense_fraction * nb:
+        return extract_surface(vol, min_weight)
+    cap = 256
+    while cap < n_act:
+        cap *= 2
+    return extract_surface_banded(vol, min_weight, block=block,
+                                  max_blocks=min(cap, nb))
+
+
 def integrate_cloud(vol: TsdfVolume, cloud: PointCloud,
                     sensor_origin=(0.0, 0.0, 0.0)) -> TsdfVolume:
     """Point-cloud carving variant: splat each point's truncated band
