@@ -43,6 +43,26 @@ class TestQuadric:
         assert n1 > 20
         assert radius_error(out) < 0.15
 
+    def test_deep_target_reached_noisy_mesh(self):
+        """Both QEM paths must reach DEEP targets on noisy curvy
+        meshes: flip-guard rejections used to exhaust the batched
+        matching / greedy heap far above target (r3c verify-drive
+        finding: 166k faces -> 57k at target 5k). Banned-edge retry
+        (batched) and bounded heap re-seeding (greedy) fix it."""
+        rng = np.random.default_rng(1)
+        m = sphere_mesh(40)
+        v, f = m.to_numpy()
+        v = v + rng.normal(0, 0.01, v.shape).astype(np.float32)
+        m = TriangleMesh.from_numpy(v, f)
+        n0 = int(m.face_count())
+        # batched path (>5000 faces), 94% reduction
+        out = simp.QuadricErrorSimplifier().simplify(m, 180)
+        assert int(out.face_count()) <= 190, int(out.face_count())
+        # strict-greedy path (small mesh), 90% reduction
+        small = simp.QuadricErrorSimplifier().simplify(m, 3000)
+        out2 = simp.QuadricErrorSimplifier().simplify(small, 300)
+        assert int(out2.face_count()) <= 310, int(out2.face_count())
+
     def test_ratio_api(self):
         m = sphere_mesh()
         out = simp.QuadricErrorSimplifier().simplify_ratio(m, 0.5)

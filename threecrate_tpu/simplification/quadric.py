@@ -183,7 +183,31 @@ def qem_simplify(mesh: TriangleMesh, target_faces: int,
                                verts[b][None], config.use_optimal_position)
         return float(cc[0]), pp[0]
 
-    while heap and n_alive > target_faces:
+    reseeds = 0
+    while (heap or reseeds < 3) and n_alive > target_faces:
+        if not heap:
+            # flip/boundary-rejected candidates leave the heap
+            # permanently; collapses applied since may have made them
+            # legal again — re-seed from the surviving edges (bounded,
+            # so genuinely stuck meshes still terminate). r3c fix: the
+            # queue used to stop well above target_faces on curvy
+            # meshes once every remaining entry had been rejected.
+            reseeds += 1
+            re_edges, _ = edges_and_boundary(faces[face_alive])
+            if not len(re_edges):
+                break
+            rc, rp = collapse_cost(q[re_edges[:, 0]] + q[re_edges[:, 1]],
+                                   verts[re_edges[:, 0]],
+                                   verts[re_edges[:, 1]],
+                                   config.use_optimal_position)
+            heap = [(c2, int(a2), int(b2), int(version[a2]),
+                     int(version[b2]), tuple(p2))
+                    for c2, (a2, b2), p2 in zip(rc, re_edges, rp)
+                    if np.isfinite(c2)]
+            if not heap:
+                break
+            heapq.heapify(heap)
+            continue
         c, a, b, va_ver, vb_ver, p = heapq.heappop(heap)
         if version[a] != va_ver or version[b] != vb_ver:
             continue  # stale entry
@@ -264,7 +288,7 @@ def qem_simplify(mesh: TriangleMesh, target_faces: int,
 
 def qem_simplify_batched(mesh: TriangleMesh, target_faces: int,
                          config: QuadricErrorConfig = QuadricErrorConfig(),
-                         max_rounds: int = 64) -> TriangleMesh:
+                         max_rounds: int = 256) -> TriangleMesh:
     """Vectorised multiple-choice QEM simplification.
 
     The strict greedy queue (``qem_simplify``) pays Python-level work
@@ -290,6 +314,11 @@ def qem_simplify_batched(mesh: TriangleMesh, target_faces: int,
                         boundary0 if config.preserve_boundary else None,
                         config.boundary_weight)
 
+    # edges whose whole matched round was flip-rejected: banned until
+    # any collapse changes the geometry (r3c fix — breaking outright
+    # left meshes far above target_faces: 166k -> 57k at target 5k)
+    banned: set = set()
+
     for _ in range(max_rounds):
         n_alive = len(faces)
         if n_alive <= target_faces:
@@ -309,6 +338,13 @@ def qem_simplify_batched(mesh: TriangleMesh, target_faces: int,
             cost = np.where(
                 is_boundary[edges[:, 0]] != is_boundary[edges[:, 1]],
                 np.inf, cost)
+        if banned:
+            lo = np.minimum(edges[:, 0], edges[:, 1])
+            hi = np.maximum(edges[:, 0], edges[:, 1])
+            keys = lo * (len(verts) + 1) + hi
+            ban_mask = np.isin(keys, np.fromiter(banned, np.int64,
+                                                 len(banned)))
+            cost = np.where(ban_mask, np.inf, cost)
 
         # local-min matching: edge picked iff argmin at BOTH endpoints.
         # ONE global descending-cost write over (vertex, edge) pairs:
@@ -370,10 +406,19 @@ def qem_simplify_batched(mesh: TriangleMesh, target_faces: int,
             bad_vert = np.zeros(len(verts), bool)
             bad_vert[faces[flipped].ravel()] = True
             picked_ok = ~(bad_vert[a_sel] | bad_vert[b_sel])
+            if not picked_ok.all():
+                # ban the rejected edges so next round's matching picks
+                # other (costlier but legal) edges instead of re-matching
+                # and re-rejecting the same set forever
+                ra = a_sel[~picked_ok]
+                rb = b_sel[~picked_ok]
+                lo = np.minimum(ra, rb).astype(np.int64)
+                hi = np.maximum(ra, rb).astype(np.int64)
+                banned.update((lo * (len(verts) + 1) + hi).tolist())
             a_sel, b_sel, p_sel = (a_sel[picked_ok], b_sel[picked_ok],
                                    p_sel[picked_ok])
             if not len(a_sel):
-                break
+                continue  # nothing applied; banned set grew, retry
 
         # apply: b -> a everywhere, vertex a moves to p, quadrics add
         verts[a_sel] = p_sel
@@ -384,6 +429,7 @@ def qem_simplify_batched(mesh: TriangleMesh, target_faces: int,
         deg = (faces[:, 0] == faces[:, 1]) | (faces[:, 1] == faces[:, 2]) \
             | (faces[:, 0] == faces[:, 2])
         faces = faces[~deg]
+        banned.clear()   # geometry changed; rejected edges may be legal now
 
     used = np.unique(faces)
     remap = np.full(len(verts), -1, np.int64)
