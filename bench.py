@@ -75,6 +75,11 @@ def main() -> None:
     from threecrate_tpu.utils.profiling import median_time
 
     smoke = "--smoke" in sys.argv   # CPU syntax/shape check at tiny N
+    if smoke:
+        # force the local CPU backend: the container profile points
+        # every python at the tunneled TPU plugin (remote compiles,
+        # minutes per program) — a smoke check must never touch it
+        jax.config.update("jax_platforms", "cpu")
     n = 16_640 if smoke else 1_000_000
     big = jnp.float32(3e38)
     mask = jnp.ones(n, bool)
@@ -329,6 +334,68 @@ def main() -> None:
         "vs_baseline": round(0.672 / tmc, 2),
     }))
 
+    # band-compacted marching cubes: only iso-crossing blocks extract
+    # (baseline = the dense sweep's r3 number on the same grid). The
+    # capacity is sized once on host (sticky across frames in real
+    # use) then the banded program is timed like any fixed-shape jit.
+    from threecrate_tpu.reconstruction.marching_cubes import (
+        _block_active_count, extract_soup_cubes_banded)
+
+    n_act = int(_block_active_count(mc_grid.values, jnp.float32(0.0),
+                                    block=8))
+    cap_mc = 256
+    while cap_mc < n_act:
+        cap_mc *= 2
+
+    @jax.jit
+    def mc_banded_scalar(g):
+        soup = extract_soup_cubes_banded(g, jnp.float32(0.0), block=8,
+                                         max_blocks=cap_mc)
+        keep = jnp.repeat(soup.mask, 3)
+        return jnp.sum(jnp.where(keep[:, None], soup.vertices, 0.0))
+
+    tmb = median_time(lambda: float(mc_banded_scalar(mc_grid)),
+                      warmup=1, iters=3, sync_fn=lambda x: x)
+    print(json.dumps({
+        "metric": "marching_cubes_banded_256_ms",
+        "value": round(tmb * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(0.672 / tmb, 2),
+    }))
+
+    # Poisson reconstruction at depth 7 (128³) with the multigrid
+    # solver — past the reference's depth-6 clamp (poisson.rs:96-99);
+    # solve only (device): splat + divergence + 8 V-cycles + iso
+    # sample; baseline = this line's first HW measurement.
+    from threecrate_tpu.reconstruction.poisson import _solve as _psolve
+
+    nps = 10_000 if smoke else 100_000
+    pdir = np.asarray(_kitti_like(nps, 3))
+    pdir = pdir / np.maximum(
+        np.linalg.norm(pdir, axis=1, keepdims=True), 1e-9)
+    p_pts = jnp.asarray(pdir)
+    p_nrm = p_pts
+    p_mask = jnp.ones((nps,), bool)
+    p_res = 32 if smoke else 128
+    p_origin = jnp.asarray([-1.2, -1.2, -1.2], jnp.float32)
+    p_spacing = jnp.float32(2.4 / (p_res - 1))
+
+    @jax.jit
+    def poisson_scalar(pp, nn, mm):
+        chi, iso, support = _psolve(pp, nn, mm, p_origin, p_spacing,
+                                    p_res, 200, jnp.float32(1e-4),
+                                    solver="multigrid", mg_cycles=8)
+        return jnp.sum(jnp.abs(chi)) + iso + jnp.sum(support) * 0.0
+
+    tpo = median_time(lambda: float(poisson_scalar(p_pts, p_nrm, p_mask)),
+                      warmup=1, iters=3, sync_fn=lambda x: x)
+    print(json.dumps({
+        "metric": "poisson_mg_depth7_100k_ms",
+        "value": round(tpo * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(0.200 / tpo, 2),
+    }))
+
     # SHOT-352 at 250k (round-2 re-measure baseline: 292 ms)
     from threecrate_tpu.ops.features import extract_shot_features, ShotConfig
     shot_pc = PointCloud(points=src_n, mask=mask_n)
@@ -367,8 +434,10 @@ def main() -> None:
     }))
 
     # frame-to-model tracking: projective point-to-plane GN against
-    # the raycast model maps (baseline = the r3 measured 55 ms after
-    # map packing + early exit; first working implementation was 277)
+    # the raycast model maps (baseline = this line's first HW
+    # measurement, r3: 70.9 ms — a real 0.01 m offset runs the full
+    # 10-round GN budget, unlike the 55 ms near-identity early-exit
+    # number in docs)
     from threecrate_tpu.ops import frame_to_model as f2m_mod
 
     pose_moved = np.eye(4, dtype=np.float32)
@@ -392,11 +461,11 @@ def main() -> None:
         "metric": "f2m_track_480x640_ms",
         "value": round(ttk * 1e3, 1),
         "unit": "ms",
-        "vs_baseline": round(0.055 / ttk, 2),
+        "vs_baseline": round(0.0709 / ttk, 2),
     }))
 
     # sparse TSDF with the color channel (weighted running average per
-    # voxel; baseline = this line's first measurement, r3)
+    # voxel; baseline = this line's first HW measurement, r3: 68.5 ms)
     rgb_img = jnp.asarray(
         np.tile(np.linspace(0, 1, ww, dtype=np.float32)[None, :, None],
                 (hh, 1, 3)))
@@ -420,7 +489,7 @@ def main() -> None:
         "metric": "tsdf_sparse_color_256_ms_per_frame",
         "value": round(tspc * 1e3, 1),
         "unit": "ms",
-        "vs_baseline": round(0.080 / tspc, 2),
+        "vs_baseline": round(0.0685 / tspc, 2),
     }))
 
     # ---- normals: library-default path (union merge) at 1M ----
@@ -474,6 +543,22 @@ def main() -> None:
         "unit": "Mpts/s",
         "vs_baseline": round(mpts / OPEN3D_NORMALS_MPTS_S, 2),
     }))
+
+    # ---- allocation accounting (allocations.rs:19-55 analog): XLA
+    # buffer-assignment temp memory of the headline normals program —
+    # deterministic compile-time number, regression-watched like the
+    # timings (baseline = this line's first measurement: the union
+    # path's temp footprint at 1M should stay ~flat)
+    from threecrate_tpu.utils.profiling import program_memory
+    pm = program_memory(jax.jit(normals_union_scalar), src, mask)
+    if pm:
+        tempmb = pm.get("temp_bytes", 0) / 1e6
+        print(json.dumps({
+            "metric": "normals_default_1M_temp_memory",
+            "value": round(tempmb, 1),
+            "unit": "MB",
+            "vs_baseline": round(230.0 / tempmb, 2) if tempmb else 0.0,
+        }))
 
 
 if __name__ == "__main__":

@@ -103,3 +103,30 @@ def measure_peak_memory(fn, device=None):
     sync(out)
     after = device_memory_stats(device).get("peak_bytes_in_use", 0)
     return out, max(after - before, 0)
+
+
+def program_memory(fn, *args, **kwargs) -> Dict[str, int]:
+    """Compile-time memory accounting for a jitted program — the
+    deterministic TPU analog of the reference's instrumented-allocator
+    benches (threecrate-bench/src/mem/allocations.rs:19-55): XLA's
+    buffer assignment reports exactly what the program will allocate,
+    no runtime sampling needed.
+
+    Returns {argument, output, temp, generated_code} bytes from
+    ``Compiled.memory_analysis()``; {} when the backend doesn't expose
+    it. ``fn`` must be a ``jax.jit``-wrapped callable.
+    """
+    try:
+        compiled = fn.lower(*args, **kwargs).compile()
+        ma = compiled.memory_analysis()
+        if ma is None:
+            return {}
+        return {
+            "argument_bytes": int(getattr(ma, "argument_size_in_bytes", 0)),
+            "output_bytes": int(getattr(ma, "output_size_in_bytes", 0)),
+            "temp_bytes": int(getattr(ma, "temp_size_in_bytes", 0)),
+            "generated_code_bytes": int(
+                getattr(ma, "generated_code_size_in_bytes", 0)),
+        }
+    except Exception:
+        return {}
