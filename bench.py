@@ -393,7 +393,7 @@ def main() -> None:
         "metric": "poisson_mg_depth7_100k_ms",
         "value": round(tpo * 1e3, 1),
         "unit": "ms",
-        "vs_baseline": round(0.200 / tpo, 2),
+        "vs_baseline": round(0.0968 / tpo, 2),   # first HW measurement
     }))
 
     # SHOT-352 at 250k (round-2 re-measure baseline: 292 ms)
@@ -557,7 +557,8 @@ def main() -> None:
             "metric": "normals_default_1M_temp_memory",
             "value": round(tempmb, 1),
             "unit": "MB",
-            "vs_baseline": round(230.0 / tempmb, 2) if tempmb else 0.0,
+            # first HW measurement (XLA:TPU buffer assignment at 1M)
+            "vs_baseline": round(640.2 / tempmb, 2) if tempmb else 0.0,
         }))
 
 

@@ -39,6 +39,21 @@ def main():
     v, f = simple.to_numpy()
     print(f"{'simplified':16s}: {len(v):6d} verts {len(f):6d} faces")
 
+    # High-depth Poisson: depth 7/8 run the geometric multigrid solver
+    # (the reference clamps depth at 6 — its external octree-FEM crate
+    # is the solver; here the bound was unpreconditioned CG, and the
+    # V-cycle hierarchy removes it at a mesh-independent cycle count).
+    # density_trim (default) drops far-field spurious components where
+    # the indicator function is unconstrained by data.
+    from threecrate_tpu import PoissonConfig
+    for depth in (7, 8):
+        mesh = tc.poisson_reconstruct(cloud, PoissonConfig(depth=depth))
+        v, f = mesh.to_numpy()
+        r = np.linalg.norm(v, axis=1)
+        print(f"{'poisson d%d' % depth:16s}: {len(v):6d} verts "
+              f"{len(f):6d} faces  radius {np.median(r):.4f} "
+              f"+/- {r.std():.4f}")
+
 
 if __name__ == "__main__":
     main()
