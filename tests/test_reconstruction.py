@@ -139,6 +139,41 @@ class TestPoisson:
         assert r.std() < 0.02
 
 
+class TestDeviceWeld:
+    def test_device_weld_matches_host(self):
+        """Sort-based device weld = np.unique host weld: same counts,
+        same triangle multiset, vertices within 1 ulp (rounded-key
+        coordinates computed in f32 vs f64)."""
+        import importlib
+        import jax.numpy as jnp
+        MC = importlib.import_module(
+            "threecrate_tpu.reconstruction.marching_cubes")
+        grid = recon.create_sphere_volume(48, radius=1.0)
+        soup = MC.extract_soup_cubes(grid, jnp.float32(0.0))
+        mh = MC.soup_to_mesh(soup, method="host")
+        md = MC.soup_to_mesh(soup, method="device")
+        vh, fh = mh.to_numpy()
+        vd, fd = md.to_numpy()
+        assert fh.shape == fd.shape and vh.shape == vd.shape
+        th = np.sort(vh[fh].round(5).reshape(-1, 9).view(
+            [("", np.float32)] * 9), axis=None)
+        td = np.sort(vd[fd].round(5).reshape(-1, 9).view(
+            [("", np.float32)] * 9), axis=None)
+        assert np.array_equal(th, td)
+
+    def test_device_weld_empty(self):
+        import importlib
+        import jax.numpy as jnp
+        MC = importlib.import_module(
+            "threecrate_tpu.reconstruction.marching_cubes")
+        grid = recon.VolumetricGrid(
+            jnp.ones((8, 8, 8), jnp.float32),
+            jnp.zeros(3, jnp.float32), jnp.float32(0.1))
+        soup = MC.extract_soup_cubes(grid, jnp.float32(0.0))
+        m = MC.soup_to_mesh(soup, method="device")
+        assert int(m.face_count()) == 0
+
+
 class TestMultigrid:
     def test_vcycle_converges_mesh_independent(self):
         """Relative residual after 8 cycles must be < 1e-4 at every

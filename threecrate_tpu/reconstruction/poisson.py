@@ -173,6 +173,28 @@ def _solve(points, normals, mask, origin, spacing, res, iters, screening,
     return x, iso, support
 
 
+@jax.jit
+def _sample_support(support: jnp.ndarray, origin: jnp.ndarray,
+                    spacing, verts: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sample of the splat-support field at mesh vertices
+    (density-trim helper; runs on device so only the compact vertex
+    array crosses the host boundary)."""
+    res = support.shape[0]
+    g = (verts - origin[None, :]) / spacing
+    g0 = jnp.clip(jnp.floor(g).astype(jnp.int32), 0, res - 2)
+    fr = g - g0.astype(jnp.float32)
+    dens = jnp.zeros(verts.shape[0], jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (jnp.where(dx, fr[:, 0], 1 - fr[:, 0])
+                     * jnp.where(dy, fr[:, 1], 1 - fr[:, 1])
+                     * jnp.where(dz, fr[:, 2], 1 - fr[:, 2]))
+                dens = dens + w * support[g0[:, 0] + dx, g0[:, 1] + dy,
+                                          g0[:, 2] + dz]
+    return dens
+
+
 def poisson_reconstruct(cloud: PointCloud,
                         config: PoissonConfig = PoissonConfig()
                         ) -> TriangleMesh:
@@ -214,19 +236,15 @@ def poisson_reconstruct(cloud: PointCloud,
     v, f = mesh.to_numpy()
     if len(f) == 0:
         return mesh
-    sup = np.asarray(support)
-    g = (v - np.asarray(origin)[None, :]) / float(spacing)
-    gi = np.clip(np.floor(g).astype(np.int64), 0, res - 2)
-    fr = g - gi
-    dens = np.zeros(len(v), np.float64)
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                w = (np.where(dx, fr[:, 0], 1 - fr[:, 0])
-                     * np.where(dy, fr[:, 1], 1 - fr[:, 1])
-                     * np.where(dz, fr[:, 2], 1 - fr[:, 2]))
-                dens += w * sup[gi[:, 0] + dx, gi[:, 1] + dy,
-                                gi[:, 2] + dz]
+    # sample the support field at the mesh vertices ON DEVICE —
+    # pulling a 256³ f32 support volume through the tunnel costs
+    # ~67 MB; the padded vertex upload + density download is ~2
+    # orders smaller (power-of-two padding bounds recompiles)
+    npad = 1 << max(int(np.ceil(np.log2(max(len(v), 2)))), 10)
+    vpad = np.zeros((npad, 3), np.float32)
+    vpad[:len(v)] = v
+    dens = np.asarray(_sample_support(
+        support, origin, spacing, jnp.asarray(vpad)))[:len(v)]
     # threshold: 5% of the median positive vertex density — true
     # surface sits at O(median) (measured: good-vert p0.1 ≈ 0.4·med),
     # far-field components at exactly 0, near-band skirts at ≪ 1% med
