@@ -512,6 +512,36 @@ class TestShardedTsdf:
         ws = want[np.lexsort(want.T)]
         np.testing.assert_allclose(gs, ws, atol=1e-5)
 
+    def test_raycast_matches_single_device(self):
+        """Per-slab marches + pmin/psum combine = the single-device
+        sparse raycast: any crossing the global march finds lives in
+        some shard's blocks, so the global first hit is the min over
+        per-slab first hits; refinement is apron-self-contained."""
+        from threecrate_tpu.ops import tsdf_raycast as rc
+
+        fac, st, ref = self._fuse_both()
+        pose = jnp.asarray(np.eye(4, dtype=np.float32))
+        depth, verts, nrms, mask, conf = fac.raycast(
+            st, self.INTR, pose, self.H, self.W, far=6.0,
+            max_steps=48, coarse_factor=4)
+        want = rc.sparse_raycast(ref, self.INTR, pose, self.H, self.W,
+                                 grid_blocks=self.GRID, block=8,
+                                 far=6.0, max_steps=48,
+                                 coarse_factor=4, materialize=False)
+        got_m = np.asarray(mask)
+        want_m = np.asarray(want.mask)
+        # hit masks agree except possibly a tiny silhouette fraction
+        assert (got_m != want_m).mean() < 0.01, (got_m != want_m).mean()
+        both = got_m & want_m
+        assert both.sum() > 0.5 * got_m.size
+        dg = np.asarray(depth)[both]
+        dw = np.asarray(want.depth)[both]
+        np.testing.assert_allclose(dg, dw, atol=float(self.VSIZE))
+        ng = np.asarray(nrms)[both]
+        nw = np.asarray(want.normals)[both]
+        dots = np.abs((ng * nw).sum(-1)).clip(0, 1)
+        assert np.median(dots) > 0.999
+
     def test_grid_not_divisible_raises(self):
         from threecrate_tpu.parallel import sharded
 

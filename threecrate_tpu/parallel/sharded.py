@@ -843,6 +843,9 @@ class ShardedTsdf(NamedTuple):
     integrate: "function"       # (state, depth, intr, pose) -> state
     extract_surface: "function" # (state) -> (points (D·rows, 3), mask)
     marching_cubes: "function"  # (state) -> (vertices (D·rows, 3), mask)
+    # (state, intr, pose, height, width, ...) -> replicated
+    # (depth, vertices, normals, mask, confident) maps
+    raycast: "function" = None
 
 
 def make_sharded_tsdf(mesh: Mesh, grid_blocks: Tuple[int, int, int],
@@ -947,5 +950,118 @@ def make_sharded_tsdf(mesh: Mesh, grid_blocks: Tuple[int, int, int],
         return jax.jit(_mc)(st.block_keys, st.n_blocks, st.tsdf,
                             st.weight)
 
+    gyz = gy * gz
+    int_max = jnp.int32(2 ** 31 - 1)
+
+    def _halo_extend(keys, nb, tsdf, weight):
+        """Append the x-neighbors' boundary block layers (one
+        ppermute each way) so marches can cross slab boundaries: a
+        surface crossing between slab d's last x-layer and slab
+        d+1's first lives in blocks owned by DIFFERENT shards, and
+        without the halo both of them see a hole there mid-ray
+        (measured: vertical stripes of missed hits at every slab
+        boundary). Halo keys lie outside the owner's key range, so
+        the extended table has no duplicates and one key sort
+        restores the sorted-keys invariant."""
+        didx = jax.lax.axis_index(axis_name)
+        lo = (didx * jnp.int32(slab * gyz)).astype(jnp.int32)
+        hi = lo + jnp.int32(slab * gyz)
+        n = nb[0]
+        idx = jnp.arange(mb, dtype=jnp.int32)
+        alloc = idx < n
+
+        def layer(sel):
+            okey = jnp.where(sel & alloc, jnp.int32(0), jnp.int32(1))
+            _, order = jax.lax.sort((okey, idx), num_keys=1)
+            take = order[:gyz]
+            cnt = jnp.sum(sel & alloc).astype(jnp.int32)
+            k = jnp.where(jnp.arange(gyz) < cnt, keys[take], int_max)
+            return k, tsdf[take], weight[take]
+
+        kl, tl, wl = layer(keys < lo + gyz)      # own first x-layer
+        kr, tr, wr = layer((keys >= hi - gyz) & (keys < hi))
+        perm_up = [(i, i + 1) for i in range(n_dev - 1)]
+        perm_dn = [(i, i - 1) for i in range(1, n_dev)]
+        # right layer of d-1 arrives as our left halo; left layer of
+        # d+1 as our right halo. Unmatched edge receivers are
+        # zero-filled by ppermute — zero KEYS would alias block 0, so
+        # mask them to the sentinel (weights arrive 0 = unobserved).
+        rkl = jax.lax.ppermute(kr, axis_name, perm_up)
+        rtl = jax.lax.ppermute(tr, axis_name, perm_up)
+        rwl = jax.lax.ppermute(wr, axis_name, perm_up)
+        rkr = jax.lax.ppermute(kl, axis_name, perm_dn)
+        rtr = jax.lax.ppermute(tl, axis_name, perm_dn)
+        rwr = jax.lax.ppermute(wl, axis_name, perm_dn)
+        rkl = jnp.where(didx == 0, int_max, rkl)
+        rkr = jnp.where(didx == n_dev - 1, int_max, rkr)
+
+        keys_e = jnp.concatenate([keys, rkl, rkr])
+        tsdf_e = jnp.concatenate([tsdf, rtl, rtr], axis=0)
+        wt_e = jnp.concatenate([weight, rwl, rwr], axis=0)
+        slot = jnp.arange(keys_e.shape[0], dtype=jnp.int32)
+        keys_s, order = jax.lax.sort((keys_e, slot), num_keys=1)
+        n_ext = n + jnp.sum(rkl < int_max) + jnp.sum(rkr < int_max)
+        return _sp.SparseTsdfVolume(
+            keys_s, n_ext.astype(jnp.int32), tsdf_e[order],
+            wt_e[order], origin_a, vsize, trunc, None)
+
+    @functools.lru_cache(maxsize=8)
+    def _make_raycast(height, width, near, far, max_steps,
+                      coarse_factor):
+        from ..ops import tsdf_raycast as _ray
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(spec, spec, spec, spec, P(), P()),
+            out_specs=(P(), P(), P(), P(), P()),
+            check_vma=False)
+        def _rc(keys, nb, tsdf, weight, intr, pose):
+            # each device marches the FULL image against its own slab
+            # plus one halo block layer each side (other slabs read as
+            # unallocated and are DDA-skipped); any crossing the
+            # global march would find lives in some shard's own- or
+            # halo-blocks, so the global first hit is exactly the min
+            # over per-slab first hits. Refinement and normals are
+            # slab-local: the (B+1)³ apron makes boundary blocks
+            # self-contained (same argument as sharded extraction).
+            res = _ray.sparse_raycast(
+                _halo_extend(keys, nb, tsdf, weight), intr, pose,
+                height, width, grid_blocks=grid_blocks, block=block,
+                near=near, far=far, max_steps=max_steps,
+                coarse_factor=coarse_factor, materialize=False)
+            t = jnp.where(res.mask, res.depth, jnp.inf)
+            tmin = jax.lax.pmin(t, axis_name)
+            win = res.mask & (t == tmin)
+            didx = jax.lax.axis_index(axis_name)
+            wid = jax.lax.pmin(
+                jnp.where(win, didx, jnp.int32(2 ** 30)), axis_name)
+            winner = win & (didx == wid)      # unique winner per pixel
+            depth = jax.lax.psum(jnp.where(winner, res.depth, 0.0),
+                                 axis_name)
+            pts = jax.lax.psum(
+                jnp.where(winner[..., None], res.vertices, 0.0),
+                axis_name)
+            nrm = jax.lax.psum(
+                jnp.where(winner[..., None], res.normals, 0.0),
+                axis_name)
+            okf = jax.lax.psum(winner.astype(jnp.float32), axis_name)
+            conf = jax.lax.psum(
+                jnp.where(winner, res.confident.astype(jnp.float32),
+                          0.0), axis_name)
+            return depth, pts, nrm, okf > 0.0, conf > 0.0
+
+        return jax.jit(_rc)
+
+    def raycast(st: ShardedTsdfState, intr, pose, height: int,
+                width: int, near: float = 0.1, far: float = 10.0,
+                max_steps: int = 96, coarse_factor: int = 4):
+        """Collective-light sharded raycast: per-slab marches + one
+        pmin/psum combine; returns replicated
+        (depth, vertices, normals, mask, confident) maps."""
+        fn = _make_raycast(height, width, float(near), float(far),
+                           int(max_steps), int(coarse_factor))
+        return fn(st.block_keys, st.n_blocks, st.tsdf, st.weight,
+                  intr, pose)
+
     return ShardedTsdf(_init, integrate, extract_surface,
-                       marching_cubes)
+                       marching_cubes, raycast)
