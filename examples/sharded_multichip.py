@@ -103,6 +103,16 @@ def main():
           f"(per-device {per_shard.tolist()}), "
           f"{int(np.asarray(smask2).sum())} surface points")
 
+    # render the fused multi-chip map without gathering it: per-slab
+    # marches + one x-halo ppermute each way + a pmin/psum combine
+    rdep, rverts, rnrm, rmask, rconf = tsdf_fac.raycast(
+        st, intr, jnp.asarray(np.eye(4, dtype=np.float32)), 48, 64,
+        far=6.0, max_steps=48)
+    hits = int(np.asarray(rmask).sum())
+    print(f"sharded raycast: {hits}/{48 * 64} pixels hit, "
+          f"depth range [{float(np.asarray(rdep)[np.asarray(rmask)].min()):.2f}, "
+          f"{float(np.asarray(rdep)[np.asarray(rmask)].max()):.2f}] m")
+
 
 if __name__ == "__main__":
     main()
