@@ -113,6 +113,23 @@ def main():
           f"depth range [{float(np.asarray(rdep)[np.asarray(rmask)].min()):.2f}, "
           f"{float(np.asarray(rdep)[np.asarray(rmask)].max()):.2f}] m")
 
+    # close the multi-chip KinectFusion loop: projective point-to-plane
+    # tracking against the sharded-raycast model maps (replicated, so
+    # the single-device tracker consumes them directly)
+    from threecrate_tpu.ops.tsdf_raycast import RaycastResult
+    from threecrate_tpu.ops import frame_to_model as f2m
+    model = RaycastResult(rdep, rverts, rnrm, rmask, rconf)
+    init = np.eye(4, dtype=np.float32)
+    init[0, 3], init[1, 3] = 0.02, -0.015   # perturbed pose seed
+    tr = f2m.track(model, jnp.asarray(np.eye(4, dtype=np.float32)),
+                   jnp.where(rmask, rdep, 0.0), intr,
+                   jnp.asarray(init), max_iterations=10)
+    perr = float(np.abs(np.asarray(tr.cam_to_world)
+                        - np.eye(4)).max())
+    print(f"sharded f2m track: identity recovered to {perr:.2e} "
+          f"(converged={bool(tr.converged)}, "
+          f"n_valid={int(tr.n_valid)})")
+
 
 if __name__ == "__main__":
     main()
