@@ -153,14 +153,58 @@ class TestPcd:
         np.testing.assert_allclose(back.attr_to_numpy("colors"),
                                    cloud.attr_to_numpy("colors"), atol=1 / 255)
 
-    def test_compressed_rejected(self, tmp_path):
+    def test_compressed_roundtrip(self, cloud, tmp_path):
+        """binary_compressed via the LZF codec — a mode the reference
+        REJECTS (pcd.rs:426); field-major payload, PCL layout."""
+        p = tmp_path / "c.pcd"
+        tcio.write_point_cloud(p, cloud, compressed=True)
+        raw = p.read_bytes()
+        assert b"DATA binary_compressed" in raw
+        back = tcio.read_point_cloud(p)
+        np.testing.assert_allclose(back.to_numpy(), cloud.to_numpy(),
+                                   atol=1e-4)
+        np.testing.assert_allclose(back.attr_to_numpy("colors"),
+                                   cloud.attr_to_numpy("colors"),
+                                   atol=1 / 255)
+        # structured data genuinely compresses (the fixture's random
+        # floats don't — LZF is byte-oriented)
+        from threecrate_tpu import PointCloud
+        g = np.mgrid[0:20, 0:20].reshape(2, -1).T.astype(np.float32)
+        grid_cloud = PointCloud.from_numpy(
+            np.concatenate([g, np.zeros((400, 1), np.float32)], 1))
+        pg = tmp_path / "g.pcd"
+        pgb = tmp_path / "gb.pcd"
+        tcio.write_point_cloud(pg, grid_cloud, compressed=True)
+        tcio.write_point_cloud(pgb, grid_cloud, binary=True)
+        assert pg.stat().st_size < pgb.stat().st_size
+        back2 = tcio.read_point_cloud(pg)
+        np.testing.assert_allclose(back2.to_numpy(),
+                                   grid_cloud.to_numpy(), atol=1e-6)
+
+    def test_compressed_truncated_rejected(self, tmp_path):
         p = tmp_path / "c.pcd"
         p.write_bytes(b"VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
                       b"COUNT 1 1 1\nWIDTH 1\nHEIGHT 1\nPOINTS 1\n"
                       b"DATA binary_compressed\nxxxx")
-        from threecrate_tpu.core.errors import UnsupportedError
-        with pytest.raises(UnsupportedError):
+        from threecrate_tpu.core.errors import InvalidDataError
+        with pytest.raises(InvalidDataError):
             tcio.read_point_cloud(p)
+
+    def test_lzf_codec_roundtrip(self):
+        from threecrate_tpu import native
+        rng = np.random.default_rng(0)
+        cases = [
+            rng.integers(0, 256, 50000, dtype=np.uint8).tobytes(),
+            b"abcabcabcabc" * 5000,
+            np.zeros(70000, np.uint8).tobytes(),
+            b"x", b"",
+        ]
+        for data in cases:
+            comp = native.lzf_compress(data)
+            assert native.lzf_decompress(comp, len(data)) == data
+        # repetitive data genuinely compresses
+        rep = b"abcabcabcabc" * 5000
+        assert len(native.lzf_compress(rep)) < len(rep) // 10
 
 
 class TestStl:

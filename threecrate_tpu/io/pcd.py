@@ -1,4 +1,4 @@
-"""PCD v0.7 reader/writer (ASCII + binary; compressed detected & rejected).
+"""PCD v0.7 reader/writer (ASCII, binary, and binary_compressed via the native LZF codec).
 
 Covers the reference's PCD surface (threecrate-io/src/pcd.rs:20-95):
 header parse (FIELDS/SIZE/TYPE/COUNT/WIDTH/HEIGHT/VIEWPOINT/POINTS/DATA),
@@ -13,7 +13,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..core.errors import InvalidDataError, UnsupportedError
+from ..core.errors import InvalidDataError
 from ..core.point_cloud import PointCloud
 
 _TYPE_MAP = {("F", 4): "f4", ("F", 8): "f8",
@@ -85,11 +85,41 @@ def read_point_cloud(path, **_) -> PointCloud:
     with open(path, "rb") as f:
         data = f.read()
     h = parse_header(data)
-    if h.data == "binary_compressed":
-        raise UnsupportedError(
-            "PCD binary_compressed requires LZF; re-export as binary/ascii")
     cols: Dict[str, np.ndarray] = {}
-    if h.data == "binary":
+    if h.data == "binary_compressed":
+        # LZF-compressed field-major payload (PCL pcd_io): u32
+        # compressed size, u32 uncompressed size, LZF stream; the
+        # uncompressed bytes hold ALL x values, then all y, ... —
+        # structure-of-arrays, unlike row-major plain binary.
+        # (The reference rejects this mode, pcd.rs:426 — here the
+        # native LZF codec in native/tc_native.cpp reads it.)
+        from ..native import lzf_decompress
+        hdr = data[h.header_len:h.header_len + 8]
+        if len(hdr) < 8:
+            raise InvalidDataError("PCD binary_compressed truncated")
+        comp_size, uncomp_size = np.frombuffer(hdr, "<u4", 2)
+        payload = data[h.header_len + 8:h.header_len + 8 + int(comp_size)]
+        if len(payload) < int(comp_size):
+            raise InvalidDataError("PCD binary_compressed truncated")
+        try:
+            raw = lzf_decompress(bytes(payload), int(uncomp_size))
+        except ValueError as e:
+            raise InvalidDataError(f"PCD LZF payload: {e}") from None
+        if len(raw) != int(uncomp_size):
+            raise InvalidDataError("PCD LZF payload: size mismatch")
+        off = 0
+        for name, size, typ, cnt in zip(h.fields, h.sizes, h.types,
+                                        h.counts):
+            code = _TYPE_MAP.get((typ.upper(), size))
+            if code is None:
+                raise InvalidDataError(f"PCD: unsupported field {typ}{size}")
+            nbytes = size * cnt * h.points
+            block = np.frombuffer(raw, "<" + code,
+                                  h.points * cnt, off)
+            cols[name] = block if cnt == 1 else block.reshape(
+                h.points, cnt)
+            off += nbytes
+    elif h.data == "binary":
         dt_fields = []
         for name, size, typ, cnt in zip(h.fields, h.sizes, h.types, h.counts):
             code = _TYPE_MAP.get((typ.upper(), size))
@@ -139,7 +169,11 @@ def read_point_cloud(path, **_) -> PointCloud:
     return PointCloud.from_numpy(pts, **attrs)
 
 
-def write_point_cloud(path, cloud: PointCloud, binary: bool = True, **_) -> None:
+def write_point_cloud(path, cloud: PointCloud, binary: bool = True,
+                      compressed: bool = False, **_) -> None:
+    """Write PCD v0.7. ``compressed=True`` emits DATA binary_compressed
+    (LZF over the field-major payload, PCL-compatible) — a mode the
+    reference cannot write at all (pcd.rs:426)."""
     pts = cloud.to_numpy()
     fields, sizes, types, counts = ["x", "y", "z"], [4, 4, 4], ["F"] * 3, [1] * 3
     cols = [pts[:, 0], pts[:, 1], pts[:, 2]]
@@ -169,11 +203,21 @@ def write_point_cloud(path, cloud: PointCloud, binary: bool = True, **_) -> None
         "HEIGHT 1",
         "VIEWPOINT 0 0 0 1 0 0 0",
         f"POINTS {n_pts}",
-        f"DATA {'binary' if binary else 'ascii'}",
+        "DATA " + ("binary_compressed" if compressed
+                   else "binary" if binary else "ascii"),
         ""])
     with open(path, "wb") as f:
         f.write(header.encode("ascii"))
-        if binary:
+        if compressed:
+            from ..native import lzf_compress
+            soa = b"".join(
+                (col.astype(np.float32) if col.dtype != np.float32
+                 else col).tobytes() for col in cols)
+            comp = lzf_compress(soa)
+            f.write(np.asarray([len(comp), len(soa)],
+                               "<u4").tobytes())
+            f.write(comp)
+        elif binary:
             rec = np.zeros(n_pts, np.dtype([(nm, "<f4") for nm in fields]))
             for nm, col in zip(fields, cols):
                 rec[nm] = col.astype(np.float32) if col.dtype != np.float32 else col

@@ -60,6 +60,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_double,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float)]
+        lib.tc_lzf_decompress.restype = ctypes.c_long
+        lib.tc_lzf_decompress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+        lib.tc_lzf_compress.restype = ctypes.c_long
+        lib.tc_lzf_compress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
         _lib = lib
         HAS_NATIVE = True
         return lib
@@ -103,6 +111,78 @@ def decode_velodyne_batch(packets: np.ndarray, dist_resolution: float):
         az.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         inten.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return dist, az, inten
+
+
+def lzf_decompress(src: bytes, expected_size: int) -> bytes:
+    """LZF block decode (the PCD ``binary_compressed`` payload codec).
+    Native when available; pure-Python fallback otherwise."""
+    lib = _load()
+    if lib is not None:
+        sarr = np.frombuffer(src, np.uint8)
+        out = np.empty(expected_size, np.uint8)
+        n = lib.tc_lzf_decompress(
+            sarr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(src),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            expected_size)
+        if n < 0:
+            raise ValueError("corrupt LZF stream")
+        return out[:n].tobytes()
+    # fallback: byte-at-a-time python decoder (correct, slow)
+    out = bytearray()
+    ip, n = 0, len(src)
+    while ip < n:
+        ctrl = src[ip]
+        ip += 1
+        if ctrl < 32:
+            ln = ctrl + 1
+            if ip + ln > n:
+                raise ValueError("corrupt LZF stream")
+            out += src[ip:ip + ln]
+            ip += ln
+        else:
+            ln = ctrl >> 5
+            if ln == 7:
+                if ip >= n:
+                    raise ValueError("corrupt LZF stream")
+                ln += src[ip]
+                ip += 1
+            ln += 2
+            if ip >= n:
+                raise ValueError("corrupt LZF stream")
+            dist = ((ctrl & 0x1F) << 8 | src[ip]) + 1
+            ip += 1
+            ref = len(out) - dist
+            if ref < 0:
+                raise ValueError("corrupt LZF stream")
+            for _ in range(ln):
+                out.append(out[ref])
+                ref += 1
+    if len(out) > expected_size:
+        raise ValueError("LZF output larger than declared size")
+    return bytes(out)
+
+
+def lzf_compress(data: bytes) -> bytes:
+    """LZF block encode. Native greedy hash-chain when available; the
+    fallback emits an all-literal stream (valid LZF, no compression)."""
+    lib = _load()
+    if lib is not None:
+        sarr = np.frombuffer(data, np.uint8)
+        cap = len(data) + len(data) // 16 + 64
+        out = np.empty(cap, np.uint8)
+        n = lib.tc_lzf_compress(
+            sarr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if n > 0:
+            return out[:n].tobytes()
+    out = bytearray()
+    for s in range(0, len(data), 32):
+        run = data[s:s + 32]
+        out.append(len(run) - 1)
+        out += run
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

@@ -135,4 +135,101 @@ long tc_decode_velodyne(const uint8_t* pkts, long n_pkts,
     return idx;
 }
 
+// ---------------------------------------------------------------------
+// LZF block codec (the PCL PCD `binary_compressed` payload format).
+// Implemented from the published stream format (liblzf's LZF_VERSION
+// 1.x on-disk format; also documented in the PCL io docs):
+//   ctrl < 0x20        : literal run of ctrl+1 bytes
+//   ctrl >= 0x20       : back-reference; len = (ctrl >> 5) + 2,
+//                        if (ctrl >> 5) == 7 an extra byte adds to len;
+//                        distance = (((ctrl & 0x1f) << 8) | next) + 1
+// ---------------------------------------------------------------------
+
+long tc_lzf_decompress(const uint8_t* src, long srclen,
+                       uint8_t* dst, long dstcap) {
+    long ip = 0, op = 0;
+    while (ip < srclen) {
+        uint32_t ctrl = src[ip++];
+        if (ctrl < 32) {                       // literal run
+            long len = (long)ctrl + 1;
+            if (ip + len > srclen || op + len > dstcap) return -1;
+            for (long i = 0; i < len; ++i) dst[op++] = src[ip++];
+        } else {                               // back reference
+            long len = (long)(ctrl >> 5);
+            if (len == 7) {
+                if (ip >= srclen) return -1;
+                len += src[ip++];
+            }
+            len += 2;
+            if (ip >= srclen) return -1;
+            long dist = (long)((ctrl & 0x1f) << 8 | src[ip++]) + 1;
+            long ref = op - dist;
+            if (ref < 0 || op + len > dstcap) return -1;
+            for (long i = 0; i < len; ++i, ++op) dst[op] = dst[ref + i];
+        }
+    }
+    return op;
+}
+
+// Greedy hash-chain LZF compressor (3-byte hash, single probe — the
+// classic "very fast" configuration). Output is valid LZF for the
+// decoder above and for liblzf/PCL.
+long tc_lzf_compress(const uint8_t* src, long srclen,
+                     uint8_t* dst, long dstcap) {
+    const int HLOG = 14;
+    static thread_local long htab[1 << 14];
+    for (long i = 0; i < (1 << HLOG); ++i) htab[i] = -1;
+    long ip = 0, op = 0;
+    long lit_start = 0;
+
+    auto flush_lit = [&](long end) -> bool {
+        long n = end - lit_start;
+        while (n > 0) {
+            long run = n > 32 ? 32 : n;
+            if (op + 1 + run > dstcap) return false;
+            dst[op++] = (uint8_t)(run - 1);
+            for (long i = 0; i < run; ++i) dst[op++] = src[lit_start++];
+            n -= run;
+        }
+        lit_start = end;
+        return true;
+    };
+
+    while (ip + 2 < srclen) {
+        uint32_t h = ((uint32_t)src[ip] << 16) | ((uint32_t)src[ip + 1] << 8)
+                     | src[ip + 2];
+        h = (h * 2654435761u) >> (32 - HLOG);
+        long ref = htab[h];
+        htab[h] = ip;
+        long dist = ip - ref;
+        if (ref >= 0 && dist > 0 && dist <= 8192 &&
+            src[ref] == src[ip] && src[ref + 1] == src[ip + 1] &&
+            src[ref + 2] == src[ip + 2]) {
+            long maxlen = srclen - ip;
+            if (maxlen > 264) maxlen = 264;    // 7 + 255 + 2
+            long len = 3;
+            while (len < maxlen && src[ref + len] == src[ip + len]) ++len;
+            if (!flush_lit(ip)) return -1;
+            long l = len - 2;                  // encoded length
+            long d = dist - 1;
+            if (l < 7) {
+                if (op + 2 > dstcap) return -1;
+                dst[op++] = (uint8_t)((l << 5) | (d >> 8));
+                dst[op++] = (uint8_t)(d & 0xff);
+            } else {
+                if (op + 3 > dstcap) return -1;
+                dst[op++] = (uint8_t)((7 << 5) | (d >> 8));
+                dst[op++] = (uint8_t)(l - 7);
+                dst[op++] = (uint8_t)(d & 0xff);
+            }
+            ip += len;
+            lit_start = ip;
+        } else {
+            ++ip;
+        }
+    }
+    if (!flush_lit(srclen)) return -1;
+    return op;
+}
+
 }  // extern "C"
