@@ -28,6 +28,7 @@ from .sharded import (
     ring_knn_local,
     ShardedTsdf,
     ShardedTsdfState,
+    ShardedFrameToModelOdometry,
 )
 
 __all__ = [
@@ -42,5 +43,5 @@ __all__ = [
     "morton_presort", "make_sharded_outlier_stats",
     "make_sharded_voxel_filter",
     "ring_knn_local",
-    "ShardedTsdf", "ShardedTsdfState",
+    "ShardedTsdf", "ShardedTsdfState", "ShardedFrameToModelOdometry",
 ]

@@ -1065,3 +1065,98 @@ def make_sharded_tsdf(mesh: Mesh, grid_blocks: Tuple[int, int, int],
 
     return ShardedTsdf(_init, integrate, extract_surface,
                        marching_cubes, raycast)
+
+
+class ShardedFrameToModelOdometry:
+    """KinectFusion odometry over a device-mesh-sharded map: the
+    x-slab block-sparse TSDF (``make_sharded_tsdf``) is the model,
+    frames are tracked against its sharded raycast and fused in
+    collective-free. Mirrors ``ops.frame_to_model.FrameToModelOdometry``'s
+    ``register_frame`` surface — the map scale is the only difference
+    (per-device ``max_blocks_per_shard`` × device count blocks).
+
+    Tracking runs replicated: the combined raycast maps are identical
+    on every device, so the single-device projective point-to-plane
+    tracker consumes them directly. Depth frames are expected in
+    meters (the sharded integrate path does not rescale).
+    """
+
+    def __init__(self, mesh: Mesh, intrinsics, height: int, width: int,
+                 voxel_size: float = 0.02, origin=(-2.0, -2.0, 0.0),
+                 grid_blocks: Tuple[int, int, int] = (32, 32, 32),
+                 block: int = 8, max_blocks_per_shard: int = 4096,
+                 config=None, axis_name: str = POINTS_AXIS):
+        from ..ops.frame_to_model import FrameToModelConfig
+        self.config = config or FrameToModelConfig()
+        self.height, self.width = height, width
+        self.intr = jnp.asarray(
+            [intrinsics.fx, intrinsics.fy, intrinsics.cx, intrinsics.cy]
+            if hasattr(intrinsics, "fx") else intrinsics, jnp.float32)
+        self.fac = make_sharded_tsdf(
+            mesh, grid_blocks, voxel_size, origin=origin, block=block,
+            max_blocks_per_shard=max_blocks_per_shard,
+            update_fraction=self.config.update_fraction,
+            axis_name=axis_name)
+        self.state = self.fac.init()
+        self.pose = jnp.eye(4, dtype=jnp.float32)
+        self._prev_delta = jnp.eye(4, dtype=jnp.float32)
+        self.n_frames = 0
+        self.last_track = None
+
+    def register_frame(self, depth):
+        """Track + fuse one depth frame; returns the 4×4 world pose."""
+        from ..core.transform import Transform
+        from ..ops import frame_to_model as f2m
+        from ..ops.tsdf_raycast import RaycastResult
+        cfg = self.config
+        depth = jnp.asarray(depth)
+        if self.n_frames > 0:
+            seed = jnp.matmul(self.pose, self._prev_delta,
+                              precision=jax.lax.Precision.HIGHEST)
+            s = cfg.model_render_scale
+            mh, mw = self.height // s, self.width // s
+            half = (jnp.float32(s) - 1.0) / 2.0
+            mintr = self.intr if s == 1 else jnp.stack(
+                [self.intr[0] / s, self.intr[1] / s,
+                 (self.intr[2] - half) / s, (self.intr[3] - half) / s])
+            maps = self.fac.raycast(self.state, mintr, seed, mh, mw,
+                                    near=cfg.near, far=cfg.far,
+                                    max_steps=cfg.max_steps)
+            model = RaycastResult(*maps)
+            ts = cfg.track_stride
+            if ts > 1:
+                tdepth = depth[::ts, ::ts]
+                tintr = jnp.stack(
+                    [self.intr[0] / ts, self.intr[1] / ts,
+                     self.intr[2] / ts, self.intr[3] / ts])
+                min_px = max(1, cfg.min_valid_pixels // (ts * ts))
+            else:
+                tdepth, tintr = depth, self.intr
+                min_px = cfg.min_valid_pixels
+            tr = f2m.track(model, seed, tdepth, tintr, seed,
+                           max_iterations=cfg.max_iterations,
+                           dist_gate=cfg.dist_gate,
+                           normal_gate=cfg.normal_gate,
+                           min_valid_pixels=min_px,
+                           model_intr=mintr)
+            self.last_track = tr
+            inv_prev = Transform.from_matrix(self.pose).inverse().matrix
+            self._prev_delta = jnp.matmul(
+                inv_prev, tr.cam_to_world,
+                precision=jax.lax.Precision.HIGHEST)
+            self.pose = tr.cam_to_world
+        self.state = self.fac.integrate(self.state, depth, self.intr,
+                                        self.pose)
+        self.n_frames += 1
+        return self.pose
+
+    def render(self, cam_to_world=None):
+        """Sharded raycast of the current map (default: current pose);
+        returns replicated (depth, vertices, normals, mask, confident)."""
+        pose = self.pose if cam_to_world is None else \
+            jnp.asarray(cam_to_world, jnp.float32)
+        return self.fac.raycast(self.state, self.intr, pose,
+                                self.height, self.width,
+                                near=self.config.near,
+                                far=self.config.far,
+                                max_steps=self.config.max_steps)
