@@ -44,6 +44,15 @@ def main():
         except Exception as e:
             print(f"{name:12s} FAILED: {e}")
 
+    # PCD binary_compressed (LZF; a mode the reference rejects)
+    from threecrate_tpu.io import pcd
+    pcd.write_point_cloud(str(tmp / "cloud_c.pcd"), pc, compressed=True)
+    back = pcd.read_point_cloud(str(tmp / "cloud_c.pcd"))
+    plain = (tmp / "cloud.pcd").stat().st_size
+    comp = (tmp / "cloud_c.pcd").stat().st_size
+    print(f"PCD binary_compressed: {int(back.size())} pts, "
+          f"{comp / 1024:.1f} KB vs {plain / 1024:.1f} KB plain")
+
     # LAS 1.4 extended formats
     from threecrate_tpu.io import las
     las.write_point_cloud(str(tmp / "cloud14.las"), pc, point_format=7)
