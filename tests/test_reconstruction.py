@@ -201,6 +201,22 @@ class TestMls:
         r_after = np.linalg.norm(out.to_numpy(), axis=1).std()
         assert r_after < r_before * 0.6
 
+    def test_smooth_scale_invariant(self, rng):
+        """MLS at mm scale must behave exactly like MLS at unit scale
+        (the r3 eigensolver-scale-bug class: covariance entries ~1e-8
+        used to trip absolute-eps rank guards in the analytic
+        eigensolver MLS planes come from)."""
+        pts = make_sphere_points(1500)
+        noisy = pts + 0.03 * rng.normal(size=pts.shape).astype(np.float32)
+        big = recon.mls_smooth(PointCloud.from_numpy(noisy),
+                               recon.MlsConfig(search_radius=0.3))
+        s = 1e-3
+        small = recon.mls_smooth(
+            PointCloud.from_numpy((noisy * s).astype(np.float32)),
+            recon.MlsConfig(search_radius=0.3 * s))
+        np.testing.assert_allclose(small.to_numpy() / s, big.to_numpy(),
+                                   rtol=2e-3, atol=2e-4)
+
     def test_kernels_all_run(self, rng):
         pts = make_sphere_points(500)
         pc = PointCloud.from_numpy(pts)

@@ -222,6 +222,24 @@ class TestNdt:
         assert float(res.score) > 0
 
 
+class TestNdtScaleInvariance:
+    def test_recovers_at_mm_scale(self):
+        """NDT on an mm-scale scene (covariance entries ~1e-8 — the r3
+        eigensolver-scale-bug class) must recover the same transform
+        as the unit-scale problem."""
+        s = 1e-3
+        pts = surface_cloud(2000, seed=2) * 2.0 * s
+        shift = np.asarray([0.08, -0.05, 0.02], np.float32) * s
+        src = PointCloud.from_numpy(pts)
+        tgt = PointCloud.from_numpy(pts + shift)
+        cfg = ndt_mod.NdtConfig(resolution=1.0 * s, max_iterations=40,
+                                step_size=0.2 * s)
+        res = ndt_mod.ndt_registration(src, tgt, cfg)
+        np.testing.assert_allclose(
+            np.asarray(res.transformation)[:3, 3], shift,
+            atol=0.04 * s)
+
+
 class TestVoxelHash:
     def test_lookup_roundtrip(self, rng):
         from threecrate_tpu.ops import voxel_hash

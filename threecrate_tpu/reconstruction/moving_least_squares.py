@@ -100,30 +100,45 @@ def _mls_project(points, mask, radius, max_neighbors, kernel, order, reg):
     t2 = jnp.cross(normal, t1)
 
     d = nbr - mean[:, None, :]
-    u = jnp.einsum("nkj,nj->nk", d, t1)
-    v = jnp.einsum("nkj,nj->nk", d, t2)
-    h = jnp.einsum("nkj,nj->nk", d, normal)
+    # DIMENSIONLESS local coordinates: the raw basis [1,u,v,u²,uv,v²]
+    # spans (radius²)² dynamic range — at mm scale that is ~15 decades
+    # and the f32 Cholesky collapses (r3c scale-invariance test).
+    # Dividing by the radius makes the normal matrix scale-free; the
+    # fitted height rescales back and the first derivatives (∂h/∂u =
+    # ∂h'/∂u') are unchanged.
+    inv_r = 1.0 / jnp.maximum(radius, 1e-30)
+    u = jnp.einsum("nkj,nj->nk", d, t1) * inv_r
+    v = jnp.einsum("nkj,nj->nk", d, t2) * inv_r
+    h = jnp.einsum("nkj,nj->nk", d, normal) * inv_r
 
     b = _basis_terms(u, v, order)                  # (N, k, m)
     bw = b * w[..., None]
     ata = jnp.einsum("nkm,nkl->nml", bw, b,
                      precision=jax.lax.Precision.HIGHEST)
     m_dim = b.shape[-1]
-    ata = ata + reg * jnp.eye(m_dim, dtype=ata.dtype)
+    # SCALE-RELATIVE Tikhonov: ata entries scale like radius², so an
+    # absolute reg dominates (and flattens the fit) on mm-scale
+    # neighborhoods — the r3 eigensolver-bug class. Scaling by the
+    # mean diagonal keeps the conditioning effect identical at every
+    # scene scale (at unit scale this matches the old absolute 1e-6
+    # within an O(1) factor).
+    tr = jnp.trace(ata, axis1=-2, axis2=-1) / m_dim
+    reg_eff = reg * jnp.maximum(tr, 1e-30)
+    ata = ata + reg_eff[:, None, None] * jnp.eye(m_dim, dtype=ata.dtype)
     atb = jnp.einsum("nkm,nk->nm", bw, h,
                      precision=jax.lax.Precision.HIGHEST)
     coef = jax.vmap(lambda a_, b_: jax.scipy.linalg.cho_solve(
         jax.scipy.linalg.cho_factor(a_), b_))(ata, atb)
 
-    # the query point in local coords is (u0, v0, ·) with u0 = v0 from
-    # (p − mean); evaluate fit there and move along the normal
+    # the query point in dimensionless local coords; evaluate the fit
+    # there and move along the normal (heights rescale by radius)
     dp = points - mean
-    u0 = jnp.sum(dp * t1, axis=-1)
-    v0 = jnp.sum(dp * t2, axis=-1)
+    u0 = jnp.sum(dp * t1, axis=-1) * inv_r
+    v0 = jnp.sum(dp * t2, axis=-1) * inv_r
     b0 = _basis_terms(u0, v0, order)
-    h_fit = jnp.sum(b0 * coef, axis=-1)
-    projected = mean + u0[:, None] * t1 + v0[:, None] * t2 \
-        + h_fit[:, None] * normal
+    h_fit = jnp.sum(b0 * coef, axis=-1) * radius
+    projected = mean + (u0 * radius)[:, None] * t1 \
+        + (v0 * radius)[:, None] * t2 + h_fit[:, None] * normal
 
     # analytic fitted normal: n ∝ (-∂h/∂u, -∂h/∂v, 1) in local frame
     if order >= 1:
