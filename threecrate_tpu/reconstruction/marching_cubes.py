@@ -627,18 +627,22 @@ def soup_to_mesh(soup: TriangleSoup, weld_decimals: int = 5,
 
 
 def marching_cubes(grid: VolumetricGrid, iso_level: float = 0.0,
-                   method: str = "cubes") -> TriangleMesh:
+                   method: str = "cubes",
+                   weld: str = "auto") -> TriangleMesh:
     """Isosurface mesh (marching_cubes.rs:857 entry).
 
     ``method``: "cubes" = true 256-case marching cubes over derived
     tables (≤5 tris/cube); "tetrahedra" = 6-tet decomposition (simpler
     cases, ~2x more triangles). Both fully batched, same winding rule.
+    ``weld``: "auto" | "host" | "device" — see :func:`soup_to_mesh`;
+    "device" keeps the weld on-chip and transfers only the compact
+    mesh (the big win for large grids through a tunneled TPU).
     """
     if method == "tetrahedra":
         soup = extract_soup(grid, jnp.float32(iso_level))
     else:
         soup = extract_soup_cubes_auto(grid, iso_level)
-    return soup_to_mesh(soup)
+    return soup_to_mesh(soup, method=weld)
 
 
 def reconstruct_marching_cubes(cloud: PointCloud,
