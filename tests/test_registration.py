@@ -345,6 +345,71 @@ class TestWindowCorrespondence:
                                    np.asarray(t_true.matrix), atol=5e-3)
 
 
+class TestSubsampledIcp:
+    """Coarse-phase source tile subsampling (KISS-ICP's source
+    subsampling, kiss_icp.rs:72-96, on the static-sort search): all but
+    the last ``full_iters`` iterations match every S-th Morton source
+    tile, then polish at full resolution. Must recover the same pose
+    as the full path."""
+
+    def test_p2p_subsample_recovers(self):
+        pts = surface_cloud(4000, seed=17)
+        t_true = Transform.from_axis_angle([1.0, 0, 0], 0.02) @ \
+            Transform.from_translation([0.04, -0.02, 0.015])
+        src = PointCloud.from_numpy(pts)
+        tgt = PointCloud.from_numpy(apply_np(t_true.matrix, pts))
+        res_full = registration.icp_point_to_point(
+            src, tgt, max_iterations=40, correspondence="window",
+            subsample=1)
+        res_sub = registration.icp_point_to_point(
+            src, tgt, max_iterations=40, correspondence="window",
+            subsample=4)
+        np.testing.assert_allclose(np.asarray(res_sub.transformation),
+                                   np.asarray(t_true.matrix), atol=3e-3)
+        np.testing.assert_allclose(np.asarray(res_sub.transformation),
+                                   np.asarray(res_full.transformation),
+                                   atol=3e-3)
+
+    def test_p2p_subsample_overiterated_stays(self):
+        """conv_thresh=0 grinds both phases at the converged pose; the
+        full-res polish must not undo the coarse phase."""
+        pts = surface_cloud(3000, seed=19)
+        t_true = Transform.from_translation([0.03, -0.02, 0.01])
+        src = PointCloud.from_numpy(pts)
+        tgt = PointCloud.from_numpy(apply_np(t_true.matrix, pts))
+        res = registration.icp_point_to_point(
+            src, tgt, max_iterations=60, convergence_threshold=0.0,
+            correspondence="window", subsample=4, init=t_true)
+        np.testing.assert_allclose(np.asarray(res.transformation),
+                                   np.asarray(t_true.matrix), atol=1e-3)
+
+    def test_p2plane_subsample_recovers(self):
+        pts = surface_cloud(4000, seed=23)
+        t_true = Transform.from_axis_angle([0, 0, 1.0], 0.01) @ \
+            Transform.from_translation([0.03, -0.02, 0.01])
+        src = PointCloud.from_numpy(pts)
+        tgt = normals.estimate_normals(
+            PointCloud.from_numpy(apply_np(t_true.matrix, pts)), k=10)
+        res = registration.icp_point_to_plane(
+            src, tgt, max_iterations=30, correspondence="window",
+            subsample=4)
+        np.testing.assert_allclose(np.asarray(res.transformation),
+                                   np.asarray(t_true.matrix), atol=5e-3)
+
+    def test_subsample_stride_exceeds_tiles(self):
+        """A tiny cloud (fewer tiles than the stride) must clamp, not
+        crash."""
+        pts = surface_cloud(300, seed=29)
+        t_true = Transform.from_translation([0.02, 0.01, -0.01])
+        src = PointCloud.from_numpy(pts)
+        tgt = PointCloud.from_numpy(apply_np(t_true.matrix, pts))
+        res = registration.icp_point_to_point(
+            src, tgt, max_iterations=30, correspondence="window",
+            subsample=16)
+        np.testing.assert_allclose(np.asarray(res.transformation),
+                                   np.asarray(t_true.matrix), atol=5e-3)
+
+
 class TestGicpWindow:
     def test_window_method_matches(self):
         pts = surface_cloud(1200, seed=3)

@@ -19,6 +19,16 @@ from .core import (
     Transform,
     TriangleMesh,
 )
+from .core.errors import (
+    AlgorithmError,
+    DeviceError,
+    InvalidDataError,
+    IoError,
+    ThreeCrateError,
+    UnsupportedError,
+    UnsupportedFormatError,
+    VisualizationError,
+)
 # the flat tc.* surface (mirrors the reference's python module,
 # threecrate-python/src/lib.rs:2504-2591)
 from .api import *  # noqa: F401,F403
@@ -28,5 +38,8 @@ __all__ = [
     "core", "ops", "utils", "api",
     "PointCloud", "TriangleMesh", "Transform",
     "OrganizedPointCloud", "CameraIntrinsics",
+    "ThreeCrateError", "IoError", "InvalidDataError", "AlgorithmError",
+    "DeviceError", "VisualizationError", "UnsupportedError",
+    "UnsupportedFormatError",
     "__version__",
 ]

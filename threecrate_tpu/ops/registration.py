@@ -101,7 +101,8 @@ def _correspondence(tgt, tgt_mask, moved, src_mask, window: bool):
 
 
 def _static_corr_setup(src, src_mask, tgt, tgt_mask, init, max_corr_dist,
-                       w_tiles, tgt_extra=None, src_extra=None, tile=128):
+                       w_tiles, tgt_extra=None, src_extra=None, tile=128,
+                       tile_stride=1):
     """Static-sort correspondence: sorts run once per CALL, not per
     iteration. Both clouds are Morton-sorted here, outside the
     while_loop: the target never moves, and the SOURCE sort stays
@@ -126,6 +127,16 @@ def _static_corr_setup(src, src_mask, tgt, tgt_mask, init, max_corr_dist,
     while keeping every genuine correspondence) and the user's
     max_correspondence_distance; downstream reductions must be
     order-independent (weighted sums), never order-restoring.
+
+    tile_stride > 1 keeps every ``tile_stride``-th source TILE after
+    the sort (the KISS-ICP source-subsampling trick, kiss_icp.rs:72-96,
+    recast for the static-sort search): subsampling whole Morton tiles
+    — not strided points — preserves each tile's full local density,
+    so the window width needed for containment is unchanged while the
+    kernel grid (and every per-point cost in the loop) shrinks by the
+    stride. Kept tiles are spatially spread across the whole cloud
+    (consecutive Morton tiles are spatial neighbors). Two setups that
+    differ only in tile_stride share their sorts via XLA CSE.
     """
     from ..kernels.icp_pallas import icp_match_tiles
     from . import morton
@@ -179,6 +190,16 @@ def _static_corr_setup(src, src_mask, tgt, tgt_mask, init, max_corr_dist,
                        ((0, ns_pad - src_extra.shape[0]), (0, 0)))
         src_extra_sorted = sx_p[sorted_s[5]]          # one-time row gather
     n_src_tiles = ns_pad // tile
+    if tile_stride > 1:
+        tile_stride = min(tile_stride, n_src_tiles)
+        src_sorted = src_sorted.reshape(n_src_tiles, tile, 3)[
+            ::tile_stride].reshape(-1, 3)
+        svf = svf.reshape(n_src_tiles, tile)[::tile_stride].reshape(-1)
+        if src_extra_sorted is not None:
+            src_extra_sorted = src_extra_sorted.reshape(
+                n_src_tiles, tile, -1)[::tile_stride].reshape(
+                    -1, src_extra_sorted.shape[1])
+        n_src_tiles = src_sorted.shape[0] // tile
     n_tgt_tiles = nt_pad // tile
     max_d2 = max_corr_dist * max_corr_dist
     # 1/scale_t = lattice cell size; GRID cells span the cloud extent
@@ -236,20 +257,29 @@ def _static_corr_setup(src, src_mask, tgt, tgt_mask, init, max_corr_dist,
 
 
 @functools.partial(jax.jit, static_argnames=("max_iterations", "window",
-                                             "w_tiles", "tile"))
+                                             "w_tiles", "tile",
+                                             "subsample", "full_iters"))
 def _icp_p2p(src, src_mask, tgt, tgt_mask, init, max_iterations,
              conv_thresh, max_corr_dist, window=False, w_tiles=3,
-             tile=128):
+             tile=128, subsample=1, full_iters=2):
     n = src.shape[0]
 
     if window:
         static_match, _ = _static_corr_setup(src, src_mask, tgt, tgt_mask,
                                              init, max_corr_dist, w_tiles,
                                              tile=tile)
+        static_match_sub = None
+        if subsample > 1:
+            # coarse phase: every subsample-th source TILE (full local
+            # density, so w_tiles containment is untouched); the two
+            # setups share their sorts via XLA CSE
+            static_match_sub, _ = _static_corr_setup(
+                src, src_mask, tgt, tgt_mask, init, max_corr_dist,
+                w_tiles, tile=tile, tile_stride=subsample)
 
-    def corr_and_fit(t_mat):
+    def corr_and_fit(t_mat, match_fn):
         if window:
-            moved, matched, ok, d2, _ = static_match(t_mat)
+            moved, matched, ok, d2, _ = match_fn(t_mat)
             w = ok.astype(jnp.float32)
             delta = linalg.kabsch(moved, matched, w)
             n_ok = jnp.maximum(jnp.sum(w), 1.0)
@@ -268,22 +298,39 @@ def _icp_p2p(src, src_mask, tgt, tgt_mask, init, max_iterations,
         mse = jnp.sum(d2) / n_ok
         return delta, mse, jnp.sum(ok).astype(jnp.int32)
 
-    def cond(state):
-        t_mat, prev_mse, mse, it, conv, n_corr = state
-        return (it < max_iterations) & (~conv)
+    def run_loop(state0, match_fn, it_budget):
+        def cond(state):
+            t_mat, prev_mse, mse, it, conv, n_corr = state
+            return (it < it_budget) & (~conv)
 
-    def body(state):
-        t_mat, prev_mse, mse, it, conv, _ = state
-        delta, new_mse, n_corr = corr_and_fit(t_mat)
-        new_t = jnp.matmul(delta, t_mat,
-                           precision=jax.lax.Precision.HIGHEST)
-        converged = jnp.abs(new_mse - mse) < conv_thresh
-        return (new_t, mse, new_mse, it + 1, converged, n_corr)
+        def body(state):
+            t_mat, prev_mse, mse, it, conv, _ = state
+            delta, new_mse, n_corr = corr_and_fit(t_mat, match_fn)
+            new_t = jnp.matmul(delta, t_mat,
+                               precision=jax.lax.Precision.HIGHEST)
+            converged = jnp.abs(new_mse - mse) < conv_thresh
+            return (new_t, mse, new_mse, it + 1, converged, n_corr)
+
+        return jax.lax.while_loop(cond, body, state0)
 
     init_state = (init, jnp.float32(jnp.inf), jnp.float32(jnp.inf),
                   jnp.int32(0), jnp.bool_(False), jnp.int32(0))
-    t_mat, _, mse, it, conv, n_corr = jax.lax.while_loop(
-        cond, body, init_state)
+    if window and subsample > 1 and max_iterations > full_iters:
+        # phase A: subsampled correspondences until convergence (on the
+        # subset's MSE) or the coarse budget; phase B: full-resolution
+        # polish for the remaining iterations. Phase B restarts the
+        # convergence test (inf sentinels) because the subset MSE and
+        # the full MSE are not comparable level sets.
+        coarse = run_loop(init_state, static_match_sub,
+                          max_iterations - full_iters)
+        t_a, _, _, it_a, _, _ = coarse
+        state_b = (t_a, jnp.float32(jnp.inf), jnp.float32(jnp.inf),
+                   it_a, jnp.bool_(False), jnp.int32(0))
+        t_mat, _, mse, it, conv, n_corr = run_loop(
+            state_b, static_match, max_iterations)
+    else:
+        t_mat, _, mse, it, conv, n_corr = run_loop(
+            init_state, static_match if window else None, max_iterations)
     return t_mat, mse, it, conv, n_corr
 
 
@@ -297,13 +344,23 @@ def _use_window(source: PointCloud, target: PointCloud,
             > CORRESPONDENCE_WINDOW_THRESHOLD)
 
 
+def auto_subsample(n_src: int) -> int:
+    """Coarse-phase source tile stride: 4 at large N (the kernel grid
+    and every per-point loop cost shrink 4x for all but the final
+    full-resolution iterations), 1 below 400k where the full per-iter
+    cost is already near the dispatch floor."""
+    return 4 if n_src >= 400_000 else 1
+
+
 def icp_point_to_point(source: PointCloud, target: PointCloud,
                        max_iterations: int = 50,
                        convergence_threshold: float = 1e-6,
                        max_correspondence_distance: Optional[float] = None,
                        init: Optional[Transform] = None,
                        correspondence: str = "auto",
-                       w_tiles: Optional[int] = None) -> ICPResult:
+                       w_tiles: Optional[int] = None,
+                       subsample: Optional[int] = None,
+                       full_iters: int = 2) -> ICPResult:
     """icp_detailed (registration.rs:258-370), fully on-device.
 
     ``correspondence``: "exact" (blockwise brute force), "window"
@@ -319,17 +376,28 @@ def icp_point_to_point(source: PointCloud, target: PointCloud,
     scaled up with the target:source capacity ratio where window
     containment demands it. Containment drops 84→79% going 4→3; the
     trimmed-Kabsch gate absorbs exactly those misses.
+
+    ``subsample``: coarse-phase source TILE stride (KISS-ICP's
+    source-subsampling idea, kiss_icp.rs:72-96): all but the last
+    ``full_iters`` iterations match every ``subsample``-th Morton
+    source tile (full local density — window containment unchanged),
+    then the pose is polished at full resolution. None (default) =
+    ``auto_subsample`` — 4 above 400k points, off below. 1 disables.
     """
     src, sm, tgt, tm = _prep(source, target)
     if w_tiles is None:
         w_tiles = auto_w_tiles(source.capacity, target.capacity)
+    window = _use_window(source, target, correspondence)
+    if subsample is None:
+        subsample = auto_subsample(source.capacity) if window else 1
     init_m = init.matrix if init is not None else jnp.eye(4, dtype=jnp.float32)
     mcd = jnp.float32(max_correspondence_distance
                       if max_correspondence_distance is not None else jnp.inf)
     t, mse, it, conv, n_corr = _icp_p2p(
         src, sm, tgt, tm, init_m, max_iterations,
         jnp.float32(convergence_threshold), mcd,
-        _use_window(source, target, correspondence), w_tiles=w_tiles)
+        window, w_tiles=w_tiles, subsample=subsample,
+        full_iters=full_iters)
     return ICPResult(t, mse, it, conv, n_corr)
 
 
@@ -344,20 +412,26 @@ def icp(source: PointCloud, target: PointCloud,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("max_iterations", "window",
-                                             "w_tiles"))
+                                             "w_tiles", "subsample",
+                                             "full_iters"))
 def _icp_p2plane(src, src_mask, tgt, tgt_mask, tgt_normals, init,
                  max_iterations, conv_thresh, max_corr_dist, window=False,
-                 w_tiles=3):
+                 w_tiles=3, subsample=1, full_iters=2):
     if window:
         # static-sort path: target normals ride the target sort and the
         # kernel's one-hot match (3 extra payload rows)
         static_match, _ = _static_corr_setup(src, src_mask, tgt, tgt_mask,
                                              init, max_corr_dist, w_tiles,
                                              tgt_extra=tgt_normals)
+        static_match_sub = None
+        if subsample > 1:
+            static_match_sub, _ = _static_corr_setup(
+                src, src_mask, tgt, tgt_mask, init, max_corr_dist,
+                w_tiles, tgt_extra=tgt_normals, tile_stride=subsample)
 
-    def step(t_mat):
+    def step(t_mat, match_fn):
         if window:
-            moved, q, ok, d2, extra = static_match(t_mat)
+            moved, q, ok, d2, extra = match_fn(t_mat)
             nrm = extra.T                                 # (Ns, 3)
             w = ok.astype(jnp.float32)
             r = jnp.sum((moved - q) * nrm, axis=1)
@@ -385,21 +459,34 @@ def _icp_p2plane(src, src_mask, tgt, tgt_mask, tgt_normals, init,
         mse = jnp.sum(jnp.where(ok, r * r, 0.0)) / n_ok
         return delta, mse, jnp.sum(ok).astype(jnp.int32)
 
-    def cond(state):
-        _, _, _, it, conv, _ = state
-        return (it < max_iterations) & (~conv)
+    def run_loop(state0, match_fn, it_budget):
+        def cond(state):
+            _, _, _, it, conv, _ = state
+            return (it < it_budget) & (~conv)
 
-    def body(state):
-        t_mat, prev, mse, it, conv, _ = state
-        delta, new_mse, n_corr = step(t_mat)
-        converged = jnp.abs(new_mse - mse) < conv_thresh
-        new_t = jnp.matmul(delta, t_mat,
-                           precision=jax.lax.Precision.HIGHEST)
-        return (new_t, mse, new_mse, it + 1, converged, n_corr)
+        def body(state):
+            t_mat, prev, mse, it, conv, _ = state
+            delta, new_mse, n_corr = step(t_mat, match_fn)
+            converged = jnp.abs(new_mse - mse) < conv_thresh
+            new_t = jnp.matmul(delta, t_mat,
+                               precision=jax.lax.Precision.HIGHEST)
+            return (new_t, mse, new_mse, it + 1, converged, n_corr)
+
+        return jax.lax.while_loop(cond, body, state0)
 
     state0 = (init, jnp.float32(jnp.inf), jnp.float32(jnp.inf),
               jnp.int32(0), jnp.bool_(False), jnp.int32(0))
-    t_mat, _, mse, it, conv, n_corr = jax.lax.while_loop(cond, body, state0)
+    if window and subsample > 1 and max_iterations > full_iters:
+        coarse = run_loop(state0, static_match_sub,
+                          max_iterations - full_iters)
+        t_a, _, _, it_a, _, _ = coarse
+        state_b = (t_a, jnp.float32(jnp.inf), jnp.float32(jnp.inf),
+                   it_a, jnp.bool_(False), jnp.int32(0))
+        t_mat, _, mse, it, conv, n_corr = run_loop(
+            state_b, static_match, max_iterations)
+    else:
+        t_mat, _, mse, it, conv, n_corr = run_loop(
+            state0, static_match if window else None, max_iterations)
     return t_mat, mse, it, conv, n_corr
 
 
@@ -409,10 +496,12 @@ def icp_point_to_plane(source: PointCloud, target: PointCloud,
                        max_correspondence_distance: Optional[float] = None,
                        init: Optional[Transform] = None,
                        correspondence: str = "auto",
-                       w_tiles: Optional[int] = None) -> ICPResult:
+                       w_tiles: Optional[int] = None,
+                       subsample: Optional[int] = None,
+                       full_iters: int = 2) -> ICPResult:
     """Chen & Medioni point-to-plane ICP (registration.rs:395-450,
     loop :508-602). Target must carry normals (estimate_normals first).
-    ``w_tiles`` as in icp_point_to_point (None = auto)."""
+    ``w_tiles``/``subsample`` as in icp_point_to_point (None = auto)."""
     if target.normals is None:
         raise InvalidDataError(
             "point-to-plane ICP requires target normals; run "
@@ -420,13 +509,17 @@ def icp_point_to_plane(source: PointCloud, target: PointCloud,
     src, sm, tgt, tm = _prep(source, target)
     if w_tiles is None:
         w_tiles = auto_w_tiles(source.capacity, target.capacity)
+    window = _use_window(source, target, correspondence)
+    if subsample is None:
+        subsample = auto_subsample(source.capacity) if window else 1
     init_m = init.matrix if init is not None else jnp.eye(4, dtype=jnp.float32)
     mcd = jnp.float32(max_correspondence_distance
                       if max_correspondence_distance is not None else jnp.inf)
     t, mse, it, conv, n_corr = _icp_p2plane(
         src, sm, tgt, tm, target.normals, init_m, max_iterations,
         jnp.float32(convergence_threshold), mcd,
-        _use_window(source, target, correspondence), w_tiles=w_tiles)
+        window, w_tiles=w_tiles, subsample=subsample,
+        full_iters=full_iters)
     return ICPResult(t, mse, it, conv, n_corr)
 
 
