@@ -51,6 +51,7 @@ REFERENCE_SURFACE = [
     "make_pointcloud2", "from_pointcloud2",
     "make_pointcloud2_organized", "from_pointcloud2_organized",
     # utilities / classes
+    "concatenate",
     "transform_point_cloud", "KdTree", "PointCloud", "TriangleMesh",
     "Transform", "ICPResult", "GlobalRegistrationResult", "NdtResult",
     "PlaneSegmentationResult",

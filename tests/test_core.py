@@ -236,3 +236,66 @@ class TestPack:
             np.asarray(packed.attrs["intensity"])[:5],
             np.arange(10.0)[mask])
         assert packed.capacity == pc.capacity
+
+
+class TestConcatenate:
+    """PointCloud.extend / concatenate (point_cloud.rs:128-140,
+    threecrate-python/src/lib.rs:1634)."""
+
+    def test_extend_counts_and_rows(self):
+        import numpy as np
+        a_pts = np.arange(9, dtype=np.float32).reshape(3, 3)
+        b_pts = np.arange(9, 27, dtype=np.float32).reshape(6, 3)
+        a = PointCloud.from_numpy(a_pts)
+        b = PointCloud.from_numpy(b_pts)
+        c = a.extend(b)
+        assert c.capacity == a.capacity + b.capacity
+        assert int(c.size()) == 9
+        np.testing.assert_array_equal(c.to_numpy(),
+                                      np.concatenate([a_pts, b_pts]))
+
+    def test_add_operator(self):
+        import numpy as np
+        a = PointCloud.from_numpy(np.zeros((4, 3), np.float32))
+        b = PointCloud.from_numpy(np.ones((5, 3), np.float32))
+        assert int((a + b).size()) == 9
+
+    def test_attr_union_zero_fill(self):
+        import numpy as np
+        a = PointCloud.from_numpy(np.zeros((4, 3), np.float32),
+                                  intensity=np.arange(4.0))
+        b = PointCloud.from_numpy(np.ones((3, 3), np.float32))
+        c = a.extend(b)
+        assert c.has("intensity")
+        got = c.attr_to_numpy("intensity")
+        np.testing.assert_array_equal(got[:4], np.arange(4.0))
+        np.testing.assert_array_equal(got[4:], np.zeros(3))
+
+    def test_concatenate_many(self):
+        import numpy as np
+        from threecrate_tpu.ops.point_cloud_ops import concatenate
+        clouds = [PointCloud.from_numpy(
+            np.full((n, 3), float(n), np.float32)) for n in (2, 3, 4)]
+        c = concatenate(clouds)
+        assert int(c.size()) == 9
+        got = c.to_numpy()
+        np.testing.assert_array_equal(got[:, 0],
+                                      [2, 2, 3, 3, 3, 4, 4, 4, 4])
+
+    def test_concatenate_empty_list_rejected(self):
+        import pytest
+        from threecrate_tpu.core.errors import InvalidDataError
+        from threecrate_tpu.ops.point_cloud_ops import concatenate
+        with pytest.raises(InvalidDataError):
+            concatenate([])
+
+    def test_concatenate_normals_ride(self):
+        import numpy as np
+        from threecrate_tpu.ops.point_cloud_ops import concatenate
+        n1 = np.tile([0, 0, 1.0], (3, 1)).astype(np.float32)
+        n2 = np.tile([1.0, 0, 0], (2, 1)).astype(np.float32)
+        a = PointCloud.from_numpy(np.zeros((3, 3), np.float32), normals=n1)
+        b = PointCloud.from_numpy(np.ones((2, 3), np.float32), normals=n2)
+        c = concatenate([a, b])
+        np.testing.assert_array_equal(c.attr_to_numpy("normals"),
+                                      np.concatenate([n1, n2]))

@@ -85,7 +85,7 @@ from .ops.colorization import (
 )
 from .ops import point_cloud_ops  # attaches PointCloud neighbor methods
 from .ops.point_cloud_ops import (
-    k_nearest_neighbors, nearest_neighbor, neighbors_within)
+    concatenate, k_nearest_neighbors, nearest_neighbor, neighbors_within)
 from .ops.tsdf import (
     TsdfVolume, create_volume as create_tsdf_volume, extract_surface
     as tsdf_extract_surface, integrate as tsdf_integrate,

@@ -160,6 +160,34 @@ class PointCloud:
             new_attrs[NORMALS] = t.apply_vector(new_attrs[NORMALS])
         return PointCloud(t.apply(self.points), self.mask, new_attrs)
 
+    def extend(self, other: "PointCloud") -> "PointCloud":
+        """Concatenate another cloud after this one (new cloud).
+
+        The padded analog of ``Extend for PointCloud``
+        (point_cloud.rs:128-140): capacities add, masks concatenate,
+        so the result is jit-stable (static output shape) and valid
+        rows stay where they were. Attributes are the UNION of both
+        clouds' keys; a side missing an attribute contributes zero
+        rows for it (its mask still marks those points valid — check
+        ``has()`` before relying on a merged attribute). Call
+        ``compact()``/``pack()`` afterwards to squeeze padding.
+        """
+        pts = jnp.concatenate([self.points, other.points], axis=0)
+        mask = jnp.concatenate([self.mask, other.mask], axis=0)
+        attrs = {}
+        for k in set(self.attrs) | set(other.attrs):
+            a = self.attrs.get(k)
+            b = other.attrs.get(k)
+            if a is None:
+                a = jnp.zeros((self.capacity,) + b.shape[1:], b.dtype)
+            if b is None:
+                b = jnp.zeros((other.capacity,) + a.shape[1:], a.dtype)
+            attrs[k] = jnp.concatenate([a, b], axis=0)
+        return PointCloud(pts, mask, attrs)
+
+    def __add__(self, other: "PointCloud") -> "PointCloud":
+        return self.extend(other)
+
     # -- geometry ------------------------------------------------------------
     def bounding_box(self):
         """(min_xyz, max_xyz) over valid points (traits.rs:564-632)."""

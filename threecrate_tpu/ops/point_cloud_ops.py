@@ -8,13 +8,44 @@ PointCloud (Python's version of a Rust extension trait).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.errors import InvalidDataError
 from ..core.point_cloud import PointCloud
 from . import neighbors
+
+
+def concatenate(clouds: Sequence[PointCloud]) -> PointCloud:
+    """Merge point clouds into one (threecrate-python/src/lib.rs:1634).
+
+    One ``jnp.concatenate`` per array family — capacities add, masks
+    concatenate, attribute keys are unioned (a cloud missing an
+    attribute contributes zero rows for it; see
+    ``PointCloud.extend``). Jit-stable: output capacity is the static
+    sum of input capacities. ``compact()`` afterwards to re-bucket.
+    """
+    clouds = list(clouds)
+    if not clouds:
+        raise InvalidDataError("concatenate requires at least one cloud")
+    if len(clouds) == 1:
+        return clouds[0]
+    pts = jnp.concatenate([c.points for c in clouds], axis=0)
+    mask = jnp.concatenate([c.mask for c in clouds], axis=0)
+    keys = set()
+    for c in clouds:
+        keys |= set(c.attrs)
+    attrs = {}
+    for k in keys:
+        proto = next(c.attrs[k] for c in clouds if k in c.attrs)
+        parts = [c.attrs[k] if k in c.attrs
+                 else jnp.zeros((c.capacity,) + proto.shape[1:],
+                                proto.dtype)
+                 for c in clouds]
+        attrs[k] = jnp.concatenate(parts, axis=0)
+    return PointCloud(pts, mask, attrs)
 
 
 def k_nearest_neighbors(cloud: PointCloud, k: int,
