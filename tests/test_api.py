@@ -16,7 +16,7 @@ from conftest import make_sphere_points
 REFERENCE_SURFACE = [
     # io
     "read_point_cloud", "write_point_cloud", "read_mesh", "write_mesh",
-    "read_point_cloud_iter", "supported_extensions",
+    "read_point_cloud_iter", "read_mesh_iter", "supported_extensions",
     # filtering
     "voxel_grid_filter", "voxel_downsample", "statistical_outlier_removal",
     "radius_outlier_removal", "passthrough_filter", "range_filter",
@@ -50,6 +50,11 @@ REFERENCE_SURFACE = [
     # ros2
     "make_pointcloud2", "from_pointcloud2",
     "make_pointcloud2_organized", "from_pointcloud2_organized",
+    # ros2 named typed converters (lib.rs:2580-2588)
+    "pointcloud2_to_xyz", "pointcloud2_to_normals",
+    "pointcloud2_to_colored", "pointcloud2_to_colored_normals",
+    "xyz_to_pointcloud2", "normals_to_pointcloud2",
+    "colored_to_pointcloud2", "colored_normals_to_pointcloud2",
     # utilities / classes
     "concatenate",
     "transform_point_cloud", "KdTree", "PointCloud", "TriangleMesh",

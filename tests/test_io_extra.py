@@ -704,3 +704,132 @@ class TestLas14:
         with pytest.raises(UnsupportedError, match="LASzip 3"):
             las.write_point_cloud(str(tmp_path / "f6.laz"), pc,
                                   point_format=6, compress=True)
+
+
+class TestRos2NamedConverters:
+    """The 8 typed entry points (threecrate-python/src/lib.rs:2580-2588,
+    ros2.rs:214-637): raw-piece parsing with per-type field
+    requirements, exact serializer layouts, rgba/strided decoding."""
+
+    def _cloud(self, rng, n=12, normals=False, colors=False):
+        pts = rng.normal(size=(n, 3)).astype(np.float32)
+        attrs = {}
+        if normals:
+            nr = rng.normal(size=(n, 3)).astype(np.float32)
+            nr /= np.linalg.norm(nr, axis=1, keepdims=True)
+            attrs["normals"] = nr
+        if colors:
+            attrs["colors"] = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        return tc.PointCloud.from_numpy(pts, **attrs), pts, attrs
+
+    def test_xyz_roundtrip_layout(self, rng):
+        cloud, pts, _ = self._cloud(rng, normals=True)  # normals stripped
+        msg = ros2.xyz_to_pointcloud2(cloud)
+        assert msg["point_step"] == 12
+        assert [f["name"] for f in msg["fields"]] == ["x", "y", "z"]
+        back = ros2.pointcloud2_to_xyz(
+            msg["data"],
+            [(f["name"], f["offset"], f["datatype"], f["count"])
+             for f in msg["fields"]],
+            msg["point_step"], msg["width"], msg["height"])
+        np.testing.assert_allclose(back.to_numpy(), pts, atol=1e-6)
+        assert not back.attrs
+
+    def test_normals_roundtrip(self, rng):
+        cloud, pts, attrs = self._cloud(rng, normals=True)
+        msg = ros2.normals_to_pointcloud2(cloud)
+        assert msg["point_step"] == 24
+        offs = {f["name"]: f["offset"] for f in msg["fields"]}
+        assert offs == {"x": 0, "y": 4, "z": 8, "normal_x": 12,
+                        "normal_y": 16, "normal_z": 20}
+        back = ros2.pointcloud2_to_normals(
+            msg["data"], msg["fields"], msg["point_step"],
+            msg["width"], msg["height"])
+        np.testing.assert_allclose(back.attr_to_numpy("normals"),
+                                   attrs["normals"], atol=1e-6)
+
+    def test_colored_roundtrip_packing(self, rng):
+        cloud, pts, attrs = self._cloud(rng, colors=True)
+        msg = ros2.colored_to_pointcloud2(cloud)
+        assert msg["point_step"] == 16
+        # rgb field is f32 whose bits encode 0x00RRGGBB
+        rec = np.frombuffer(msg["data"], np.dtype(
+            [("x", "<f4"), ("y", "<f4"), ("z", "<f4"), ("rgb", "<f4")]))
+        packed = rec["rgb"].view(np.uint32)
+        r = (packed >> 16) & 0xFF
+        exp = np.clip(attrs["colors"][:, 0] * 255 + 0.5, 0,
+                      255).astype(np.uint32)
+        np.testing.assert_array_equal(r, exp)
+        back = ros2.pointcloud2_to_colored(
+            msg["data"], msg["fields"], msg["point_step"],
+            msg["width"], msg["height"])
+        np.testing.assert_allclose(back.attr_to_numpy("colors"),
+                                   attrs["colors"], atol=1 / 255.0)
+
+    def test_colored_normals_roundtrip(self, rng):
+        cloud, pts, attrs = self._cloud(rng, normals=True, colors=True)
+        msg = ros2.colored_normals_to_pointcloud2(cloud)
+        assert msg["point_step"] == 28
+        offs = {f["name"]: f["offset"] for f in msg["fields"]}
+        assert offs["rgb"] == 24
+        back = ros2.pointcloud2_to_colored_normals(
+            msg["data"], msg["fields"], msg["point_step"],
+            msg["width"], msg["height"])
+        np.testing.assert_allclose(back.attr_to_numpy("normals"),
+                                   attrs["normals"], atol=1e-6)
+        np.testing.assert_allclose(back.to_numpy(), pts, atol=1e-6)
+
+    def test_missing_required_fields_raise(self, rng):
+        from threecrate_tpu.core.errors import InvalidDataError
+        cloud, _, _ = self._cloud(rng)
+        msg = ros2.xyz_to_pointcloud2(cloud)
+        args = (msg["data"], msg["fields"], msg["point_step"],
+                msg["width"], msg["height"])
+        with pytest.raises(InvalidDataError):
+            ros2.pointcloud2_to_normals(*args)
+        with pytest.raises(InvalidDataError):
+            ros2.pointcloud2_to_colored(*args)
+        with pytest.raises(InvalidDataError):
+            ros2.normals_to_pointcloud2(cloud)
+        with pytest.raises(InvalidDataError):
+            ros2.colored_to_pointcloud2(cloud)
+
+    def test_rgba_uint32_and_stride(self, rng):
+        """Strided layout with extra bytes + rgba as UINT32 (datatype 6):
+        the alpha byte is discarded."""
+        n = 7
+        pts = rng.normal(size=(n, 3)).astype(np.float32)
+        rec = np.zeros(n, np.dtype({
+            "names": ["x", "y", "z", "rgba", "junk"],
+            "formats": ["<f4", "<f4", "<f4", "<u4", "<u4"],
+            "offsets": [0, 4, 8, 16, 20], "itemsize": 24}))
+        rec["x"], rec["y"], rec["z"] = pts[:, 0], pts[:, 1], pts[:, 2]
+        rec["rgba"] = 0xFF000000 | (10 << 16) | (20 << 8) | 30
+        back = ros2.pointcloud2_to_colored(
+            rec.tobytes(),
+            [("x", 0, 7, 1), ("y", 4, 7, 1), ("z", 8, 7, 1),
+             ("rgba", 16, 6, 1)], 24, n, 1)
+        np.testing.assert_allclose(back.to_numpy(), pts, atol=1e-6)
+        cols = back.attr_to_numpy("colors") * 255
+        np.testing.assert_allclose(cols[0], [10, 20, 30], atol=0.5)
+
+    def test_buffer_too_short(self, rng):
+        from threecrate_tpu.core.errors import InvalidDataError
+        cloud, _, _ = self._cloud(rng)
+        msg = ros2.xyz_to_pointcloud2(cloud)
+        with pytest.raises(InvalidDataError):
+            ros2.pointcloud2_to_xyz(
+                msg["data"][:-4], msg["fields"], msg["point_step"],
+                msg["width"], msg["height"])
+
+    def test_non_dense_nan_skipped(self, rng):
+        n = 6
+        pts = rng.normal(size=(n, 3)).astype(np.float32)
+        pts[2] = np.nan
+        rec = np.zeros(n, np.dtype(
+            [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]))
+        rec["x"], rec["y"], rec["z"] = pts[:, 0], pts[:, 1], pts[:, 2]
+        back = ros2.pointcloud2_to_xyz(
+            rec.tobytes(), [("x", 0, 7, 1), ("y", 4, 7, 1),
+                            ("z", 8, 7, 1)], 12, n, 1, False, False)
+        assert int(back.size()) == n - 1

@@ -459,41 +459,47 @@ class TestWindowRobustness:
     """
 
     @staticmethod
-    def _recover(src_pts, tgt_pts, t_true, w_tiles, mcd=None, iters=40):
+    def _recover(src_pts, tgt_pts, t_true, w_tiles, mcd=None, iters=40,
+                 subsample=1):
         src = PointCloud.from_numpy(src_pts)
         tgt = PointCloud.from_numpy(tgt_pts)
         res = registration.icp_point_to_point(
             src, tgt, max_iterations=iters,
             max_correspondence_distance=mcd,
-            correspondence="window", w_tiles=w_tiles)
+            correspondence="window", w_tiles=w_tiles,
+            subsample=subsample)
         return np.asarray(res.transformation), res
 
-    @pytest.mark.parametrize("w_tiles", [3, 4])
-    def test_partial_overlap_source_subset(self, w_tiles):
+    @pytest.mark.parametrize("w_tiles,subsample",
+                             [(3, 1), (4, 1), (3, 4)])
+    def test_partial_overlap_source_subset(self, w_tiles, subsample):
         """Source covers only the x<0.5 half of the target scene."""
         pts = surface_cloud(6000, seed=21)
         t_true = Transform.from_axis_angle([1.0, 0, 0], 0.015) @ \
             Transform.from_translation([0.04, -0.03, 0.02])
         tgt_pts = apply_np(t_true.matrix, pts)
         src_pts = pts[pts[:, 0] < 0.5]
-        got, res = self._recover(src_pts, tgt_pts, t_true, w_tiles)
+        got, res = self._recover(src_pts, tgt_pts, t_true, w_tiles,
+                                 subsample=subsample)
         np.testing.assert_allclose(got, np.asarray(t_true.matrix),
                                    atol=4e-3)
 
-    @pytest.mark.parametrize("w_tiles", [3, 4])
-    def test_partial_overlap_target_subset(self, w_tiles):
+    @pytest.mark.parametrize("w_tiles,subsample",
+                             [(3, 1), (4, 1), (3, 4)])
+    def test_partial_overlap_target_subset(self, w_tiles, subsample):
         """Target misses part of the scene: unmatched source points
         must be rejected by the distance gate, not drag the fit."""
         pts = surface_cloud(6000, seed=22)
         t_true = Transform.from_translation([0.05, 0.02, -0.015])
         tgt_pts = apply_np(t_true.matrix, pts[pts[:, 1] > -1.0])
         got, res = self._recover(pts, tgt_pts, t_true, w_tiles,
-                                 mcd=0.25)
+                                 mcd=0.25, subsample=subsample)
         np.testing.assert_allclose(got, np.asarray(t_true.matrix),
                                    atol=4e-3)
 
-    @pytest.mark.parametrize("w_tiles", [3, 4])
-    def test_gross_outliers(self, w_tiles):
+    @pytest.mark.parametrize("w_tiles,subsample",
+                             [(3, 1), (4, 1), (3, 4)])
+    def test_gross_outliers(self, w_tiles, subsample):
         """8% uniform gross outliers in the source."""
         rng = np.random.default_rng(23)
         pts = surface_cloud(5000, seed=23)
@@ -504,12 +510,13 @@ class TestWindowRobustness:
         junk = rng.uniform(-3, 3, (n_out, 3)).astype(np.float32)
         src_pts = np.concatenate([pts, junk])
         got, res = self._recover(src_pts, tgt_pts, t_true, w_tiles,
-                                 mcd=0.3)
+                                 mcd=0.3, subsample=subsample)
         np.testing.assert_allclose(got, np.asarray(t_true.matrix),
                                    atol=4e-3)
 
-    @pytest.mark.parametrize("w_tiles", [3, 4])
-    def test_anisotropic_density(self, w_tiles):
+    @pytest.mark.parametrize("w_tiles,subsample",
+                             [(3, 1), (4, 1), (3, 4)])
+    def test_anisotropic_density(self, w_tiles, subsample):
         """A dense cluster next to a sparse field: Morton tiles in the
         dense region span tiny volumes, stressing window containment."""
         rng = np.random.default_rng(24)
@@ -521,12 +528,14 @@ class TestWindowRobustness:
         t_true = Transform.from_axis_angle([1.0, 0, 0], 0.02) @ \
             Transform.from_translation([0.02, -0.03, 0.01])
         tgt_pts = apply_np(t_true.matrix, pts)
-        got, res = self._recover(pts, tgt_pts, t_true, w_tiles)
+        got, res = self._recover(pts, tgt_pts, t_true, w_tiles,
+                                 subsample=subsample)
         np.testing.assert_allclose(got, np.asarray(t_true.matrix),
                                    atol=4e-3)
 
-    @pytest.mark.parametrize("w_tiles", [3, 4])
-    def test_structured_corner_scene(self, w_tiles):
+    @pytest.mark.parametrize("w_tiles,subsample",
+                             [(3, 1), (4, 1), (3, 4)])
+    def test_structured_corner_scene(self, w_tiles, subsample):
         """Two walls + floor (corner room): flat patches whose Morton
         order jumps between planes — the discontinuity stress case."""
         rng = np.random.default_rng(25)
@@ -542,7 +551,8 @@ class TestWindowRobustness:
         t_true = Transform.from_axis_angle([0.3, 0.2, 1.0], 0.02) @ \
             Transform.from_translation([0.03, 0.02, -0.02])
         tgt_pts = apply_np(t_true.matrix, pts)
-        got, res = self._recover(pts, tgt_pts, t_true, w_tiles)
+        got, res = self._recover(pts, tgt_pts, t_true, w_tiles,
+                                 subsample=subsample)
         np.testing.assert_allclose(got, np.asarray(t_true.matrix),
                                    atol=4e-3)
 

@@ -22,7 +22,8 @@ from .core.transform import Transform
 # -- io ---------------------------------------------------------------------
 from .io import (
     read_point_cloud, write_point_cloud, read_mesh, write_mesh,
-    read_point_cloud_iter, supported_extensions,
+    read_point_cloud_iter, read_mesh_iter, MeshChunk,
+    supported_extensions,
 )
 from .io.compression import (
     CompressionConfig, compress_point_cloud, decompress_point_cloud,
@@ -31,6 +32,10 @@ from .io.compression import (
 from .io.ros2 import (
     PointField, make_pointcloud2, from_pointcloud2,
     make_pointcloud2_organized, from_pointcloud2_organized,
+    pointcloud2_to_xyz, pointcloud2_to_normals, pointcloud2_to_colored,
+    pointcloud2_to_colored_normals, xyz_to_pointcloud2,
+    normals_to_pointcloud2, colored_to_pointcloud2,
+    colored_normals_to_pointcloud2,
 )
 
 # -- ops ----------------------------------------------------------------------

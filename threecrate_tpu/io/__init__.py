@@ -18,16 +18,18 @@ from ..core.mesh import TriangleMesh
 from ..core.point_cloud import PointCloud
 from . import (artifacts, compression, e57, gltf, las, lidar, mmap, obj,
                pcd, ply, rosbag, stl, xyz_csv)
-from .registry import REGISTRY, IoRegistry
+from .registry import REGISTRY, IoRegistry, MeshChunk
 
 # -- wire the default registry (lib.rs:95-158 lazy_static block) ----------
 REGISTRY.register("ply", cloud_reader=ply.read_point_cloud,
                   cloud_writer=ply.write_point_cloud,
                   mesh_reader=ply.read_mesh, mesh_writer=ply.write_mesh,
-                  cloud_stream_reader=ply.read_point_cloud_stream)
+                  cloud_stream_reader=ply.read_point_cloud_stream,
+                  mesh_stream_reader=ply.read_mesh_stream)
 REGISTRY.register("obj", cloud_reader=obj.read_point_cloud,
                   cloud_writer=obj.write_point_cloud,
-                  mesh_reader=obj.read_mesh, mesh_writer=obj.write_mesh)
+                  mesh_reader=obj.read_mesh, mesh_writer=obj.write_mesh,
+                  mesh_stream_reader=obj.read_mesh_stream)
 REGISTRY.register("pcd", cloud_reader=pcd.read_point_cloud,
                   cloud_writer=pcd.write_point_cloud)
 REGISTRY.register("stl", mesh_reader=stl.read_mesh, mesh_writer=stl.write_mesh)
@@ -71,6 +73,12 @@ def read_mesh(path, **kw) -> TriangleMesh:
 
 def write_mesh(path, mesh: TriangleMesh, **kw) -> None:
     REGISTRY.write_mesh(path, mesh, **kw)
+
+
+def read_mesh_iter(path, chunk_size: int = 65536, **kw):
+    """Chunked streaming mesh read (io/src/lib.rs:292): yields
+    MeshChunk(vertices=...) then MeshChunk(faces=...) host arrays."""
+    return REGISTRY.read_mesh_iter(path, chunk_size=chunk_size, **kw)
 
 
 def read_point_cloud_iter(path, chunk_size: int = 65536, **kw

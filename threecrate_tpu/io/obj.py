@@ -218,3 +218,54 @@ def write_point_cloud(path, cloud: PointCloud, **_) -> None:
         fh.write("# written by threecrate-tpu\n")
         fh.write("\n".join(f"v {x:.6g} {y:.6g} {z:.6g}" for x, y, z in pts))
         fh.write("\n")
+
+
+def read_mesh_stream(path, chunk_size: int = 65536, **_):
+    """Chunked streaming OBJ mesh read (ObjMeshStreamingReader,
+    threecrate-io/src/lib.rs:302): line-by-line single pass, yielding
+    MeshChunk vertex/face host arrays as buffers fill — the whole mesh
+    is never materialised. Polygon faces fan-triangulate inline;
+    negative (relative) indices resolve against the running vertex
+    count, so they work even before the full vertex list is known.
+    """
+    from .registry import MeshChunk
+
+    v_buf: List[float] = []
+    f_buf: List[int] = []
+    nv = 0
+    saw_vertex = False
+    with open(path, "r", errors="replace") as fh:
+        for line in fh:
+            if not line or line[0] in "#\n":
+                continue
+            tok = line.split()
+            if not tok:
+                continue
+            k = tok[0]
+            if k == "v":
+                saw_vertex = True
+                v_buf.extend(float(t) for t in tok[1:4])
+                nv += 1
+                if len(v_buf) >= 3 * chunk_size:
+                    yield MeshChunk(vertices=np.array(
+                        v_buf, np.float32).reshape(-1, 3))
+                    v_buf = []
+            elif k == "f":
+                if v_buf:
+                    yield MeshChunk(vertices=np.array(
+                        v_buf, np.float32).reshape(-1, 3))
+                    v_buf = []
+                vs = [int(t.split("/")[0]) for t in tok[1:]]
+                vs = [i - 1 if i > 0 else nv + i for i in vs]
+                for i in range(1, len(vs) - 1):
+                    f_buf.extend((vs[0], vs[i], vs[i + 1]))
+                if len(f_buf) >= 3 * chunk_size:
+                    yield MeshChunk(faces=np.array(
+                        f_buf, np.int32).reshape(-1, 3))
+                    f_buf = []
+    if not saw_vertex:
+        raise InvalidDataError("OBJ file has no vertices")
+    if v_buf:
+        yield MeshChunk(vertices=np.array(v_buf, np.float32).reshape(-1, 3))
+    if f_buf:
+        yield MeshChunk(faces=np.array(f_buf, np.int32).reshape(-1, 3))

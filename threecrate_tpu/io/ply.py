@@ -476,3 +476,84 @@ def read_point_cloud_stream(path, chunk_size: int = 65536, **_
             rec = np.frombuffer(buf, dtype=dt)
             yield np.stack([rec["x"], rec["y"], rec["z"]], -1).astype(np.float32)
             remaining -= n
+
+
+def read_mesh_stream(path, chunk_size: int = 65536, **_):
+    """Chunked streaming mesh read (PlyMeshStreamingReader,
+    ply.rs:1751-1900, improved: the reference streams ASCII faces one
+    at a time and buffers every vertex; this yields host chunks of
+    BOTH vertices and faces straight off disk for binary files).
+
+    Yields ``MeshChunk(vertices=(n,3) f32)`` chunks for the vertex
+    element, then ``MeshChunk(faces=(m,3) i32)`` chunks for the face
+    element. Binary fixed-schema vertex blocks and constant-arity
+    (triangle) face lists stream without materialising the file;
+    ascii or exotic layouts fall back to a full parse sliced into
+    chunks. Non-triangular faces in the streaming path raise (the
+    reference errors likewise); use ``read_mesh`` for polygon fans.
+    """
+    from .registry import MeshChunk
+
+    with open(path, "rb") as f:
+        head = f.read(65536)
+        header = parse_header(head)
+        names = [e.name for e in header.elements]
+        vertex = next((e for e in header.elements if e.name == "vertex"),
+                      None)
+        face = next((e for e in header.elements
+                     if e.name in ("face", "faces")), None)
+        if vertex is None:
+            raise InvalidDataError("PLY file has no vertex element")
+        streamable = (
+            header.fmt != "ascii" and not vertex.has_lists
+            and names[:1] == ["vertex"]
+            and (face is None or (
+                names[1:2] == [face.name]
+                and len(face.properties) == 1
+                and face.properties[0].is_list
+                and face.properties[0].name in ("vertex_indices",
+                                                "vertex_index"))))
+        if not streamable:
+            mesh = read_mesh(path)
+            v, fc = mesh.to_numpy()
+            for i in range(0, len(v), chunk_size):
+                yield MeshChunk(vertices=v[i:i + chunk_size])
+            for i in range(0, len(fc), chunk_size):
+                yield MeshChunk(faces=fc[i:i + chunk_size])
+            return
+
+        order = header.byte_order
+        dt = _fixed_dtype(vertex, order)
+        f.seek(header.header_len)
+        remaining = vertex.count
+        while remaining > 0:
+            n = min(chunk_size, remaining)
+            buf = f.read(n * dt.itemsize)
+            if len(buf) < n * dt.itemsize:
+                raise IoError("PLY stream truncated (vertices)")
+            rec = np.frombuffer(buf, dtype=dt)
+            yield MeshChunk(vertices=np.stack(
+                [rec["x"], rec["y"], rec["z"]], -1).astype(np.float32))
+            remaining -= n
+
+        if face is None:
+            return
+        prop = face.properties[0]
+        cnt_dt = np.dtype(order + prop.count_dtype)
+        idx_dt = np.dtype(order + prop.dtype)
+        # constant-arity fast path: a triangle record is count + 3
+        # indices; verified per chunk (mixed-arity files raise)
+        rec_dt = np.dtype([("n", cnt_dt), ("idx", idx_dt, (3,))])
+        remaining = face.count
+        while remaining > 0:
+            n = min(chunk_size, remaining)
+            buf = f.read(n * rec_dt.itemsize)
+            if len(buf) < n * rec_dt.itemsize:
+                raise IoError("PLY stream truncated (faces)")
+            rec = np.frombuffer(buf, dtype=rec_dt)
+            if not (rec["n"] == 3).all():
+                raise InvalidDataError(
+                    "streaming mesh read supports triangular faces "
+                    "only; use read_mesh() for polygon files")
+            yield MeshChunk(faces=rec["idx"].astype(np.int32))
+            remaining -= n

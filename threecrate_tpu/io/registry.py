@@ -11,7 +11,7 @@ algorithm first touches the data.
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, Iterator, Optional
+from typing import Callable, Dict, Iterator, NamedTuple, Optional
 
 import numpy as np
 
@@ -25,6 +25,17 @@ MeshReader = Callable[..., TriangleMesh]
 MeshWriter = Callable[..., None]
 
 
+class MeshChunk(NamedTuple):
+    """One streamed piece of a mesh (read_mesh_iter): exactly one of
+    ``vertices`` ((n, 3) f32) / ``faces`` ((m, 3) i32, indices into the
+    full vertex sequence) is set. The analog of the reference's
+    streaming mesh iterator items (io/src/lib.rs:292), widened to
+    stream vertices too instead of buffering them all."""
+
+    vertices: Optional[np.ndarray] = None
+    faces: Optional[np.ndarray] = None
+
+
 class IoRegistry:
     """Extension → handler map (registry.rs:12-117)."""
 
@@ -34,10 +45,12 @@ class IoRegistry:
         self.mesh_readers: Dict[str, MeshReader] = {}
         self.mesh_writers: Dict[str, MeshWriter] = {}
         self.cloud_stream_readers: Dict[str, Callable] = {}
+        self.mesh_stream_readers: Dict[str, Callable] = {}
 
     # -- registration ------------------------------------------------------
     def register(self, ext: str, *, cloud_reader=None, cloud_writer=None,
-                 mesh_reader=None, mesh_writer=None, cloud_stream_reader=None):
+                 mesh_reader=None, mesh_writer=None, cloud_stream_reader=None,
+                 mesh_stream_reader=None):
         ext = ext.lower().lstrip(".")
         if cloud_reader:
             self.cloud_readers[ext] = cloud_reader
@@ -49,6 +62,8 @@ class IoRegistry:
             self.mesh_writers[ext] = mesh_writer
         if cloud_stream_reader:
             self.cloud_stream_readers[ext] = cloud_stream_reader
+        if mesh_stream_reader:
+            self.mesh_stream_readers[ext] = mesh_stream_reader
 
     def supported_extensions(self):
         return sorted(set(self.cloud_readers) | set(self.cloud_writers)
@@ -110,6 +125,28 @@ class IoRegistry:
             def gen():
                 for i in range(0, len(pts), chunk_size):
                     yield pts[i:i + chunk_size]
+            return gen()
+        if not os.path.exists(path):
+            raise IoError(f"file not found: {path}")
+        return fn(path, chunk_size=chunk_size, **kw)
+
+    def read_mesh_iter(self, path, chunk_size: int = 65536, **kw
+                       ) -> Iterator[MeshChunk]:
+        """Chunked streaming mesh read (io/src/lib.rs:292): yields
+        MeshChunk host arrays — vertex chunks and face chunks —
+        without materialising the whole file (for formats with a
+        native streaming reader; others read fully and slice)."""
+        ext = self._ext(path)
+        fn = self.mesh_stream_readers.get(ext)
+        if fn is None:
+            mesh = self.read_mesh(path, **kw)
+            v, f = mesh.to_numpy()
+
+            def gen():
+                for i in range(0, len(v), chunk_size):
+                    yield MeshChunk(vertices=v[i:i + chunk_size])
+                for i in range(0, len(f), chunk_size):
+                    yield MeshChunk(faces=f[i:i + chunk_size])
             return gen()
         if not os.path.exists(path):
             raise IoError(f"file not found: {path}")

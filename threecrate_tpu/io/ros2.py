@@ -101,6 +101,12 @@ def from_pointcloud2(msg: Dict) -> PointCloud:
     dtype = np.dtype({"names": names, "formats": formats,
                       "offsets": offsets, "itemsize": msg["point_step"]})
     n = msg["height"] * msg["width"]
+    need = msg["height"] * msg.get("row_step", msg["point_step"]
+                                   * msg["width"])
+    if len(msg["data"]) < need:
+        raise InvalidDataError(
+            f"PointCloud2 data too short: need {need} bytes, "
+            f"got {len(msg['data'])}")
     rec = np.frombuffer(msg["data"], dtype=dtype, count=n)
     for c in ("x", "y", "z"):
         if c not in names:
@@ -111,9 +117,13 @@ def from_pointcloud2(msg: Dict) -> PointCloud:
         attrs["normals"] = np.stack(
             [rec["normal_x"], rec["normal_y"], rec["normal_z"]],
             -1).astype(np.float32)
-    if "rgb" in names:
-        packed = rec["rgb"].view(np.uint32) if rec["rgb"].dtype == np.float32 \
-            else rec["rgb"].astype(np.uint32)
+    rgb_name = "rgb" if "rgb" in names else (
+        "rgba" if "rgba" in names else None)
+    if rgb_name is not None:
+        col = rec[rgb_name]
+        packed = col.view(np.uint32) if col.dtype == np.float32 \
+            else col.astype(np.uint32)
+        # 0x00RRGGBB (alpha, if any, discarded — ros2.rs:158-193)
         attrs["colors"] = np.stack(
             [(packed >> 16) & 0xFF, (packed >> 8) & 0xFF, packed & 0xFF],
             -1).astype(np.float32) / 255.0
@@ -124,6 +134,136 @@ def from_pointcloud2(msg: Dict) -> PointCloud:
         pts = pts[finite]
         attrs = {k: v[finite] for k, v in attrs.items()}
     return PointCloud.from_numpy(pts, **attrs)
+
+
+# ---------------------------------------------------------------------------
+# Named typed converters — the 8 entry points the reference's python
+# module registers (threecrate-python/src/lib.rs:2580-2588, bodies
+# ros2.rs:214-595). They take the RAW message pieces (data bytes +
+# (name, offset, datatype, count) field tuples) like the PyO3 layer,
+# build the generic message dict, and apply the per-type requirements:
+# *_to_normals demands normal_x/y/z, *_to_colored demands rgb/rgba
+# (alpha discarded), and the serializers emit the reference's exact
+# little-endian layouts (point_step 12/16/24/28, rgb = f32 whose bits
+# encode 0x00RRGGBB).
+# ---------------------------------------------------------------------------
+
+def _msg_from_raw(data: bytes, fields, point_step: int, width: int,
+                  height: int, is_bigendian: bool = False,
+                  is_dense: bool = True) -> Dict:
+    fl = []
+    for f in fields:
+        if isinstance(f, PointField):
+            fl.append(dataclasses.asdict(f))
+        elif isinstance(f, dict):
+            fl.append({"count": 1, **f})
+        else:
+            name, offset, datatype, count = f
+            fl.append({"name": name, "offset": int(offset),
+                       "datatype": int(datatype), "count": int(count)})
+    return {"header": {"frame_id": ""}, "height": int(height),
+            "width": int(width), "fields": fl,
+            "is_bigendian": bool(is_bigendian),
+            "point_step": int(point_step),
+            "row_step": int(point_step) * int(width),
+            "data": data, "is_dense": bool(is_dense)}
+
+
+def pointcloud2_to_xyz(data: bytes, fields, point_step: int, width: int,
+                       height: int, is_bigendian: bool = False,
+                       is_dense: bool = True) -> PointCloud:
+    """Raw PointCloud2 → positions-only cloud (ros2.rs:214-243)."""
+    c = from_pointcloud2(_msg_from_raw(data, fields, point_step, width,
+                                       height, is_bigendian, is_dense))
+    return PointCloud(c.points, c.mask, {})
+
+
+def pointcloud2_to_normals(data: bytes, fields, point_step: int,
+                           width: int, height: int,
+                           is_bigendian: bool = False,
+                           is_dense: bool = True) -> PointCloud:
+    """Raw PointCloud2 → cloud with normals; requires normal_x/y/z
+    (ros2.rs:292-345)."""
+    c = from_pointcloud2(_msg_from_raw(data, fields, point_step, width,
+                                       height, is_bigendian, is_dense))
+    if "normals" not in c.attrs:
+        raise InvalidDataError(
+            "PointCloud2 missing field 'normal_x'/'normal_y'/'normal_z'")
+    return PointCloud(c.points, c.mask, {"normals": c.attrs["normals"]})
+
+
+def pointcloud2_to_colored(data: bytes, fields, point_step: int,
+                           width: int, height: int,
+                           is_bigendian: bool = False,
+                           is_dense: bool = True) -> PointCloud:
+    """Raw PointCloud2 → cloud with colors; requires rgb or rgba
+    (alpha discarded; ros2.rs:245-290)."""
+    c = from_pointcloud2(_msg_from_raw(data, fields, point_step, width,
+                                       height, is_bigendian, is_dense))
+    if "colors" not in c.attrs:
+        raise InvalidDataError(
+            "PointCloud2 missing 'rgb' or 'rgba' field")
+    return PointCloud(c.points, c.mask, {"colors": c.attrs["colors"]})
+
+
+def pointcloud2_to_colored_normals(data: bytes, fields, point_step: int,
+                                   width: int, height: int,
+                                   is_bigendian: bool = False,
+                                   is_dense: bool = True) -> PointCloud:
+    """Raw PointCloud2 → cloud with colors AND normals
+    (ros2.rs:347-420)."""
+    c = from_pointcloud2(_msg_from_raw(data, fields, point_step, width,
+                                       height, is_bigendian, is_dense))
+    if "normals" not in c.attrs:
+        raise InvalidDataError(
+            "PointCloud2 missing field 'normal_x'/'normal_y'/'normal_z'")
+    if "colors" not in c.attrs:
+        raise InvalidDataError(
+            "PointCloud2 missing 'rgb' or 'rgba' field")
+    return PointCloud(c.points, c.mask,
+                      {"normals": c.attrs["normals"],
+                       "colors": c.attrs["colors"]})
+
+
+def _require_attr(cloud: PointCloud, key: str, fn: str) -> None:
+    if key not in cloud.attrs:
+        raise InvalidDataError(f"{fn} requires the {key!r} attribute")
+
+
+def xyz_to_pointcloud2(cloud: PointCloud, frame_id: str = "map") -> Dict:
+    """Serialize positions only: x/y/z f32, point_step 12
+    (ros2.rs:506-523)."""
+    return make_pointcloud2(PointCloud(cloud.points, cloud.mask, {}),
+                            frame_id)
+
+
+def normals_to_pointcloud2(cloud: PointCloud,
+                           frame_id: str = "map") -> Dict:
+    """x/y/z + normal_x/y/z, point_step 24 (ros2.rs:562-593)."""
+    _require_attr(cloud, "normals", "normals_to_pointcloud2")
+    return make_pointcloud2(
+        PointCloud(cloud.points, cloud.mask,
+                   {"normals": cloud.attrs["normals"]}), frame_id)
+
+
+def colored_to_pointcloud2(cloud: PointCloud,
+                           frame_id: str = "map") -> Dict:
+    """x/y/z + packed rgb f32, point_step 16 (ros2.rs:529-560)."""
+    _require_attr(cloud, "colors", "colored_to_pointcloud2")
+    return make_pointcloud2(
+        PointCloud(cloud.points, cloud.mask,
+                   {"colors": cloud.attrs["colors"]}), frame_id)
+
+
+def colored_normals_to_pointcloud2(cloud: PointCloud,
+                                   frame_id: str = "map") -> Dict:
+    """x/y/z + normals + rgb, point_step 28 (ros2.rs:595-637)."""
+    _require_attr(cloud, "normals", "colored_normals_to_pointcloud2")
+    _require_attr(cloud, "colors", "colored_normals_to_pointcloud2")
+    return make_pointcloud2(
+        PointCloud(cloud.points, cloud.mask,
+                   {"normals": cloud.attrs["normals"],
+                    "colors": cloud.attrs["colors"]}), frame_id)
 
 
 def from_pointcloud2_organized(msg: Dict) -> OrganizedPointCloud:

@@ -345,11 +345,19 @@ def _use_window(source: PointCloud, target: PointCloud,
 
 
 def auto_subsample(n_src: int) -> int:
-    """Coarse-phase source tile stride: 4 at large N (the kernel grid
-    and every per-point loop cost shrink 4x for all but the final
-    full-resolution iterations), 1 below 400k where the full per-iter
-    cost is already near the dispatch floor."""
-    return 4 if n_src >= 400_000 else 1
+    """Coarse-phase source tile stride ladder (measured r4 on v5e at
+    1M x 1M, 20 it: stride 1/4/8 = 11.41/5.47/3.83 ms/iter with
+    Rx-tilt recovery IDENTICAL at ~3e-6; at 121k stride 2 = 1.90 vs
+    2.53). The coarse phase keeps >= ~50k matched points at every
+    rung, far above the Kabsch fit's needs, and the last two
+    iterations always polish at full resolution."""
+    if n_src >= 800_000:
+        return 8
+    if n_src >= 200_000:
+        return 4
+    if n_src >= 50_000:
+        return 2
+    return 1
 
 
 def icp_point_to_point(source: PointCloud, target: PointCloud,
