@@ -37,9 +37,12 @@ def _clear_jax_caches_per_module():
     module boundaries keeps the live compiler state bounded; modules
     recompile their own programs anyway, so the wall-clock cost is
     minutes over the whole suite.
+
+    Set TC_NO_CACHE_CLEAR=1 to disable (segfault-reproduction runs).
     """
     yield
-    jax.clear_caches()
+    if os.environ.get("TC_NO_CACHE_CLEAR") != "1":
+        jax.clear_caches()
 
 
 @pytest.fixture

@@ -580,3 +580,95 @@ class TestShardedTsdf:
         mesh = make_mesh(8)
         with pytest.raises(ValueError):
             sharded.make_sharded_tsdf(mesh, (12, 16, 16), self.VSIZE)
+
+
+class TestShardedFeaturePipeline:
+    """Sharded FPFH → descriptor matching → global RANSAC (the r4
+    pipeline): oracle = single-device staged kernels."""
+
+    def _cloud_with_normals(self, n=1024, seed=0):
+        from threecrate_tpu.ops import normals as normals_mod
+        pts = surface_cloud(n, seed=seed)
+        pc = normals_mod.estimate_normals(
+            PointCloud.from_points(jnp.asarray(pts)), k=10)
+        return pts, np.asarray(pc.normals)
+
+    def test_sharded_fpfh_matches_staged(self):
+        from threecrate_tpu.ops import features
+        from threecrate_tpu.parallel import make_sharded_fpfh
+        mesh = make_mesh(8)
+        n = 1024
+        pts, nrm = self._cloud_with_normals(n)
+        radius, k = 0.5, 64
+        fn = make_sharded_fpfh(mesh, radius, k=k)
+        d_s, v_s = fn(put_sharded(jnp.asarray(pts), mesh),
+                      put_sharded(jnp.ones(n, bool), mesh),
+                      put_sharded(jnp.asarray(nrm), mesh))
+        d_ref, v_ref = features._fpfh(
+            jnp.asarray(pts), jnp.ones(n, bool), jnp.asarray(nrm),
+            jnp.float32(radius), k, 11, False, False)
+        d_s, v_s = np.asarray(d_s), np.asarray(v_s)
+        d_ref, v_ref = np.asarray(d_ref), np.asarray(v_ref)
+        both = v_s & v_ref
+        assert both.sum() > 900
+        na = d_s[both] / np.maximum(
+            np.linalg.norm(d_s[both], axis=1, keepdims=True), 1e-9)
+        nb = d_ref[both] / np.maximum(
+            np.linalg.norm(d_ref[both], axis=1, keepdims=True), 1e-9)
+        cos = np.sum(na * nb, axis=1)
+        # same formulation; residual differences are k-th-neighbor
+        # tie-order at the cap
+        assert np.median(cos) > 0.999
+        assert np.mean(cos) > 0.99
+
+    def test_sharded_match_descriptors(self):
+        from threecrate_tpu.ops import features
+        from threecrate_tpu.parallel import make_sharded_match_descriptors
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(5)
+        na, nb = 512, 768
+        da = rng.normal(size=(na, 33)).astype(np.float32)
+        db = rng.normal(size=(nb, 33)).astype(np.float32)
+        tgt_pts = rng.normal(size=(nb, 3)).astype(np.float32)
+        va = np.ones(na, bool)
+        vb = np.ones(nb, bool)
+        fn = make_sharded_match_descriptors(mesh)
+        j, dist, ok, matched = fn(
+            put_sharded(jnp.asarray(da), mesh),
+            put_sharded(jnp.asarray(va), mesh),
+            put_sharded(jnp.asarray(db), mesh),
+            put_sharded(jnp.asarray(vb), mesh),
+            put_sharded(jnp.asarray(tgt_pts), mesh))
+        j_ref, dist_ref, ok_ref = features.match_descriptors(
+            jnp.asarray(da), jnp.asarray(va), jnp.asarray(db),
+            jnp.asarray(vb))
+        np.testing.assert_array_equal(np.asarray(j), np.asarray(j_ref))
+        np.testing.assert_allclose(np.asarray(dist),
+                                   np.asarray(dist_ref), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(matched),
+                                   tgt_pts[np.asarray(j_ref)], atol=1e-6)
+
+    def test_sharded_global_registration_recovers(self):
+        from threecrate_tpu.parallel import make_sharded_global_registration
+        mesh = make_mesh(8)
+        n = 2048
+        pts = surface_cloud(n, seed=7)
+        ang = 0.35
+        R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0],
+                      [0, 0, 1]], np.float32)
+        tvec = np.array([0.8, -0.5, 0.2], np.float32)
+        tgt = (pts @ R.T + tvec).astype(np.float32)
+        fn = make_sharded_global_registration(
+            mesh, fpfh_radius=0.5, k_fpfh=48, distance_threshold=0.1,
+            hypotheses_per_device=512, query_stride=2,
+            refine_iterations=20)
+        t, count, ratio = fn(
+            put_sharded(jnp.asarray(pts), mesh),
+            put_sharded(jnp.ones(n, bool), mesh),
+            put_sharded(jnp.asarray(tgt), mesh),
+            put_sharded(jnp.ones(n, bool), mesh))
+        t = np.asarray(t)
+        assert np.abs(t[:3, :3] - R).max() < 5e-3
+        assert np.abs(t[:3, 3] - tvec).max() < 5e-3
+        assert float(ratio) > 0.3

@@ -129,9 +129,17 @@ def _moments_body(pack, self_ref, out_ref, *, r2: float, band: int,
     out_ref[8, :] = jnp.sum(w * dx * dz, axis=0)
     out_ref[9, :] = jnp.sum(w * dy * dz, axis=0)
     out_ref[10, :] = jnp.sum(selF, axis=0)
-    out_ref[11, :] = jnp.sum(selF * dx, axis=0)
-    out_ref[12, :] = jnp.sum(selF * dy, axis=0)
-    out_ref[13, :] = jnp.sum(selF * dz, axis=0)
+    # far-amplified first moment Σ w·d·|d|² (rows 11-13): an
+    # independent odd statistic for the x-axis sign tie-break — on
+    # near-symmetric neighborhoods the plain Σ w·d vote sits at the
+    # sampling-noise floor and flips between resamplings, while the
+    # |d|² weighting keys on the radius-boundary asymmetry, which is
+    # geometric and resampling-stable (the SHOT paper's far-subset
+    # disambiguation in smooth form).
+    wd2 = w * d2
+    out_ref[11, :] = jnp.sum(wd2 * dx, axis=0)
+    out_ref[12, :] = jnp.sum(wd2 * dy, axis=0)
+    out_ref[13, :] = jnp.sum(wd2 * dz, axis=0)
 
 
 def _moments_a_kernel(prev_ref, self_ref, next_ref, out_ref, *,

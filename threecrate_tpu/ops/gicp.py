@@ -52,6 +52,12 @@ class GicpConfig:
     # (converged=False) is the fallback signal: retry with larger
     # w_tiles or method="exact".
     w_tiles: Optional[int] = None
+    # Coarse-phase source tile stride (registration.auto_subsample
+    # semantics; None = auto — 8 at >=800k, 4 at >=200k, 2 at >=50k).
+    # All but the last ``full_iters`` Gauss-Newton iterations match a
+    # strided source; the final iterations refit at full resolution.
+    subsample: Optional[int] = None
+    full_iters: int = 2
 
 
 def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
@@ -185,10 +191,11 @@ def _normal_equations(moved, r, w_mat):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iterations", "window",
-                                             "w_tiles"))
+                                             "w_tiles", "subsample",
+                                             "full_iters"))
 def _gicp_loop(src, src_mask, src_cov, tgt, tgt_mask, tgt_cov, init,
                max_iterations, conv_thresh, max_corr, window=False,
-               w_tiles=3):
+               w_tiles=3, subsample=1, full_iters=2):
     if window:
         # static-sort correspondence (see registration._static_corr_setup):
         # sorts run once; per iteration the match kernel gathers the
@@ -202,41 +209,49 @@ def _gicp_loop(src, src_mask, src_cov, tgt, tgt_mask, tgt_cov, init,
             tgt_extra=_cov_to_cols(tgt_cov),
             src_extra=_cov_to_cols(src_cov))
         src_cov_s = _cols_to_cov(src_cov6_s)
+        static_match_sub = src_cov_sub = None
+        if subsample > 1:
+            # coarse phase: strided source TILES (registration r4);
+            # the strided source covariance columns ride the same
+            # setup (its tile_stride applies to src_extra too)
+            static_match_sub, cov6_sub = _static_corr_setup(
+                src, src_mask, tgt, tgt_mask, init, max_corr, w_tiles,
+                tgt_extra=_cov_to_cols(tgt_cov),
+                src_extra=_cov_to_cols(src_cov), tile_stride=subsample)
+            src_cov_sub = _cols_to_cov(cov6_sub)
 
-    def cond(state):
-        _, it, delta_norm, _ = state
-        return (it < max_iterations) & (delta_norm >= conv_thresh)
-
-    def body(state):
-        t_mat, it, _, _ = state
-        r_mat = t_mat[:3, :3]
-        if window:
-            moved, matched, okb, d2, ex = static_match(t_mat)
-            ok = okb
+    def body_for(match_fn, cov_s):
+        def body(state):
+            t_mat, it, _, _ = state
+            r_mat = t_mat[:3, :3]
+            if window:
+                moved, matched, okb, d2, ex = match_fn(t_mat)
+                ok = okb
+                w = ok.astype(jnp.float32)
+                tgt_cov_m = _cols_to_cov(ex)
+                c_s_rot = jnp.einsum("ij,njk,lk->nil", r_mat, cov_s,
+                                     r_mat,
+                                     precision=jax.lax.Precision.HIGHEST)
+                m = tgt_cov_m + c_s_rot
+                w_mat = inv3x3(m) * w[:, None, None]
+                r = moved - matched
+                return _gn_update(t_mat, it, moved, r, w_mat, w, ok)
+            moved = linalg.transform_points(t_mat, src)
+            res = neighbors.knn(tgt, tgt_mask, moved, src_mask, 1)
+            idx = res.indices[:, 0]
+            dist = res.distances[:, 0]
+            ok = res.mask[:, 0] & src_mask & (dist <= max_corr)
             w = ok.astype(jnp.float32)
-            tgt_cov_m = _cols_to_cov(ex)
-            c_s_rot = jnp.einsum("ij,njk,lk->nil", r_mat, src_cov_s,
-                                 r_mat,
+
+            # combined covariance M = C_t + R C_s Rᵀ, metric W = M⁻¹
+            c_s_rot = jnp.einsum("ij,njk,lk->nil", r_mat, src_cov, r_mat,
                                  precision=jax.lax.Precision.HIGHEST)
-            m = tgt_cov_m + c_s_rot
+            m = tgt_cov[idx] + c_s_rot
             w_mat = inv3x3(m) * w[:, None, None]
-            r = moved - matched
+
+            r = moved - tgt[idx]                      # (N, 3) residuals
             return _gn_update(t_mat, it, moved, r, w_mat, w, ok)
-        moved = linalg.transform_points(t_mat, src)
-        res = neighbors.knn(tgt, tgt_mask, moved, src_mask, 1)
-        idx = res.indices[:, 0]
-        dist = res.distances[:, 0]
-        ok = res.mask[:, 0] & src_mask & (dist <= max_corr)
-        w = ok.astype(jnp.float32)
-
-        # combined covariance M = C_t + R C_s Rᵀ, metric W = M⁻¹
-        c_s_rot = jnp.einsum("ij,njk,lk->nil", r_mat, src_cov, r_mat,
-                             precision=jax.lax.Precision.HIGHEST)
-        m = tgt_cov[idx] + c_s_rot
-        w_mat = inv3x3(m) * w[:, None, None]
-
-        r = moved - tgt[idx]                          # (N, 3) residuals
-        return _gn_update(t_mat, it, moved, r, w_mat, w, ok)
+        return body
 
     def _gn_update(t_mat, it, moved, r, w_mat, w, ok):
         h, g = _normal_equations(moved, r, w_mat)
@@ -248,10 +263,27 @@ def _gicp_loop(src, src_mask, src_cov, tgt, tgt_mask, tgt_cov, init,
         return (new_t, it + 1, jnp.linalg.norm(xi),
                 (mse, jnp.sum(ok).astype(jnp.int32)))
 
+    def run_loop(state0, match_fn, cov_s, it_budget):
+        def cond(state):
+            _, it, delta_norm, _ = state
+            return (it < it_budget) & (delta_norm >= conv_thresh)
+        return jax.lax.while_loop(cond, body_for(match_fn, cov_s),
+                                  state0)
+
     state0 = (init, jnp.int32(0), jnp.float32(jnp.inf),
               (jnp.float32(jnp.inf), jnp.int32(0)))
-    t_mat, it, delta_norm, (mse, n_corr) = jax.lax.while_loop(
-        cond, body, state0)
+    if window and subsample > 1 and max_iterations > full_iters:
+        coarse = run_loop(state0, static_match_sub, src_cov_sub,
+                          max_iterations - full_iters)
+        t_a, it_a, _, _ = coarse
+        state_b = (t_a, it_a, jnp.float32(jnp.inf),
+                   (jnp.float32(jnp.inf), jnp.int32(0)))
+        t_mat, it, delta_norm, (mse, n_corr) = run_loop(
+            state_b, static_match, src_cov_s, max_iterations)
+    else:
+        t_mat, it, delta_norm, (mse, n_corr) = run_loop(
+            state0, static_match if window else None,
+            src_cov_s if window else None, max_iterations)
     return t_mat, mse, it, delta_norm < conv_thresh, n_corr
 
 
@@ -284,12 +316,15 @@ def gicp(source: PointCloud, target: PointCloud,
                                  "(collinear/coincident points)")
 
     init_m = init.matrix if init is not None else jnp.eye(4, dtype=jnp.float32)
-    from .registration import auto_w_tiles
+    from .registration import auto_subsample, auto_w_tiles
     w = (config.w_tiles if config.w_tiles is not None
          else auto_w_tiles(source.capacity, target.capacity))
+    sub = (config.subsample if config.subsample is not None
+           else (auto_subsample(source.capacity) if window else 1))
     t, mse, it, conv, n_corr = _gicp_loop(
         source.points, src_ok, src_cov, target.points, tgt_ok, tgt_cov,
         init_m, config.max_iterations,
         jnp.float32(config.convergence_threshold),
-        jnp.float32(config.max_correspondence_distance), window, w)
+        jnp.float32(config.max_correspondence_distance), window, w,
+        subsample=sub, full_iters=config.full_iters)
     return ICPResult(t, mse, it, conv, n_corr)

@@ -138,20 +138,19 @@ def _ndt_loop(src, src_mask, gaussians: NdtGaussians, init,
         bd = jnp.einsum("nij,nj->ni", b, d)
         q = jnp.sum(d * bd, axis=1)
         s = jnp.exp(-0.5 * jnp.clip(q, 0.0, 50.0)) * w
-        # J = ∂d/∂ξ = [−skew(moved) | I]  (3, 6) per point
-        j = jnp.concatenate([-skew(moved), jnp.broadcast_to(
-            jnp.eye(3, dtype=src.dtype), (src.shape[0], 3, 3))], axis=2)
-        jtbd = jnp.einsum("nak,na->nk", j, bd)          # (N, 6) JᵀBd
-        grad = jnp.einsum("n,nk->k", s, jtbd,
-                          precision=jax.lax.Precision.HIGHEST)           # ∂(−Σs)/∂ξ = Σ s·JᵀBd
-        bj = jnp.einsum("nab,nbk->nak", b, j)
-        # Gauss-Newton (PSD) Hessian: Σ s·JᵀBJ. The full Newton form has
-        # a −Σ s·(JᵀBd)(JᵀBd)ᵀ correction that makes H indefinite far
-        # from the optimum and breaks the Cholesky solve; dropping it is
-        # the standard GN-NDT simplification and keeps every step a
-        # descent direction.
-        hess = jnp.einsum("n,nak,nal->kl", s, j, bj,
-                          precision=jax.lax.Precision.HIGHEST)
+        # J = ∂d/∂ξ = [−skew(moved) | I] (3, 6) per point. grad =
+        # Σ s·JᵀBd, Gauss-Newton Hessian = Σ s·JᵀBJ (the full Newton
+        # form has a −Σ s·(JᵀBd)(JᵀBd)ᵀ correction that makes H
+        # indefinite far from the optimum and breaks the Cholesky
+        # solve; dropping it is the standard GN-NDT simplification
+        # and keeps every step a descent direction). Both reduce to
+        # GICP's symbolically-expanded normal equations with
+        # W = s·B and r = d — no (N, 3, 6) einsum intermediates
+        # (the expansion bought GICP 33→18 ms/iter at 1M; r4 gives
+        # NDT the same treatment).
+        from .gicp import _normal_equations
+        w_mat = b * s[:, None, None]
+        hess, grad = _normal_equations(moved, d, w_mat)
         score = jnp.sum(s)
         return score, grad, hess
 

@@ -18,7 +18,10 @@ from .sharded import (
     make_sharded_gicp,
     make_sharded_icp,
     make_sharded_icp_p2plane,
+    make_sharded_fpfh,
+    make_sharded_global_registration,
     make_sharded_knn,
+    make_sharded_match_descriptors,
     make_sharded_normals,
     make_sharded_normals_window,
     make_sharded_tsdf,
@@ -38,6 +41,8 @@ __all__ = [
     "make_distributed_morton_sort",
     "make_sharded_batch_icp", "make_sharded_gicp", "make_sharded_icp",
     "make_sharded_icp_p2plane", "make_sharded_knn",
+    "make_sharded_fpfh", "make_sharded_match_descriptors",
+    "make_sharded_global_registration",
     "make_sharded_normals", "make_sharded_normals_window",
     "make_sharded_tsdf",
     "morton_presort", "make_sharded_outlier_stats",

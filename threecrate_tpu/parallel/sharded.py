@@ -1160,3 +1160,271 @@ class ShardedFrameToModelOdometry:
                                 near=self.config.near,
                                 far=self.config.far,
                                 max_steps=self.config.max_steps)
+
+
+# ---------------------------------------------------------------------------
+# sharded feature pipeline: FPFH → descriptor matching → global RANSAC
+# (VERDICT r3 item 2: global_registration.rs:93-168 at multi-chip scale
+# — the O(N·M·33) descriptor matching is exactly a ring matmul)
+# ---------------------------------------------------------------------------
+
+def ring_knn_payload_local(q, db_shard, db_mask_shard, payload_shard, k,
+                           axis_name: str = POINTS_AXIS):
+    """Ring kNN additionally carrying an (S, E) per-row payload through
+    the top-k merge (neighbor normals for FPFH's pair features; target
+    coordinates for descriptor matching) — no cross-shard gather ever.
+    Dimension-agnostic in the db row width: works for 3-d points and
+    33-d descriptors alike. Returns (neg_sq_dist (Q,k), db rows
+    (Q,k,D), payload (Q,k,E), global row ids (Q,k))."""
+    nd = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    s = db_shard.shape[0]
+    nq, dd = q.shape[0], db_shard.shape[1]
+    e = payload_shard.shape[1]
+    qn = jnp.sum(q * q, axis=-1)
+    perm = [(i, (i + 1) % nd) for i in range(nd)]
+
+    init = (jnp.full((nq, k), -jnp.inf, jnp.float32),
+            jnp.zeros((nq, k, dd), jnp.float32),
+            jnp.zeros((nq, k, e), jnp.float32),
+            jnp.zeros((nq, k), jnp.int32),
+            db_shard, db_mask_shard, payload_shard)
+
+    def body(step, carry):
+        (best_neg, best_rows, best_pay, best_idx,
+         cur_db, cur_mask, cur_pay) = carry
+        src_dev = (me - step) % nd
+        pn = jnp.sum(cur_db * cur_db, axis=-1)
+        cross = jax.lax.dot_general(
+            q, cur_db, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        d2 = jnp.maximum(qn[:, None] + pn[None, :] - 2.0 * cross, 0.0)
+        neg = jnp.where(cur_mask[None, :], -d2, -jnp.inf)
+        idx = src_dev * s + jax.lax.broadcasted_iota(
+            jnp.int32, neg.shape, 1)
+        cand_neg = jnp.concatenate([best_neg, neg], axis=1)
+        top_neg, pos = jax.lax.top_k(cand_neg, k)
+        m = best_neg.shape[1]
+        from_old = pos < m
+        old_pos = jnp.minimum(pos, m - 1)
+        new_pos = jnp.clip(pos - m, 0, neg.shape[1] - 1)
+        rows_old = jnp.take_along_axis(best_rows, old_pos[..., None], 1)
+        pay_old = jnp.take_along_axis(best_pay, old_pos[..., None], 1)
+        idx_old = jnp.take_along_axis(best_idx, old_pos, axis=1)
+        best_rows = jnp.where(from_old[..., None], rows_old,
+                              cur_db[new_pos])
+        best_pay = jnp.where(from_old[..., None], pay_old,
+                             cur_pay[new_pos])
+        best_idx = jnp.where(from_old, idx_old,
+                             jnp.take_along_axis(idx, new_pos, axis=1))
+        cur_db = jax.lax.ppermute(cur_db, axis_name, perm)
+        cur_mask = jax.lax.ppermute(cur_mask, axis_name, perm)
+        cur_pay = jax.lax.ppermute(cur_pay, axis_name, perm)
+        return (top_neg, best_rows, best_pay, best_idx,
+                cur_db, cur_mask, cur_pay)
+
+    out = jax.lax.fori_loop(0, nd, body, init)
+    return out[0], out[1], out[2], out[3]
+
+
+def ring_gather_rows_local(ids, table_shard, axis_name: str = POINTS_AXIS):
+    """Gather GLOBAL rows of a points-sharded table: (Q, k) global ids
+    → (Q, k, E) rows. One ring rotation of the table; each step
+    resolves the ids that live on the currently-held shard. The
+    cross-shard gather FPFH's stage 2 (neighbor SPFH sum) needs."""
+    nd = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    s = table_shard.shape[0]
+    e = table_shard.shape[-1]
+    perm = [(i, (i + 1) % nd) for i in range(nd)]
+    out0 = jnp.zeros(ids.shape + (e,), jnp.float32)
+
+    def body(step, carry):
+        out, cur = carry
+        src_dev = (me - step) % nd
+        loc = ids - src_dev * s
+        inb = (loc >= 0) & (loc < s)
+        rows = cur[jnp.clip(loc, 0, s - 1)]
+        out = jnp.where(inb[..., None], rows, out)
+        cur = jax.lax.ppermute(cur, axis_name, perm)
+        return out, cur
+
+    out, _ = jax.lax.fori_loop(0, nd, body, (out0, table_shard))
+    return out
+
+
+def sharded_fpfh_local(pts, mask, nrm, radius, k,
+                       axis_name: str = POINTS_AXIS, n_bins: int = 11):
+    """FPFH of a points-sharded cloud; call inside shard_map.
+
+    The staged formulation (features.rs:81-256) over two ring passes:
+
+    1. ring kNN over the cloud itself with the NORMALS as payload →
+       each query holds its k nearest coordinates + normals locally;
+       SPFH (3 concatenated Darboux-angle histograms) is then pure
+       shard-local math;
+    2. FPFH(p) = SPFH(p) + (1/k)·Σ (1/dᵢ)·SPFH(qᵢ) needs the
+       neighbors' SPFH rows — one ring_gather_rows_local of the
+       sharded SPFH table by the stage-1 global ids.
+
+    Hard binning (the reference's semantics, features.rs:109-113).
+    Returns (descriptors (Qs, 3·n_bins), valid (Qs,)) shard-local.
+    """
+    from ..ops.features import _hist, pair_features
+
+    r2 = float(radius) * float(radius)
+    neg, nbr_pts, nbr_nrm, nbr_idx = ring_knn_payload_local(
+        pts, pts, mask, nrm, k + 1, axis_name)
+    d2 = jnp.maximum(-neg, 0.0)
+    ok = (neg > -jnp.inf) & (d2 <= r2) & (d2 > 1e-18) & mask[:, None]
+    w = ok.astype(jnp.float32)
+    f1, f2, f3, _ = pair_features(pts[:, None, :], nrm[:, None, :],
+                                  nbr_pts, nbr_nrm)
+    h1 = _hist(f1, -jnp.pi, jnp.pi, n_bins, w)
+    h2 = _hist(f2, -1.0, 1.0, n_bins, w)
+    h3 = _hist(f3, -1.0, 1.0, n_bins, w)
+    cnt = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
+    spfh = jnp.concatenate([h1, h2, h3], axis=-1) / cnt     # (Qs, 33)
+
+    nbr_spfh = ring_gather_rows_local(nbr_idx, spfh, axis_name)
+    dist = jnp.sqrt(d2)
+    inv_d = jnp.where(ok & (dist > 1e-12), 1.0 / jnp.maximum(dist, 1e-12),
+                      0.0)
+    k_eff = jnp.maximum(jnp.sum(ok, axis=1), 1)[:, None]
+    fpfh = spfh + jnp.einsum("nk,nkd->nd", inv_d, nbr_spfh) / k_eff
+
+    out = []
+    for b in range(3):
+        blk = fpfh[:, b * n_bins:(b + 1) * n_bins]
+        ssum = jnp.maximum(jnp.sum(blk, axis=1, keepdims=True), 1e-12)
+        out.append(blk / ssum * 100.0)
+    desc = jnp.concatenate(out, axis=-1)
+    valid = mask & (jnp.sum(ok, axis=1) >= 3)
+    return jnp.where(valid[:, None], desc, 0.0), valid
+
+
+def make_sharded_fpfh(mesh: Mesh, radius: float, k: int = 64,
+                      axis_name: str = POINTS_AXIS):
+    """Jitted sharded FPFH: points/mask/normals sharded on axis 0 →
+    (descriptors (N, 33), valid (N,)) sharded the same way."""
+    spec = P(axis_name)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec, spec, spec), out_specs=(spec, spec),
+        check_vma=False)
+    def _run(pts, mask, nrm):
+        return sharded_fpfh_local(pts, mask, nrm, radius, k, axis_name)
+
+    return jax.jit(_run)
+
+
+def make_sharded_match_descriptors(mesh: Mesh,
+                                   axis_name: str = POINTS_AXIS):
+    """Jitted sharded descriptor matching (the ring-matmul form of
+    global_registration.rs:93-111): source descriptors sharded as
+    queries, target descriptors sharded as the ring database, target
+    POINTS riding as payload so the caller gets matched coordinates
+    without any cross-shard gather. Returns (global index into target,
+    distance, ok, matched target xyz), all sharded like the source."""
+    spec = P(axis_name)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec),
+        out_specs=(spec, spec, spec, spec),
+        check_vma=False)
+    def _run(desc_a, valid_a, desc_b, valid_b, tgt_pts):
+        neg, _, pay, idx = ring_knn_payload_local(
+            desc_a, desc_b, valid_b, tgt_pts, 1, axis_name)
+        dist = jnp.sqrt(jnp.maximum(-neg[:, 0], 0.0))
+        ok = valid_a & (neg[:, 0] > -jnp.inf)
+        return idx[:, 0], jnp.where(ok, dist, jnp.inf), ok, pay[:, 0]
+
+    return jax.jit(_run)
+
+
+def make_sharded_global_registration(
+        mesh: Mesh, fpfh_radius: float = 0.25, k_normals: int = 10,
+        k_fpfh: int = 64, distance_threshold: float = 0.05,
+        hypotheses_per_device: int = 1024, query_stride: int = 4,
+        refine_iterations: int = 15, seed: int = 0,
+        axis_name: str = POINTS_AXIS):
+    """Jitted sharded FPFH+RANSAC global registration
+    (global_registration.rs:27-213 across a device mesh).
+
+    Every heavy stage is sharded: normals (ring kNN), FPFH (two ring
+    passes), descriptor matching (ring matmul with target-point
+    payload). The correspondence set — every ``query_stride``-th local
+    source row, matched — is small, so it is all_gather'd and each
+    device then fits + scores an INDEPENDENT batch of RANSAC
+    hypotheses (device-folded PRNG); the best count wins via a second
+    tiny all_gather. Optional distributed point-to-plane-free p2p ICP
+    refinement. Inputs: src/src_mask/tgt/tgt_mask sharded on axis 0.
+    Returns (transform (4,4) replicated, inlier count, inlier ratio).
+    """
+    from ..ops.global_registration import _ransac_batch
+    from ..ops.normals import _pca_normals
+
+    spec = P(axis_name)
+    spec_rep = P()
+    vp = jnp.zeros((3,), jnp.float32)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=(spec_rep, spec_rep, spec_rep),
+        check_vma=False)
+    def _run(src, src_mask, tgt, tgt_mask):
+        me = jax.lax.axis_index(axis_name)
+
+        def normals_of(p, m):
+            neg, nbr_pts, _ = ring_knn_local(p, p, m, k_normals + 1,
+                                             axis_name)
+            nbr_ok = neg > -jnp.inf
+            nrm, _ = _pca_normals(nbr_pts, nbr_ok, p, vp, True)
+            return nrm
+
+        src_nrm = normals_of(src, src_mask)
+        tgt_nrm = normals_of(tgt, tgt_mask)
+        src_desc, src_dv = sharded_fpfh_local(
+            src, src_mask, src_nrm, fpfh_radius, k_fpfh, axis_name)
+        tgt_desc, tgt_dv = sharded_fpfh_local(
+            tgt, tgt_mask, tgt_nrm, fpfh_radius, k_fpfh, axis_name)
+
+        # every query_stride-th local source row → the match set
+        q_desc = src_desc[::query_stride]
+        q_valid = src_dv[::query_stride]
+        q_pts = src[::query_stride]
+        neg, _, pay, _ = ring_knn_payload_local(
+            q_desc, tgt_desc, tgt_dv, tgt, 1, axis_name)
+        ok_local = q_valid & (neg[:, 0] > -jnp.inf)
+        tgt_match = pay[:, 0]
+
+        # the correspondence set is tiny — gather it everywhere
+        sp_all = jax.lax.all_gather(q_pts, axis_name).reshape(-1, 3)
+        tp_all = jax.lax.all_gather(tgt_match, axis_name).reshape(-1, 3)
+        ok_all = jax.lax.all_gather(ok_local, axis_name).reshape(-1)
+
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), me)
+        t_dev, count_dev = _ransac_batch(
+            key, sp_all, tp_all, ok_all, hypotheses_per_device,
+            jnp.float32(distance_threshold))
+
+        counts = jax.lax.all_gather(count_dev, axis_name)     # (nd,)
+        ts = jax.lax.all_gather(t_dev, axis_name)             # (nd,4,4)
+        best = jnp.argmax(counts)
+        t_best = ts[best]
+        n_corr = jnp.maximum(jnp.sum(ok_all), 1)
+
+        if refine_iterations > 0:
+            t_best, _, _, _ = icp_sharded_loop(
+                src, src_mask, tgt, tgt_mask, t_best,
+                refine_iterations, jnp.float32(1e-7),
+                jnp.float32(distance_threshold * 2.0), axis_name)
+
+        ratio = counts[best].astype(jnp.float32) / n_corr
+        return t_best, counts[best], ratio
+
+    return jax.jit(_run)

@@ -3,7 +3,11 @@
 
 from .camera import OrbitCamera
 from .renderer import (
+    MeshLightingParams,
+    PbrMaterial,
     render_mesh,
+    render_mesh_pbr,
+    render_to_texture,
     render_point_cloud,
     save_image,
 )
@@ -18,7 +22,9 @@ from .viewer import (
 )
 
 __all__ = [
-    "OrbitCamera", "render_mesh", "render_point_cloud", "save_image",
+    "OrbitCamera", "render_mesh", "render_mesh_pbr", "render_to_texture",
+    "PbrMaterial", "MeshLightingParams",
+    "render_point_cloud", "save_image",
     "ICPParams", "InteractiveViewer", "PipelineType", "RANSACParams",
     "ViewData", "show_mesh", "show_point_cloud",
 ]

@@ -204,3 +204,254 @@ def save_image(path, image: np.ndarray) -> None:
     from PIL import Image
     arr = np.clip(np.asarray(image) * 255 + 0.5, 0, 255).astype(np.uint8)
     Image.fromarray(arr).save(str(path))
+
+
+# ---------------------------------------------------------------------------
+# PBR shading (ShadingMode::Pbr, gpu/src/mesh.rs:14-1208 +
+# shaders/mesh_pbr.wgsl) — deferred: the rasterizer scan interpolates
+# per-pixel world position / normal / albedo via barycentrics (G-buffer
+# carries), then the metallic-roughness BRDF (GGX distribution, Smith
+# geometry, Schlick fresnel, point-light attenuation, ACES tone map +
+# gamma) runs ONCE per pixel instead of per (pixel x face-tile) pair —
+# the TPU-shaped equivalent of the reference's fragment shader.
+# ---------------------------------------------------------------------------
+
+import dataclasses as _dc
+
+
+@_dc.dataclass(frozen=True)
+class PbrMaterial:
+    """Mirrors PbrMaterial (gpu/src/mesh.rs:114-138)."""
+
+    albedo: Tuple[float, float, float] = (0.7, 0.7, 0.7)
+    metallic: float = 0.0
+    roughness: float = 0.5
+    ao: float = 1.0
+    emission: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
+@_dc.dataclass(frozen=True)
+class MeshLightingParams:
+    """Mirrors MeshLightingParams (gpu/src/mesh.rs:157-182)."""
+
+    light_position: Tuple[float, float, float] = (10.0, 10.0, 10.0)
+    light_intensity: float = 1.0
+    light_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    ambient_strength: float = 0.03
+    gamma: float = 2.2
+    exposure: float = 1.0
+
+
+def _pbr_shade(world_pos, normal, albedo, view_pos, mat_vec, light_vec):
+    """Per-pixel metallic-roughness BRDF (mesh_pbr.wgsl:76-210)."""
+    metallic, roughness, ao = mat_vec[0], mat_vec[1], mat_vec[2]
+    emission = mat_vec[3:6]
+    light_pos = light_vec[0:3]
+    light_intensity = light_vec[3]
+    light_color = light_vec[4:7]
+    ambient_strength = light_vec[7]
+    gamma = light_vec[8]
+    exposure = light_vec[9]
+
+    view_dir = view_pos[None, :] - world_pos
+    view_dir = view_dir / jnp.maximum(
+        jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-12)
+    to_light = light_pos[None, :] - world_pos
+    dist = jnp.maximum(jnp.linalg.norm(to_light, axis=-1), 1e-6)
+    light_dir = to_light / dist[:, None]
+    half_dir = view_dir + light_dir
+    half_dir = half_dir / jnp.maximum(
+        jnp.linalg.norm(half_dir, axis=-1, keepdims=True), 1e-12)
+    radiance = (light_color[None, :] * light_intensity
+                / (dist * dist)[:, None])
+
+    # two-sided shading: a raster with no backface culling can see
+    # either face; flip the normal toward the viewer (the reference
+    # culls back faces instead — same visible result)
+    n_flip = jnp.where(
+        jnp.sum(normal * view_dir, -1, keepdims=True) < 0, -1.0, 1.0)
+    n = normal * n_flip
+
+    f0 = 0.04 * (1.0 - metallic) + albedo * metallic
+    n_dot_h = jnp.maximum(jnp.sum(n * half_dir, -1), 0.0)
+    a2 = (roughness * roughness) ** 2
+    denom = n_dot_h * n_dot_h * (a2 - 1.0) + 1.0
+    ndf = a2 / (jnp.pi * denom * denom)
+    n_dot_v = jnp.maximum(jnp.sum(n * view_dir, -1), 0.0)
+    n_dot_l = jnp.maximum(jnp.sum(n * light_dir, -1), 0.0)
+    k = (roughness + 1.0) ** 2 / 8.0
+    g = (n_dot_v / (n_dot_v * (1 - k) + k)) * \
+        (n_dot_l / (n_dot_l * (1 - k) + k))
+    h_dot_v = jnp.maximum(jnp.sum(half_dir * view_dir, -1), 0.0)
+    fr = f0[..., :] + (1.0 - f0) * jnp.clip(1.0 - h_dot_v,
+                                            0.0, 1.0)[:, None] ** 5
+    spec = (ndf * g)[:, None] * fr / (
+        4.0 * n_dot_v * n_dot_l + 1e-4)[:, None]
+    kd = (1.0 - fr) * (1.0 - metallic)
+    lo = (kd * albedo / jnp.pi + spec) * radiance * n_dot_l[:, None]
+    ambient = ambient_strength * albedo * ao
+    color = ambient + lo + emission[None, :]
+
+    # ACES tone map + gamma (tone_map_aces, mesh_pbr.wgsl:169-183)
+    exposed = color * exposure
+    tone = (exposed * (2.51 * exposed + 0.03)) / \
+        (exposed * (2.43 * exposed + 0.59) + 0.14)
+    return jnp.clip(tone, 0.0, 1.0) ** (1.0 / gamma)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height",
+                                             "face_tile"))
+def render_mesh_jit_pbr(verts, faces, face_mask, vert_colors,
+                        vert_normals, view, intr, view_pos, mat_vec,
+                        light_vec, width, height, face_tile=512):
+    """PBR rasterizer: same tiled barycentric scan as render_mesh_jit
+    but carrying a G-buffer (depth, world pos, smooth normal, albedo),
+    shaded once per pixel afterwards."""
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    u, v, z = _project(verts, view, fx, fy, cx, cy)
+    fu = u[faces]
+    fv = v[faces]
+    fz = z[faces]
+    fp = verts[faces]                        # (F, 3, 3) world pos
+    fn = vert_normals[faces]                 # (F, 3, 3) vertex normals
+    fc = vert_colors[faces]                  # (F, 3, 3)
+
+    px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5
+    py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5
+    px = px.reshape(-1)
+    py = py.reshape(-1)
+
+    n_faces = faces.shape[0]
+    pad = (-n_faces) % face_tile
+    if pad:
+        fu = jnp.pad(fu, ((0, pad), (0, 0)))
+        fv = jnp.pad(fv, ((0, pad), (0, 0)))
+        fz = jnp.pad(fz, ((0, pad), (0, 0)), constant_values=3e38)
+        fp = jnp.pad(fp, ((0, pad), (0, 0), (0, 0)))
+        fn = jnp.pad(fn, ((0, pad), (0, 0), (0, 0)))
+        fc = jnp.pad(fc, ((0, pad), (0, 0), (0, 0)))
+        face_mask = jnp.pad(face_mask, (0, pad))
+    t = fu.shape[0] // face_tile
+
+    def body(carry, tile):
+        depth, pbuf, nbuf, cbuf = carry
+        tu, tv, tz, tp, tn, tc, tm = tile
+        x0, x1, x2 = tu[:, 0], tu[:, 1], tu[:, 2]
+        y0, y1, y2 = tv[:, 0], tv[:, 1], tv[:, 2]
+        den = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
+        den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+        w0 = ((y1 - y2)[None, :] * (px[:, None] - x2[None, :])
+              + (x2 - x1)[None, :] * (py[:, None] - y2[None, :])) / den
+        w1 = ((y2 - y0)[None, :] * (px[:, None] - x2[None, :])
+              + (x0 - x2)[None, :] * (py[:, None] - y2[None, :])) / den
+        w2 = 1.0 - w0 - w1
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & tm[None, :]
+        zpix = w0 * tz[None, :, 0] + w1 * tz[None, :, 1] \
+            + w2 * tz[None, :, 2]
+        zpix = jnp.where(inside & (zpix > 1e-6), zpix, 3e38)
+        best = jnp.argmin(zpix, axis=1)                   # (P,)
+        best_z = jnp.take_along_axis(zpix, best[:, None], 1)[:, 0]
+        bw0 = jnp.take_along_axis(w0, best[:, None], 1)
+        bw1 = jnp.take_along_axis(w1, best[:, None], 1)
+        bw2 = jnp.take_along_axis(w2, best[:, None], 1)
+        bp = tp[best]                                     # (P, 3, 3)
+        bn = tn[best]
+        bc = tc[best]
+        pix_p = bw0 * bp[:, 0] + bw1 * bp[:, 1] + bw2 * bp[:, 2]
+        pix_n = bw0 * bn[:, 0] + bw1 * bn[:, 1] + bw2 * bn[:, 2]
+        pix_c = bw0 * bc[:, 0] + bw1 * bc[:, 1] + bw2 * bc[:, 2]
+        better = best_z < depth
+        depth = jnp.where(better, best_z, depth)
+        pbuf = jnp.where(better[:, None], pix_p, pbuf)
+        nbuf = jnp.where(better[:, None], pix_n, nbuf)
+        cbuf = jnp.where(better[:, None], pix_c, cbuf)
+        return (depth, pbuf, nbuf, cbuf), None
+
+    depth0 = jnp.full((height * width,), 3e38)
+    zero3 = jnp.zeros((height * width, 3), jnp.float32)
+    tiles = (fu.reshape(t, face_tile, 3), fv.reshape(t, face_tile, 3),
+             fz.reshape(t, face_tile, 3),
+             fp.reshape(t, face_tile, 3, 3),
+             fn.reshape(t, face_tile, 3, 3),
+             fc.reshape(t, face_tile, 3, 3),
+             face_mask.reshape(t, face_tile))
+    (depth, pbuf, nbuf, cbuf), _ = jax.lax.scan(
+        body, (depth0, zero3, zero3, zero3), tiles)
+
+    hit = depth < 3e38
+    nrm = nbuf / jnp.maximum(
+        jnp.linalg.norm(nbuf, axis=-1, keepdims=True), 1e-12)
+    # vertex color blended with material albedo (mesh_pbr.wgsl:190)
+    albedo = 0.5 * mat_vec[6:9][None, :] + 0.5 * cbuf
+    shaded = _pbr_shade(pbuf, nrm, albedo, view_pos, mat_vec, light_vec)
+    color = jnp.where(hit[:, None], shaded,
+                      jnp.broadcast_to(BACKGROUND, shaded.shape))
+    return color.reshape(height, width, 3)
+
+
+def render_mesh_pbr(mesh: TriangleMesh,
+                    camera: Optional[OrbitCamera] = None,
+                    width: int = 640, height: int = 480,
+                    material: Optional[PbrMaterial] = None,
+                    lighting: Optional[MeshLightingParams] = None
+                    ) -> np.ndarray:
+    """Render with the PBR pipeline (ShadingMode::Pbr,
+    gpu/src/mesh.rs:849-986): per-pixel interpolated vertex normals,
+    metallic-roughness BRDF, point light, ACES tone mapping."""
+    mat = material or PbrMaterial()
+    if camera is None:
+        v, _ = mesh.to_numpy()
+        camera = OrbitCamera.fit(v)
+    light = lighting
+    if light is None:
+        # auto-fit: the reference's fixed defaults (light at (10,10,10),
+        # intensity 1) attenuate by 1/d² and render unit-scale meshes
+        # nearly black; scale the default light to the camera orbit so
+        # radiance at the subject is O(1). Pass MeshLightingParams()
+        # explicitly for the reference's literal defaults.
+        eye = np.asarray(camera.eye(), np.float32)
+        up = np.array([0.0, 0.0, 1.0], np.float32)
+        pos = eye + up * (0.5 * camera.distance)
+        d2 = float(np.sum((pos - camera.target) ** 2))
+        light = MeshLightingParams(light_position=tuple(pos),
+                                   light_intensity=1.2 * d2)
+    fx, fy, cx, cy = camera.intrinsics(width, height)
+    m = mesh if mesh.normals is not None else mesh.compute_vertex_normals()
+    if mesh.colors is not None:
+        vcol = mesh.colors
+    else:
+        vcol = jnp.broadcast_to(jnp.asarray(mat.albedo, jnp.float32),
+                                mesh.vertices.shape)
+    mat_vec = jnp.asarray([mat.metallic, mat.roughness, mat.ao,
+                           *mat.emission, *mat.albedo], jnp.float32)
+    light_vec = jnp.asarray([*light.light_position,
+                             light.light_intensity,
+                             *light.light_color,
+                             light.ambient_strength, light.gamma,
+                             light.exposure], jnp.float32)
+    img = render_mesh_jit_pbr(
+        m.vertices, m.faces, m.face_mask, vcol, m.normals,
+        jnp.asarray(camera.view_matrix()),
+        jnp.asarray([fx, fy, cx, cy], jnp.float32),
+        jnp.asarray(camera.eye(), jnp.float32), mat_vec, light_vec,
+        width, height)
+    return np.asarray(img)
+
+
+def render_to_texture(mesh: TriangleMesh,
+                      camera: Optional[OrbitCamera] = None,
+                      width: int = 640, height: int = 480,
+                      shading_mode: str = "pbr",
+                      material: Optional[PbrMaterial] = None,
+                      lighting: Optional[MeshLightingParams] = None,
+                      **kw) -> np.ndarray:
+    """Offscreen render returning the (H, W, 3) image
+    (MeshRenderer::render_to_texture, gpu/src/mesh.rs:988-1069) —
+    ``shading_mode``: "pbr" | "flat"."""
+    if shading_mode == "pbr":
+        return render_mesh_pbr(mesh, camera, width, height,
+                               material, lighting)
+    if shading_mode == "flat":
+        return render_mesh(mesh, camera, width, height, **kw)
+    raise ValueError(f"unknown shading_mode {shading_mode!r} "
+                     "(expected 'pbr' or 'flat')")
