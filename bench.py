@@ -196,6 +196,33 @@ def main() -> None:
         "vs_baseline": round(n / tv / 1e6 / OPEN3D_VOXEL_MPTS_S, 2),
     }))
 
+    # steady-state voxel line (same scan discipline as the normals
+    # headline: 4 distinct clouds in one dispatch — r3 flagged the
+    # single-dispatch line's 17.6-23.4 Mpts/s tunnel variance; the
+    # amortized line is the stable regression signal)
+    clouds_v = jnp.stack([jnp.asarray(_kitti_like(n, s))
+                          for s in range(4)])
+
+    @jax.jit
+    def voxel_batch_scalar(cs, m):
+        def body(acc, c):
+            pts_out, mask_out, _, n_out, _ = _voxel_grid(
+                c, m, [], jnp.float32(0.2), want_inverse=False)
+            return acc + jnp.sum(jnp.where(mask_out[:, None], pts_out,
+                                           0.0)) + n_out, 0.0
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), cs)
+        return acc
+
+    tv4 = median_time(lambda: voxel_batch_scalar(clouds_v, mask),
+                      warmup=1, iters=5, sync_fn=float)
+    per_v = tv4 / clouds_v.shape[0]
+    print(json.dumps({
+        "metric": "voxel_filter_1M_steady_throughput",
+        "value": round(n / per_v / 1e6, 2),
+        "unit": "Mpts/s",
+        "vs_baseline": round(n / per_v / 1e6 / OPEN3D_VOXEL_MPTS_S, 2),
+    }))
+
     # ---- regression lines for the round-2 optimizations -------------
     # vs_baseline for these = round-2 measured ms / current ms (>1 is
     # an improvement over r2; docs/benchmarks.md "Measured on hardware"
@@ -207,7 +234,9 @@ def main() -> None:
     from threecrate_tpu.ops import ground as ground_mod
     from threecrate_tpu.ops import ndt as ndt_mod
 
-    # GICP end-to-end (both covariances + 10 iterations, 1M x 1M)
+    # GICP end-to-end (both covariances + 10 iterations, 1M x 1M);
+    # library-default coarse-phase stride (auto 8 at 1M — r4: 285.4 ->
+    # 192.8 ms, recovery unchanged)
     @jax.jit
     def gicp_scalar(s, sm, t, tm):
         eps = jnp.float32(1e-4)
@@ -215,7 +244,7 @@ def main() -> None:
         tc_, tok = point_covariances(t, tm, 20, eps, True)
         T, mse, it, conv, n_corr = _gicp_loop(
             s, sok, sc, t, tok, tc_, init, 10, jnp.float32(0.0),
-            jnp.float32(1e9), True)
+            jnp.float32(1e9), True, subsample=sub_n)
         return jnp.sum(T) + mse
 
     tg = median_time(lambda: gicp_scalar(src, mask, tgt, mask),

@@ -91,6 +91,20 @@ def main():
     tc.write_mesh("/tmp/mesh_tour.glb", simple)
     print("wrote /tmp/mesh_tour.glb")
 
+    # offscreen renders: flat vs PBR (ShadingMode analog,
+    # gpu/src/mesh.rs:849-1069)
+    from threecrate_tpu.viz import (PbrMaterial, render_to_texture,
+                                    save_image)
+    img_flat = render_to_texture(simple, width=320, height=240,
+                                 shading_mode="flat")
+    img_pbr = render_to_texture(
+        simple, width=320, height=240, shading_mode="pbr",
+        material=PbrMaterial(albedo=(0.8, 0.5, 0.2), metallic=0.6,
+                             roughness=0.25))
+    save_image("/tmp/mesh_tour_flat.png", img_flat)
+    save_image("/tmp/mesh_tour_pbr.png", img_pbr)
+    print("rendered /tmp/mesh_tour_{flat,pbr}.png")
+
 
 if __name__ == "__main__":
     main()
