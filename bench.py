@@ -315,17 +315,20 @@ def main() -> None:
         "vs_baseline": round(0.328 / tgr, 2),
     }))
 
-    # NDT (2 m cells) build + 20 iterations at 250k
+    # NDT (2 m cells) build + 20 iterations at 250k; library-default
+    # coarse-phase stride (auto 4 at 250k — r4)
     n_ndt = 16_640 if smoke else 250_000
     src_n = jnp.asarray(_kitti_like(n_ndt, 7))
     tgt_n = src_n + jnp.asarray(np.array([0.05, -0.03, 0.02], np.float32))
     mask_n = jnp.ones(n_ndt, bool)
+    sub_ndt = auto_subsample(n_ndt)
 
     @jax.jit
     def ndt_scalar(s, sm, t, tm):
         g = ndt_mod.build_gaussians(t, tm, jnp.float32(2.0), 5)
         T, score, it, conv = ndt_mod._ndt_loop(
-            s, sm, g, init, 20, jnp.float32(0.1), jnp.float32(0.0))
+            s, sm, g, init, 20, jnp.float32(0.1), jnp.float32(0.0),
+            subsample=sub_ndt)
         return jnp.sum(T) + score
 
     tn = median_time(lambda: ndt_scalar(src_n, mask_n, tgt_n, mask_n),

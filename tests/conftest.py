@@ -26,23 +26,52 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_debug_nans", False)
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _clear_jax_caches_per_module():
-    """Release compiled executables between test modules.
+# ---------------------------------------------------------------------------
+# Bounded-compile policy (VERDICT r3 item 10).
+#
+# The full suite (~430 tests, one process, ~2000 XLA:CPU backend
+# compilations) segfaulted inside LLVM compilation around test ~300
+# (r3c, twice, same spot; any 3-file subset passes) — accumulated
+# backend JIT state, not any single test; see docs/benchmarks.md
+# "Known gaps" for the pinned reproducer. r3c mitigated with a
+# module-scoped jax.clear_caches() (suite ~30 min). r4 replaces the
+# blanket per-module clear with a *budget*: a monitoring listener
+# counts backend compiles and caches are dropped only when the count
+# since the last clear exceeds TC_COMPILE_BUDGET — far fewer clears
+# (and recompiles), same bound on live compiler state.
+#
+# Set TC_NO_CACHE_CLEAR=1 to disable (segfault-reproduction runs);
+# TC_COMPILE_LOG=1 prints the running count after each test.
+# ---------------------------------------------------------------------------
 
-    The full suite (~400 tests, one process, hundreds of XLA:CPU
-    compilations) segfaulted inside LLVM compilation around test ~300
-    (r3c, twice, same spot; any 3-file subset passes) — accumulated
-    backend/JIT state, not any single test. Dropping the jit caches at
-    module boundaries keeps the live compiler state bounded; modules
-    recompile their own programs anyway, so the wall-clock cost is
-    minutes over the whole suite.
+from jax._src import monitoring as _monitoring  # noqa: E402
 
-    Set TC_NO_CACHE_CLEAR=1 to disable (segfault-reproduction runs).
-    """
+_compiles = {"total": 0, "since_clear": 0, "clears": 0}
+_COMPILE_BUDGET = int(os.environ.get("TC_COMPILE_BUDGET", "400"))
+
+
+def _count_compiles(name, *a, **kw):
+    if name == "/jax/core/compile/backend_compile_duration":
+        _compiles["total"] += 1
+        _compiles["since_clear"] += 1
+
+
+_monitoring.register_event_duration_secs_listener(_count_compiles)
+
+
+@pytest.fixture(autouse=True)
+def _bounded_compiles(request):
     yield
-    if os.environ.get("TC_NO_CACHE_CLEAR") != "1":
+    if os.environ.get("TC_COMPILE_LOG"):
+        print(f" [compiles={_compiles['total']} "
+              f"since_clear={_compiles['since_clear']} "
+              f"clears={_compiles['clears']}]", flush=True)
+    if os.environ.get("TC_NO_CACHE_CLEAR") == "1":
+        return
+    if _compiles["since_clear"] >= _COMPILE_BUDGET:
         jax.clear_caches()
+        _compiles["since_clear"] = 0
+        _compiles["clears"] += 1
 
 
 @pytest.fixture

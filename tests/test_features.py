@@ -363,8 +363,37 @@ class TestLrfWeightedVote:
         zdot = np.sum(np.asarray(z0)[:n] * np.asarray(z1)[:n], axis=1)
         cnt = np.asarray(ok.sum(axis=1))[:n]
         well = cnt >= 10
-        # sign flips (zdot < 0) must be rare among well-supported queries
-        assert (zdot[well] < 0).mean() < 0.02
+        # sign flips (zdot < 0) must be rare among well-supported
+        # queries. The r4 ambiguous-vote tie-break (Σw·d·|d|² when no
+        # normals are supplied) is deliberately far-weighted, so the
+        # dropped shell CAN flip tie-broken points — the bound covers
+        # the primary (R−d)-weighted vote plus that small minority.
+        assert (zdot[well] < 0).mean() < 0.04
+
+    def test_boundary_dropout_with_normals_near_zero_flips(self):
+        """With query normals supplied (the recommended / SHOT-pipeline
+        path), the ambiguous-z tie-break aligns with the normal — which
+        is identical across candidate sets — so boundary dropout flips
+        must be (almost) nonexistent."""
+        pts = bumpy_surface(600, seed=3)
+        pc = with_normals(pts)
+        radius = np.float32(0.5)
+        from threecrate_tpu.ops import neighbors
+        res = neighbors.radius_neighbors(pc.points, pc.mask, pc.points,
+                                         pc.mask, radius, 64,
+                                         exclude_self=True)
+        idx, ok, dist = res.indices, res.mask, res.distances
+        nrm = pc.normals
+        x0, y0, z0 = features._shot_lrf(pc.points, idx, ok, dist,
+                                        radius, own_normals=nrm)
+        ok2 = ok & (np.asarray(dist) < 0.9 * radius)
+        x1, y1, z1 = features._shot_lrf(pc.points, idx, ok2, dist,
+                                        radius, own_normals=nrm)
+        n = pc.size()
+        zdot = np.sum(np.asarray(z0)[:n] * np.asarray(z1)[:n], axis=1)
+        cnt = np.asarray(ok.sum(axis=1))[:n]
+        well = cnt >= 10
+        assert (zdot[well] < 0).mean() < 0.005
 
 
 class TestShotRepeatability:

@@ -222,6 +222,29 @@ class TestNdt:
         assert float(res.score) > 0
 
 
+class TestNdtSubsample:
+    def test_coarse_stride_recovery_matches_full(self):
+        """Coarse-phase source stride (r4): all but the last 2 Newton
+        iterations score every S-th source point; recovery must match
+        the full-matching run (the Newton direction is invariant to
+        the uniform 1/S scaling of H and g)."""
+        pts = surface_cloud(4000, seed=5) * 2.0
+        t_true = Transform.from_translation([0.08, -0.05, 0.02])
+        src = PointCloud.from_numpy(pts)
+        tgt = PointCloud.from_numpy(apply_np(t_true.matrix, pts))
+        results = []
+        for sub in (1, 4):
+            cfg = ndt_mod.NdtConfig(resolution=1.0, max_iterations=40,
+                                    step_size=0.2, subsample=sub)
+            res = ndt_mod.ndt_registration(src, tgt, cfg)
+            np.testing.assert_allclose(
+                np.asarray(res.transformation)[:3, 3],
+                [0.08, -0.05, 0.02], atol=0.04)
+            results.append(np.asarray(res.transformation))
+        # strided coarse phase must not move the answer materially
+        np.testing.assert_allclose(results[0], results[1], atol=5e-3)
+
+
 class TestNdtScaleInvariance:
     def test_recovers_at_mm_scale(self):
         """NDT on an mm-scale scene (covariance entries ~1e-8 — the r3

@@ -38,6 +38,14 @@ class NdtConfig:
     max_iterations: int = 35
     epsilon: float = 1e-4
     min_points_per_voxel: int = 5
+    # Coarse-phase source stride (None = registration.auto_subsample
+    # ladder). All but the last ``full_iters`` Newton iterations score
+    # every ``subsample``-th source point; cell association is
+    # per-point (searchsorted), so a plain stride needs no tile
+    # structure — the Newton direction from a uniform 1/S sample
+    # matches the full gradient far above the fit's noise floor.
+    subsample: Optional[int] = None
+    full_iters: int = 2
 
 
 class NdtResult(NamedTuple):
@@ -121,16 +129,18 @@ def build_gaussians(points, mask, resolution, min_points) -> NdtGaussians:
     return NdtGaussians(grid, means, inv_covs, valid)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@functools.partial(jax.jit, static_argnames=("max_iterations", "subsample",
+                                              "full_iters"))
 def _ndt_loop(src, src_mask, gaussians: NdtGaussians, init,
-              max_iterations, step_size, epsilon):
+              max_iterations, step_size, epsilon, subsample=1,
+              full_iters=2):
     grid = gaussians.grid
 
-    def score_terms(t_mat):
-        moved = linalg.transform_points(t_mat, src)
+    def score_terms(t_mat, pts, pmask):
+        moved = linalg.transform_points(t_mat, pts)
         keys = grid.key_of(moved)
         cell, found = grid.lookup(keys)
-        ok = found & src_mask & gaussians.valid[cell]
+        ok = found & pmask & gaussians.valid[cell]
         w = ok.astype(jnp.float32)
         mu = gaussians.means[cell]
         b = gaussians.inv_covs[cell]
@@ -154,24 +164,41 @@ def _ndt_loop(src, src_mask, gaussians: NdtGaussians, init,
         score = jnp.sum(s)
         return score, grad, hess
 
-    def cond(state):
-        _, it, dn, _ = state
-        return (it < max_iterations) & (dn >= epsilon)
+    def run_loop(state0, pts, pmask, it_budget):
+        def cond(state):
+            _, it, dn, _ = state
+            return (it < it_budget) & (dn >= epsilon)
 
-    def body(state):
-        t_mat, it, _, _ = state
-        score, grad, hess = score_terms(t_mat)
-        delta = -linalg.solve_psd(hess, grad, damping=1e-2)
-        norm = jnp.linalg.norm(delta)
-        scale = jnp.where(norm > step_size, step_size / jnp.maximum(norm, 1e-12), 1.0)
-        delta = delta * scale
-        new_t = jnp.matmul(se3_exp(delta), t_mat,
-                           precision=jax.lax.Precision.HIGHEST)
-        return (new_t, it + 1, jnp.linalg.norm(delta), score)
+        def body(state):
+            t_mat, it, _, _ = state
+            score, grad, hess = score_terms(t_mat, pts, pmask)
+            delta = -linalg.solve_psd(hess, grad, damping=1e-2)
+            norm = jnp.linalg.norm(delta)
+            scale = jnp.where(norm > step_size,
+                              step_size / jnp.maximum(norm, 1e-12), 1.0)
+            delta = delta * scale
+            new_t = jnp.matmul(se3_exp(delta), t_mat,
+                               precision=jax.lax.Precision.HIGHEST)
+            return (new_t, it + 1, jnp.linalg.norm(delta), score)
+
+        return jax.lax.while_loop(cond, body, state0)
 
     state0 = (init, jnp.int32(0), jnp.float32(jnp.inf), jnp.float32(0.0))
-    t_mat, it, dn, _ = jax.lax.while_loop(cond, body, state0)
-    final_score, _, _ = score_terms(t_mat)
+    if subsample > 1 and max_iterations > full_iters:
+        # coarse phase on every S-th source point (registration r4's
+        # two-phase schedule; the Newton direction -H⁻¹g is invariant
+        # to the uniform 1/S scaling of both H and g), then full-set
+        # polish for the last ``full_iters`` iterations.
+        t_a, it_a, _, _ = run_loop(state0, src[::subsample],
+                                   src_mask[::subsample],
+                                   max_iterations - full_iters)
+        state_b = (t_a, it_a, jnp.float32(jnp.inf), jnp.float32(0.0))
+        t_mat, it, dn, _ = run_loop(state_b, src, src_mask,
+                                    max_iterations)
+    else:
+        t_mat, it, dn, _ = run_loop(state0, src, src_mask,
+                                    max_iterations)
+    final_score, _, _ = score_terms(t_mat, src, src_mask)
     return t_mat, final_score, it, dn < epsilon
 
 
@@ -185,8 +212,12 @@ def ndt_registration(source: PointCloud, target: PointCloud,
                                 jnp.float32(config.resolution),
                                 config.min_points_per_voxel)
     init_m = init.matrix if init is not None else jnp.eye(4, dtype=jnp.float32)
+    from .registration import auto_subsample
+    sub = (config.subsample if config.subsample is not None
+           else auto_subsample(source.capacity))
     t, score, it, conv = _ndt_loop(
         source.points, source.mask, gaussians, init_m,
         config.max_iterations, jnp.float32(config.step_size),
-        jnp.float32(config.epsilon))
+        jnp.float32(config.epsilon), subsample=sub,
+        full_iters=config.full_iters)
     return NdtResult(t, score, it, conv)
