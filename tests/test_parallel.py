@@ -672,3 +672,73 @@ class TestShardedFeaturePipeline:
         assert np.abs(t[:3, :3] - R).max() < 5e-3
         assert np.abs(t[:3, 3] - tvec).max() < 5e-3
         assert float(ratio) > 0.3
+
+
+class TestShardedNdt:
+    def test_matches_single_device(self):
+        """Distributed NDT vs ops.ndt on the same pair: the two-level
+        cell-moment merge must reproduce the single-device Gaussians
+        (cell-center-relative sums are exact under reordering), so the
+        recovered transform must match to float tolerance."""
+        from threecrate_tpu.ops import ndt as ndt_mod
+        from threecrate_tpu.parallel import (make_mesh, make_sharded_ndt,
+                                             put_sharded)
+        from threecrate_tpu.core.transform import Transform
+
+        rng = np.random.default_rng(21)
+        n = 4096
+        xy = rng.uniform(-4, 4, (n, 2)).astype(np.float32)
+        z = 0.5 * np.sin(xy[:, 0]) * np.cos(xy[:, 1])
+        pts = (np.column_stack([xy, z]) * 2.0).astype(np.float32)
+        shift = np.array([0.08, -0.05, 0.02], np.float32)
+        tgt = pts + shift
+
+        mesh = make_mesh(8)
+        fn = make_sharded_ndt(mesh, resolution=1.0, max_iterations=40,
+                              step_size=0.2)
+        init = jnp.eye(4, dtype=jnp.float32)
+        t, score, it, conv = fn(
+            put_sharded(jnp.asarray(pts), mesh),
+            put_sharded(jnp.ones(n, bool), mesh),
+            put_sharded(jnp.asarray(tgt), mesh),
+            put_sharded(jnp.ones(n, bool), mesh), init)
+        np.testing.assert_allclose(np.asarray(t)[:3, 3], shift,
+                                   atol=0.04)
+
+        # single-device reference on the identical data
+        src_pc = PointCloud.from_numpy(pts)
+        tgt_pc = PointCloud.from_numpy(tgt)
+        ref = ndt_mod.ndt_registration(
+            src_pc, tgt_pc,
+            ndt_mod.NdtConfig(resolution=1.0, max_iterations=40,
+                              step_size=0.2, subsample=1))
+        np.testing.assert_allclose(np.asarray(t),
+                                   np.asarray(ref.transformation),
+                                   atol=2e-3)
+
+    def test_subsample_parity(self):
+        """The shard-local coarse stride must not move the answer."""
+        from threecrate_tpu.parallel import (make_mesh, make_sharded_ndt,
+                                             put_sharded)
+
+        rng = np.random.default_rng(22)
+        n = 4096
+        xy = rng.uniform(-4, 4, (n, 2)).astype(np.float32)
+        z = 0.5 * np.sin(xy[:, 0]) * np.cos(xy[:, 1])
+        pts = (np.column_stack([xy, z]) * 2.0).astype(np.float32)
+        tgt = pts + np.array([0.08, -0.05, 0.02], np.float32)
+
+        mesh = make_mesh(8)
+        init = jnp.eye(4, dtype=jnp.float32)
+        outs = []
+        for sub in (1, 4):
+            fn = make_sharded_ndt(mesh, resolution=1.0,
+                                  max_iterations=40, step_size=0.2,
+                                  subsample=sub)
+            t, _, _, _ = fn(
+                put_sharded(jnp.asarray(pts), mesh),
+                put_sharded(jnp.ones(n, bool), mesh),
+                put_sharded(jnp.asarray(tgt), mesh),
+                put_sharded(jnp.ones(n, bool), mesh), init)
+            outs.append(np.asarray(t))
+        np.testing.assert_allclose(outs[0], outs[1], atol=5e-3)

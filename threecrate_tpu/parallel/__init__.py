@@ -22,6 +22,7 @@ from .sharded import (
     make_sharded_global_registration,
     make_sharded_knn,
     make_sharded_match_descriptors,
+    make_sharded_ndt,
     make_sharded_normals,
     make_sharded_normals_window,
     make_sharded_tsdf,
@@ -43,6 +44,7 @@ __all__ = [
     "make_sharded_icp_p2plane", "make_sharded_knn",
     "make_sharded_fpfh", "make_sharded_match_descriptors",
     "make_sharded_global_registration",
+    "make_sharded_ndt",
     "make_sharded_normals", "make_sharded_normals_window",
     "make_sharded_tsdf",
     "morton_presort", "make_sharded_outlier_stats",

@@ -1428,3 +1428,214 @@ def make_sharded_global_registration(
         return t_best, counts[best], ratio
 
     return jax.jit(_run)
+
+
+def make_sharded_ndt(mesh: Mesh, resolution: float,
+                     max_iterations: int = 35, step_size: float = 0.1,
+                     epsilon: float = 1e-4, min_points: int = 5,
+                     subsample: int = 1, full_iters: int = 2,
+                     axis_name: str = POINTS_AXIS):
+    """Distributed NDT registration (ndt_registration.rs at multi-chip
+    scale; the sharded analog of ``ops.ndt``).
+
+    Build: the per-cell Gaussian moments use the same two-level merge
+    as ``make_sharded_voxel_filter`` — each shard sort-reduces
+    CELL-CENTER-relative first+second moments of its local target
+    points (center-relative sums are shard-independent and f32-safe:
+    |c| ≤ cell diagonal), the compact per-shard tables ``all_gather``,
+    and one replicated sort+segmented-scan merges duplicate cells
+    exactly. The 3×3 eigensolve + regularised inverse runs on each
+    device's slice of the merged table only (D-way parallel) and the
+    results ``all_gather`` into a replicated cell table — the Newton
+    loop then needs ZERO per-iteration communication beyond one
+    psum(6×6): every shard scores its own source slice against the
+    replicated table by local ``searchsorted``.
+
+    Supports the r4 coarse-phase source stride (``subsample``) —
+    applied shard-locally, polish iterations on the full shard.
+
+    Inputs: src/src_mask/tgt/tgt_mask sharded on axis 0, init (4,4)
+    replicated. Returns (transform, score, iterations, converged)
+    replicated.
+    """
+    from ..ops import segmented
+    from ..ops.gicp import _normal_equations, inv3x3
+
+    spec = P(axis_name)
+    rep = P()
+    res = jnp.float32(resolution)
+    SENT = jnp.int32(2**31 - 1)
+    hi = jax.lax.Precision.HIGHEST
+
+    def _cell_moment_table(tgt, tgt_mask, mn, dims, ns, nd):
+        """Local sorted-run reduce → all_gather → replicated merge.
+        Returns (ukeys (nd·ns,) ascending sentinel-padded,
+        sums (nd·ns, 10) = [Σc(3), Σcc(6), cnt])."""
+        coords = jnp.floor((tgt - mn) / res).astype(jnp.int32)
+        inb = jnp.all((coords >= 0) & (coords < dims), axis=-1)
+        key = (coords[..., 2] * dims[1] + coords[..., 1]) * dims[0] \
+            + coords[..., 0]
+        key = jnp.where(inb & tgt_mask, key, SENT)
+        centers = (coords.astype(jnp.float32) + 0.5) * res + mn
+        c = jnp.where(tgt_mask[:, None], tgt - centers, 0.0)
+        mom = jnp.concatenate([
+            c, jnp.stack([c[:, 0] * c[:, 0], c[:, 1] * c[:, 1],
+                          c[:, 2] * c[:, 2], c[:, 0] * c[:, 1],
+                          c[:, 0] * c[:, 2], c[:, 1] * c[:, 2]],
+                         axis=1)], axis=1)            # (ns, 9)
+        iota = jnp.arange(ns, dtype=jnp.int32)
+        sk, perm = jax.lax.sort((key, iota), num_keys=1)
+        smom = mom[perm]                               # 36-B row gather
+        svalid = sk != SENT
+        head = jnp.concatenate([jnp.ones((1,), bool),
+                                sk[1:] != sk[:-1]]) & svalid
+        sums = segmented.sorted_run_sums(smom, head, svalid)  # (ns, 10)
+        comp = jnp.where(head, jnp.int32(0), jnp.int32(1))
+        _, cperm = jax.lax.sort((comp, iota), num_keys=2)
+        keys1 = jnp.where(head[cperm], sk[cperm], SENT)
+        sums1 = sums[cperm]
+
+        keys_g = jax.lax.all_gather(keys1, axis_name).reshape(nd * ns)
+        sums_g = jax.lax.all_gather(sums1, axis_name).reshape(nd * ns,
+                                                              10)
+        n2 = nd * ns
+        iota2 = jnp.arange(n2, dtype=jnp.int32)
+        sk2, perm2 = jax.lax.sort((keys_g, iota2), num_keys=1)
+        sm2 = sums_g[perm2]
+        sval2 = sk2 != SENT
+        head2 = jnp.concatenate([jnp.ones((1,), bool),
+                                 sk2[1:] != sk2[:-1]]) & sval2
+        # one scan over all 10 columns (each scan INSTANCE is minutes
+        # of remote compile): cols 0-8 = moments, col 9 = summed point
+        # counts; the scan's appended 11th column (rows per run) is
+        # dropped
+        merged = segmented.sorted_run_sums(sm2, head2, sval2)
+        comp2 = jnp.where(head2, jnp.int32(0), jnp.int32(1))
+        _, cperm2 = jax.lax.sort((comp2, iota2), num_keys=2)
+        ukeys = jnp.where(head2[cperm2], sk2[cperm2], SENT)
+        usums = merged[cperm2][:, :10]
+        return ukeys, usums
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, rep),
+        out_specs=(rep, rep, rep, rep),
+        check_vma=False)
+    def _run(src, src_mask, tgt, tgt_mask, init):
+        nd = jax.lax.axis_size(axis_name)
+        me = jax.lax.axis_index(axis_name)
+        ns = tgt.shape[0]
+
+        # global grid frame from the target bounding box
+        mn = jax.lax.pmin(jnp.min(
+            jnp.where(tgt_mask[:, None], tgt, jnp.inf), 0), axis_name)
+        mx = jax.lax.pmax(jnp.max(
+            jnp.where(tgt_mask[:, None], tgt, -jnp.inf), 0), axis_name)
+        mn = jnp.where(jnp.isfinite(mn), mn, 0.0)
+        mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+        dims = jnp.maximum(
+            jnp.floor((mx - mn) / res).astype(jnp.int32) + 1, 1)
+
+        ukeys, usums = _cell_moment_table(tgt, tgt_mask, mn, dims, ns,
+                                          nd)
+        n2 = nd * ns
+
+        # per-device slice: means + regularised inverse covariances
+        # (the 3×3 eigensolve is the expensive row-wise stage; each
+        # device does 1/D of it and the results all_gather back)
+        k_lo = me * ns
+        keys_s = jax.lax.dynamic_slice(ukeys, (k_lo,), (ns,))
+        sums_s = jax.lax.dynamic_slice(usums, (k_lo, 0), (ns, 10))
+        cnt = sums_s[:, 9]
+        inv_n = 1.0 / jnp.maximum(cnt, 1.0)
+        mu = sums_s[:, :3] * inv_n[:, None]     # center-relative mean
+        # reconstruct cell centers from the linear key
+        kk = jnp.maximum(keys_s, 0)
+        cx = kk % dims[0]
+        cy = (kk // dims[0]) % dims[1]
+        cz = kk // (dims[0] * dims[1])
+        centers = (jnp.stack([cx, cy, cz], 1).astype(jnp.float32)
+                   + 0.5) * res + mn
+        means_s = centers + mu
+        denom = jnp.maximum(cnt - 1.0, 1.0)
+        cc6 = (sums_s[:, 3:9] - cnt[:, None] * jnp.stack(
+            [mu[:, 0] * mu[:, 0], mu[:, 1] * mu[:, 1],
+             mu[:, 2] * mu[:, 2], mu[:, 0] * mu[:, 1],
+             mu[:, 0] * mu[:, 2], mu[:, 1] * mu[:, 2]],
+            axis=1)) / denom[:, None]
+        xx, yy, zz, xy, xz, yz = (cc6[:, i] for i in range(6))
+        covs = jnp.stack([
+            jnp.stack([xx, xy, xz], -1),
+            jnp.stack([xy, yy, yz], -1),
+            jnp.stack([xz, yz, zz], -1)], -2)
+        vals, vecs = linalg.eigh3x3(covs)
+        floor = 0.01 * jnp.maximum(vals[..., 2:3], 1e-9)
+        vals_r = jnp.maximum(vals, floor)
+        covs_r = jnp.einsum("nij,nj,nkj->nik", vecs, vals_r, vecs)
+        inv_s = inv3x3(covs_r)
+        valid_s = (cnt >= min_points) & (keys_s != SENT)
+
+        means = jax.lax.all_gather(means_s, axis_name).reshape(n2, 3)
+        inv_covs = jax.lax.all_gather(inv_s, axis_name).reshape(n2, 3,
+                                                                3)
+        cvalid = jax.lax.all_gather(valid_s, axis_name).reshape(n2)
+
+        def score_terms(t_mat, pts, pmask):
+            moved = linalg.transform_points(t_mat, pts)
+            coords = jnp.floor((moved - mn) / res).astype(jnp.int32)
+            inb = jnp.all((coords >= 0) & (coords < dims), axis=-1)
+            key = (coords[..., 2] * dims[1] + coords[..., 1]) \
+                * dims[0] + coords[..., 0]
+            key = jnp.where(inb, key, SENT)
+            pos = jnp.searchsorted(ukeys, key).astype(jnp.int32)
+            pos = jnp.minimum(pos, n2 - 1)
+            found = (ukeys[pos] == key) & (key != SENT)
+            ok = found & pmask & cvalid[pos]
+            w = ok.astype(jnp.float32)
+            d = moved - means[pos]
+            b = inv_covs[pos]
+            bd = jnp.einsum("nij,nj->ni", b, d)
+            q = jnp.sum(d * bd, axis=1)
+            s = jnp.exp(-0.5 * jnp.clip(q, 0.0, 50.0)) * w
+            w_mat = b * s[:, None, None]
+            hess, grad = _normal_equations(moved, d, w_mat)
+            return (jax.lax.psum(jnp.sum(s), axis_name),
+                    jax.lax.psum(grad, axis_name),
+                    jax.lax.psum(hess, axis_name))
+
+        def run_loop(state0, pts, pmask, it_budget):
+            def cond(state):
+                _, it, dn, _ = state
+                return (it < it_budget) & (dn >= epsilon)
+
+            def body(state):
+                t_mat, it, _, _ = state
+                score, grad, hess = score_terms(t_mat, pts, pmask)
+                delta = -linalg.solve_psd(hess, grad, damping=1e-2)
+                norm = jnp.linalg.norm(delta)
+                scale = jnp.where(
+                    norm > step_size,
+                    step_size / jnp.maximum(norm, 1e-12), 1.0)
+                delta = delta * scale
+                new_t = jnp.matmul(se3_exp(delta), t_mat, precision=hi)
+                return (new_t, it + 1, jnp.linalg.norm(delta), score)
+
+            return jax.lax.while_loop(cond, body, state0)
+
+        state0 = (init, jnp.int32(0), jnp.float32(jnp.inf),
+                  jnp.float32(0.0))
+        if subsample > 1 and max_iterations > full_iters:
+            t_a, it_a, _, _ = run_loop(state0, src[::subsample],
+                                       src_mask[::subsample],
+                                       max_iterations - full_iters)
+            state_b = (t_a, it_a, jnp.float32(jnp.inf),
+                       jnp.float32(0.0))
+            t_mat, it, dn, _ = run_loop(state_b, src, src_mask,
+                                        max_iterations)
+        else:
+            t_mat, it, dn, _ = run_loop(state0, src, src_mask,
+                                        max_iterations)
+        final_score, _, _ = score_terms(t_mat, src, src_mask)
+        return t_mat, final_score, it, dn < epsilon
+
+    return jax.jit(_run)

@@ -589,15 +589,19 @@ def soup_to_mesh(soup: TriangleSoup, weld_decimals: int = 5,
     ``method``: "host" = NumPy np.unique weld (transfers the full
     padded soup); "device" = sort-based weld on device, transferring
     only the compact result (the big win through a tunneled TPU);
-    "auto" = device for soups ≥ 6M rows whose coordinates fit the
-    i32 key range (Poisson depth ≥ 7 / banded MC at ≥ 128³ land
-    there), host otherwise — the threshold keeps small CPU-backend
-    meshes off the weld program's compile cost.
+    "auto" = backend-aware: on an accelerator, device weld from 750k
+    rows (Poisson depth ≥ 6 / banded MC at ≥ 128³ land there — the
+    padded-soup pull through the tunnel is the dominant e2e cost); on
+    the CPU backend only from 6M rows (transfer is free there, and the
+    lower bar would put every depth-6 test mesh on the weld program's
+    compile cost). Both bars also require the coordinates to fit the
+    i32 key range.
     """
     if method not in ("auto", "host", "device"):
         raise ValueError(f"unknown weld method {method!r}")
     use_device = method == "device"
-    if method == "auto" and soup.vertices.shape[0] >= 6_000_000:
+    _bar = (750_000 if jax.default_backend() != "cpu" else 6_000_000)
+    if method == "auto" and soup.vertices.shape[0] >= _bar:
         # key range check: |coord|·10^d must fit i32
         lim = 2.0e9 / (10.0 ** weld_decimals)
         mx = float(jnp.max(jnp.where(
