@@ -82,6 +82,18 @@ def main():
     print(f"sharded ICP: recovered translation to {terr:.2e} "
           f"in {int(it)} iters (converged={bool(conv)})")
 
+    # 4b. distributed NDT: per-cell Gaussian moments merged across
+    #     shards (two-level sort+scan), Newton loop = one psum(6x6)
+    #     per iteration
+    from threecrate_tpu.parallel import make_sharded_ndt
+    ndt_fn = make_sharded_ndt(mesh, resolution=0.8, max_iterations=25,
+                              step_size=0.2, subsample=2)
+    t_n, score_n, it_n, conv_n = ndt_fn(
+        pts_s, mask_s, tgt_s, mask_s, jnp.eye(4, dtype=jnp.float32))
+    nerr = np.abs(np.asarray(t_n)[:3, 3] - shift).max()
+    print(f"sharded NDT: recovered translation to {nerr:.2e} "
+          f"in {int(it_n)} iters (score={float(score_n):.1f})")
+
     # 5. sharded TSDF fusion: the virtual block grid split into
     #    x-slabs (one per device); fusion + extraction collective-free
     from threecrate_tpu.parallel import make_sharded_tsdf
