@@ -34,7 +34,8 @@ def main() -> None:
     v = rng.normal(size=(n, 3)).astype(np.float32)
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     pts = v + rng.normal(0, 0.005, (n, 3)).astype(np.float32)
-    pc = PointCloud.from_numpy(pts)
+    # analytic sphere normals (what the r3c poisson probes used)
+    pc = PointCloud.from_numpy(pts, normals=v)
 
     for depth in (6, 7):
         cfg = PoissonConfig(depth=depth)
