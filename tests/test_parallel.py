@@ -742,3 +742,62 @@ class TestShardedNdt:
                 put_sharded(jnp.ones(n, bool), mesh), init)
             outs.append(np.asarray(t))
         np.testing.assert_allclose(outs[0], outs[1], atol=5e-3)
+
+
+class TestShardedGround:
+    def _street(self, n_total=16384, seed=0):
+        rng = np.random.default_rng(seed)
+        n_obj = 800
+        n_ground = n_total - n_obj
+        ang = rng.uniform(0, 2 * np.pi, n_ground)
+        r = rng.uniform(2.8, 60, n_ground)
+        h = -1.723
+        gpts = np.stack([r * np.cos(ang), r * np.sin(ang),
+                         h + rng.normal(0, 0.03, n_ground)], -1)
+        centers = rng.uniform(-30, 30, (10, 2))
+        objs = []
+        for cx, cy in centers:
+            if np.hypot(cx, cy) < 4:
+                continue
+            objs.append(np.stack([
+                cx + rng.uniform(-1, 1, 100),
+                cy + rng.uniform(-1, 1, 100),
+                h + rng.uniform(0.3, 2.0, 100)], -1))
+        opts = np.concatenate(objs)[:n_obj]
+        pts = np.concatenate([gpts, opts]).astype(np.float32)
+        truth = np.concatenate([np.ones(n_ground, bool),
+                                np.zeros(len(opts), bool)])
+        return pts, truth
+
+    def test_matches_single_device(self):
+        from threecrate_tpu.ops import ground
+        from threecrate_tpu.parallel import (make_mesh,
+                                             make_sharded_ground)
+
+        pts, truth = self._street()
+        mesh = make_mesh(8)
+        fn = make_sharded_ground(mesh)
+        mask = jnp.ones(len(pts), bool)
+        g, patch_ok, patch_nrm = fn(
+            put_sharded(jnp.asarray(pts), mesh),
+            put_sharded(mask, mesh))
+
+        ref = ground.patchwork_plus_plus(
+            PointCloud(points=jnp.asarray(pts), mask=mask))
+        got = np.asarray(g)
+        want = np.asarray(ref.ground_mask)
+        agree = (got == want).mean()
+        assert agree > 0.99, f"mask agreement {agree}"
+
+        # quality against truth (same bars as the single-device test)
+        recall = got[truth].mean()
+        precision = truth[got].mean() if got.any() else 0.0
+        assert recall > 0.85, f"recall {recall}"
+        assert precision > 0.9, f"precision {precision}"
+
+        # plane agreement on patches both paths accepted
+        both = np.asarray(patch_ok) & np.asarray(ref.patch_valid)
+        assert both.sum() > 50
+        cos = np.abs(np.sum(np.asarray(patch_nrm)[both]
+                            * np.asarray(ref.patch_normals)[both], -1))
+        assert np.median(cos) > 0.999, f"median normal cos {np.median(cos)}"

@@ -505,7 +505,8 @@ def morton_presort(points, mask, n_devices: int, tile: int = 256):
     return pts_np, m_np, perm
 
 
-def _oddeven_block_sort(operands, axis_name: str, n_dev: int):
+def _oddeven_block_sort(operands, axis_name: str, n_dev: int,
+                        num_keys: int = 1):
     """Globally sort equal-size sorted shard blocks over the mesh axis.
 
     Block odd-even transposition: ``n_dev`` rounds of pairwise
@@ -536,7 +537,7 @@ def _oddeven_block_sort(operands, axis_name: str, n_dev: int):
         paired = is_lower | is_upper
         merged = jax.lax.sort(
             tuple(jnp.concatenate([a, b]) for a, b in
-                  zip(operands, received)), num_keys=1)
+                  zip(operands, received)), num_keys=num_keys)
         operands = tuple(
             jnp.where(paired,
                       jnp.where(is_lower, m[:s], m[s:]), op)
@@ -1637,5 +1638,208 @@ def make_sharded_ndt(mesh: Mesh, resolution: float,
                                         max_iterations)
         final_score, _, _ = score_terms(t_mat, src, src_mask)
         return t_mat, final_score, it, dn < epsilon
+
+    return jax.jit(_run)
+
+
+def make_sharded_ground(mesh: Mesh, config=None,
+                        axis_name: str = POINTS_AXIS):
+    """Distributed Patchwork++ ground segmentation over a
+    points-sharded cloud (ground_segmentation.rs:336-407 at multi-chip
+    scale; the sharded analog of ``ops.ground.patchwork_plus_plus``).
+
+    Three phases, all collective-light:
+
+    1. **Global (patch, z) sort** — the odd-even block rounds over
+       ``ppermute`` (``_oddeven_block_sort`` with ``num_keys=2``)
+       place every CZM patch into one globally contiguous, z-ascending
+       run. Exact global seed ranks then cost one tiny
+       ``all_gather``: global rank = local rank + the same patch's
+       element count on lower-indexed devices.
+    2. **R-GPF refit loop** — per-patch moments use the two-level
+       merge of ``make_sharded_ndt``: each shard sort-reduces
+       PATCH-CENTER-relative first+second moments (the static CZM
+       patch centroid is shard-independent, unlike the run-head
+       centering of the single-device path, and |c| ≤ the patch
+       extent keeps the f32 expansion safe), compacts them to a tiny
+       ``(P+1, 10)`` table and ``psum``s it. The ~550-row plane fits
+       run replicated on every device; the inlier re-selection is
+       element-local. One segmented-scan instance total (it lives in
+       the ``fori_loop`` body).
+    3. **gid sort-back** — a second block sort keyed on the carried
+       global row id restores the input sharding and order.
+
+    Inputs: points (N, 3) and mask (N,) sharded on axis 0 (N divisible
+    by the mesh size). Returns (ground_mask (N,) sharded like the
+    input, patch_valid (P,) replicated, patch_normals (P, 3)
+    replicated).
+
+    Seed ties (equal z within a patch) may resolve differently than
+    single-device; fits differ only in f32 rounding — tests assert
+    >99% mask agreement on the street fixture.
+    """
+    import numpy as np
+
+    from ..ops import ground as ground_ops, segmented
+
+    if config is None:
+        config = ground_ops.PatchworkConfig()
+    radii, rings, sectors, base = ground_ops._patch_tables(config)
+    n_patches = config.n_patches
+    n_zones = len(config.rings_per_zone)
+    p1 = n_patches + 1                      # + overflow bucket
+
+    # static CZM patch centroids: ring mid-radius, sector mid-angle,
+    # z = -sensor_height — the shard-independent moment origin
+    centers_np = np.zeros((p1, 3), np.float32)
+    row = 0
+    for zi in range(n_zones):
+        nr, nsec = int(rings[zi]), int(sectors[zi])
+        for ri in range(nr):
+            rmid = radii[zi] + (ri + 0.5) * (radii[zi + 1] - radii[zi]) / nr
+            for si in range(nsec):
+                amid = (si + 0.5) * 2.0 * np.pi / nsec - np.pi
+                centers_np[row] = (rmid * np.cos(amid),
+                                   rmid * np.sin(amid),
+                                   -config.sensor_height)
+                row += 1
+    centers_const = jnp.asarray(centers_np)
+
+    spec = P(axis_name)
+    rep = P()
+    n_dev = mesh.shape[axis_name]
+    frac = jnp.float32(config.seed_fraction)
+    min_seeds = jnp.int32(config.min_seed_points)
+    dist_thresh = jnp.float32(config.distance_threshold)
+    n_iters = config.num_iterations
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, rep, rep),
+        check_vma=False)
+    def _run(pts, mask):
+        s = pts.shape[0]
+        me = jax.lax.axis_index(axis_name)
+        pid = ground_ops._patch_ids(
+            pts, mask, jnp.asarray(radii), jnp.asarray(rings),
+            jnp.asarray(sectors), jnp.asarray(base), n_zones)
+        seg = jnp.where(pid >= 0, pid, n_patches)
+        gid = me.astype(jnp.int32) * s + jnp.arange(s, dtype=jnp.int32)
+
+        # ---- phase 1: global (patch, z) sort --------------------------
+        ops0 = jax.lax.sort(
+            (seg, pts[:, 2], pts[:, 0], pts[:, 1], gid), num_keys=2)
+        seg_s, z_s, x_s, y_s, gid_s = _oddeven_block_sort(
+            ops0, axis_name, n_dev, num_keys=2)
+        pts_s = jnp.stack([x_s, y_s, z_s], axis=1)
+        valid_s = seg_s < n_patches
+
+        pos = jnp.arange(s, dtype=jnp.int32)
+        head = jnp.concatenate([jnp.ones((1,), bool),
+                                seg_s[1:] != seg_s[:-1]])
+        start_el = jnp.maximum(jax.lax.cummax(jnp.where(head, pos, -1)),
+                               0)
+        local_rank = pos - start_el
+
+        # local run lengths at head rows (next head position - mine)
+        big = jnp.int32(s)
+        sp = jnp.where(head, pos, big)
+        sp_next = jnp.concatenate([sp[1:], jnp.full((1,), big,
+                                                    jnp.int32)])
+        next_start = jnp.flip(jax.lax.cummin(jnp.flip(sp_next)))
+        len_head = jnp.where(head, next_start - pos, 0)
+
+        # compact head rows to the front ONCE (head layout is fixed for
+        # the whole call); kc covers every possible distinct local run
+        kc = min(s, p1)
+        comp = jnp.where(head, jnp.int32(0), jnp.int32(1))
+        _, cperm = jax.lax.sort((comp, pos), num_keys=2)
+        cperm_h = cperm[:kc]
+        idx_h = jnp.where(head[cperm_h], seg_s[cperm_h], p1)
+
+        cnt_local = jnp.zeros((p1,), jnp.int32).at[idx_h].set(
+            len_head[cperm_h], mode="drop")
+        cnt_all = jax.lax.all_gather(cnt_local, axis_name)  # (D, P+1)
+        dmask = jnp.arange(n_dev) < me
+        prior_t = jnp.sum(jnp.where(dmask[:, None], cnt_all, 0), axis=0)
+        cnt_tot = jnp.sum(cnt_all, axis=0).astype(jnp.float32)
+
+        rank_g = local_rank + prior_t[seg_s]
+        seed_n_t = jnp.maximum((cnt_tot * frac).astype(jnp.int32),
+                               min_seeds)
+        w_seed = (rank_g < seed_n_t[seg_s]) & valid_s
+
+        # ---- phase 2: R-GPF with psum'd patch moments ------------------
+        c = pts_s - centers_const[seg_s]
+        mom9 = jnp.concatenate([
+            c,
+            jnp.stack([c[:, 0] * c[:, 0], c[:, 1] * c[:, 1],
+                       c[:, 2] * c[:, 2], c[:, 0] * c[:, 1],
+                       c[:, 0] * c[:, 2], c[:, 1] * c[:, 2]],
+                      axis=1)], axis=1)
+
+        def fit_planes(w_bool):
+            sums = segmented.sorted_run_sums(mom9, head, w_bool)
+            tbl = jnp.zeros((p1, 10), jnp.float32).at[idx_h].set(
+                sums[cperm_h], mode="drop")
+            tbl = jax.lax.psum(tbl, axis_name)
+            wsum = tbl[:, 9]
+            inv_n = 1.0 / jnp.maximum(wsum, 1.0)
+            mu = tbl[:, :3] * inv_n[:, None]
+            denom = jnp.maximum(wsum - 1.0, 1.0)
+            cc = (tbl[:, 3:9] - wsum[:, None] * jnp.stack(
+                [mu[:, 0] * mu[:, 0], mu[:, 1] * mu[:, 1],
+                 mu[:, 2] * mu[:, 2], mu[:, 0] * mu[:, 1],
+                 mu[:, 0] * mu[:, 2], mu[:, 1] * mu[:, 2]],
+                axis=1)) / denom[:, None]
+            cov = jnp.stack([
+                jnp.stack([cc[:, 0], cc[:, 3], cc[:, 4]], -1),
+                jnp.stack([cc[:, 3], cc[:, 1], cc[:, 5]], -1),
+                jnp.stack([cc[:, 4], cc[:, 5], cc[:, 2]], -1)], -2)
+            mean = centers_const + mu
+            nrm, _ = linalg.smallest_eigenvector_sym3x3(cov)
+            nrm = jnp.where((nrm[:, 2] < 0)[:, None], -nrm, nrm)
+            dplane = -jnp.sum(nrm * mean, axis=1)
+            vals = linalg.eigvals_sym3x3(cov)
+            return nrm, dplane, mean, vals, wsum
+
+        def body(i, state):
+            w_bool, _ = state
+            fit = fit_planes(w_bool)
+            nrm_t, dp_t = fit[0], fit[1]
+            dist = jnp.abs(jnp.sum(pts_s * nrm_t[seg_s], axis=1)
+                           + dp_t[seg_s])
+            w_new = valid_s & (dist <= dist_thresh)
+            w_out = jnp.where(i < n_iters, w_new, w_bool)
+            return (w_out, fit)
+
+        zero_fit = (jnp.zeros((p1, 3), jnp.float32),
+                    jnp.zeros((p1,), jnp.float32),
+                    jnp.zeros((p1, 3), jnp.float32),
+                    jnp.zeros((p1, 3), jnp.float32),
+                    jnp.zeros((p1,), jnp.float32))
+        _, (nrm_t, dp_t, mean_t, vals_t, wsum_t) = jax.lax.fori_loop(
+            0, n_iters + 1, body, (w_seed, zero_fit))
+
+        flat = jnp.maximum(vals_t[:, 0], 0.0) / jnp.maximum(
+            jnp.sum(vals_t, axis=1), 1e-12)
+        ok_t = (cnt_tot >= config.min_patch_points) \
+            & (jnp.abs(nrm_t[:, 2]) >= config.uprightness_threshold) \
+            & (mean_t[:, 2] <= -config.sensor_height
+               + config.elevation_threshold) \
+            & (flat <= config.flatness_threshold) \
+            & (wsum_t >= 3) \
+            & (jnp.arange(p1) < n_patches)
+
+        dist = jnp.abs(jnp.sum(pts_s * nrm_t[seg_s], axis=1)
+                       + dp_t[seg_s])
+        ground_s = ok_t[seg_s] & (dist <= dist_thresh) & valid_s
+
+        # ---- phase 3: route back to the input order --------------------
+        ops1 = jax.lax.sort(
+            (gid_s, ground_s.astype(jnp.float32)), num_keys=1)
+        _, gf = _oddeven_block_sort(ops1, axis_name, n_dev)
+        return gf > 0.5, ok_t[:n_patches], nrm_t[:n_patches]
 
     return jax.jit(_run)
