@@ -801,3 +801,69 @@ class TestShardedGround:
         cos = np.abs(np.sum(np.asarray(patch_nrm)[both]
                             * np.asarray(ref.patch_normals)[both], -1))
         assert np.median(cos) > 0.999, f"median normal cos {np.median(cos)}"
+
+
+class TestShardedClusters:
+    def _blobs(self, n_total=4080, seed=3):
+        rng = np.random.default_rng(seed)
+        centers = np.array([[0, 0, 0], [5, 0, 0], [0, 5, 0],
+                            [5, 5, 0], [2.5, 2.5, 4]], np.float32)
+        per = n_total // len(centers)
+        pts = np.concatenate([
+            c + rng.normal(0, 0.15, (per, 3)) for c in centers]
+        ).astype(np.float32)
+        rng.shuffle(pts)          # interleave so blobs span shards
+        return pts
+
+    def test_matches_single_device(self):
+        from threecrate_tpu.ops.segmentation import (
+            EuclideanClusterConfig, extract_euclidean_clusters)
+        from threecrate_tpu.parallel import (make_mesh,
+                                             make_sharded_clusters)
+
+        pts = self._blobs()
+        n = len(pts)
+        mask = np.ones(n, bool)
+        mask[::97] = False        # some invalid rows
+        cfg = EuclideanClusterConfig(tolerance=0.35, max_neighbors=24,
+                                     min_cluster_size=10)
+        mesh = make_mesh(8)
+        fn = make_sharded_clusters(mesh, cfg)
+        labels, n_clusters, sizes = fn(
+            put_sharded(jnp.asarray(pts), mesh),
+            put_sharded(jnp.asarray(mask), mesh))
+
+        ref = extract_euclidean_clusters(
+            PointCloud(points=jnp.asarray(pts),
+                       mask=jnp.asarray(mask)), cfg)
+        assert int(n_clusters) == int(ref.n_clusters) == 5
+        np.testing.assert_array_equal(np.asarray(labels),
+                                      np.asarray(ref.labels))
+        np.testing.assert_array_equal(np.asarray(sizes),
+                                      np.asarray(ref.sizes))
+
+    def test_size_filter_and_noise(self):
+        from threecrate_tpu.ops.segmentation import (
+            EuclideanClusterConfig)
+        from threecrate_tpu.parallel import (make_mesh,
+                                             make_sharded_clusters)
+        rng = np.random.default_rng(5)
+        big = rng.normal(0, 0.1, (512, 3))
+        tiny = np.array([[9.0, 9, 9], [9.02, 9, 9]])
+        lone = np.array([[-9.0, -9, -9]])
+        pts = np.concatenate([big, tiny, lone,
+                              rng.normal(0, 0.1, (509, 3)) + 20]
+                             ).astype(np.float32)
+        cfg = EuclideanClusterConfig(tolerance=0.3, max_neighbors=32,
+                                     min_cluster_size=5)
+        mesh = make_mesh(8)
+        fn = make_sharded_clusters(mesh, cfg)
+        labels, n_clusters, sizes = fn(
+            put_sharded(jnp.asarray(pts), mesh),
+            put_sharded(jnp.ones(len(pts), bool), mesh))
+        labels = np.asarray(labels)
+        assert int(n_clusters) == 2
+        # tiny 2-point blob and the loner are noise
+        assert (labels[512:515] == -1).all()
+        sz = np.asarray(sizes)
+        assert sz[0] == 512 and sz[1] == 509 and sz[2] == 0

@@ -134,6 +134,19 @@ class EuclideanClusterConfig:
     max_cluster_size: int = 2 ** 31 - 1
     max_neighbors: int = 32
 
+    def __post_init__(self):
+        if self.tolerance <= 0:
+            raise ValueError(
+                f"tolerance must be positive, got {self.tolerance}")
+        if self.min_cluster_size < 1:
+            raise ValueError(
+                f"min_cluster_size must be >= 1, got {self.min_cluster_size}")
+        if self.max_cluster_size < self.min_cluster_size:
+            raise ValueError("max_cluster_size must be >= min_cluster_size")
+        if self.max_neighbors < 1:
+            raise ValueError(
+                f"max_neighbors must be >= 1, got {self.max_neighbors}")
+
 
 class ClusterResult(NamedTuple):
     labels: jnp.ndarray      # (N,) int32 cluster id by size rank, -1 = noise

@@ -1239,7 +1239,7 @@ def ring_gather_rows_local(ids, table_shard, axis_name: str = POINTS_AXIS):
     s = table_shard.shape[0]
     e = table_shard.shape[-1]
     perm = [(i, (i + 1) % nd) for i in range(nd)]
-    out0 = jnp.zeros(ids.shape + (e,), jnp.float32)
+    out0 = jnp.zeros(ids.shape + (e,), table_shard.dtype)
 
     def body(step, carry):
         out, cur = carry
@@ -1841,5 +1841,110 @@ def make_sharded_ground(mesh: Mesh, config=None,
             (gid_s, ground_s.astype(jnp.float32)), num_keys=1)
         _, gf = _oddeven_block_sort(ops1, axis_name, n_dev)
         return gf > 0.5, ok_t[:n_patches], nrm_t[:n_patches]
+
+    return jax.jit(_run)
+
+
+def make_sharded_clusters(mesh: Mesh, config=None,
+                          axis_name: str = POINTS_AXIS):
+    """Distributed Euclidean clustering over a points-sharded cloud
+    (segmentation.rs:396-460 at multi-chip scale; the sharded analog
+    of ``ops.segmentation.extract_euclidean_clusters``).
+
+    Connectivity is the same capped-radius graph as the single-device
+    path: one ring kNN pass materialises each point's ``max_neighbors``
+    nearest GLOBAL neighbor ids (radius-filtered). Label propagation
+    then iterates min-over-neighbors + two pointer-jump rounds until a
+    psum'd change flag clears — every step is a ring rotation of the
+    tiny (S,) label column (``ring_gather_rows_local``), never a
+    cross-shard point gather. Ranking mirrors
+    ``segmentation._rank_clusters`` with dense (N,) root-size tables
+    built by local scatter-add + ``psum`` (replicated; budget ~3
+    int32·N replicated arrays — fine to ~10M points).
+
+    Returns (labels (N,) sharded like the input — cluster id by size
+    rank, -1 = noise/filtered; n_clusters scalar; sizes (N,) replicated,
+    sizes[i] = size of cluster i). Labels match the single-device path
+    exactly when neighbor sets agree (both take the nearest
+    ``max_neighbors`` within tolerance; distance ties can differ).
+    """
+    from ..ops.segmentation import EuclideanClusterConfig
+
+    if config is None:
+        config = EuclideanClusterConfig()
+    spec = P(axis_name)
+    rep = P()
+    n_dev = mesh.shape[axis_name]
+    tol2 = jnp.float32(config.tolerance) ** 2
+    k = config.max_neighbors
+    min_sz = jnp.int32(config.min_cluster_size)
+    max_sz = jnp.int32(min(config.max_cluster_size, 2 ** 31 - 1))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec, spec), out_specs=(spec, rep, rep),
+        check_vma=False)
+    def _run(pts, mask):
+        s = pts.shape[0]
+        n = s * n_dev
+        me = jax.lax.axis_index(axis_name)
+        gid = me.astype(jnp.int32) * s + jnp.arange(s, dtype=jnp.int32)
+
+        # one ring pass: global ids of the k nearest within tolerance
+        neg, _, _, nbr_idx = ring_knn_payload_local(
+            pts, pts, mask, jnp.zeros((s, 1), jnp.float32), k,
+            axis_name)
+        ok = (neg > -jnp.inf) & (-neg <= tol2) & mask[:, None]
+        nbr_gids = jnp.where(ok, nbr_idx, gid[:, None])
+
+        def jump(lab, ids):
+            got = ring_gather_rows_local(ids[:, None],
+                                         lab[:, None], axis_name)
+            return got[:, 0, 0]
+
+        def cond(state):
+            _, changed, it = state
+            return changed & (it < n)
+
+        def body(state):
+            labels, _, it = state
+            nbr_lab = ring_gather_rows_local(
+                nbr_gids, labels[:, None], axis_name)[..., 0]
+            new = jnp.minimum(labels, jnp.min(nbr_lab, axis=1))
+            new = jnp.where(mask, new, labels)
+            new = jump(new, new)
+            new = jump(new, new)
+            changed = jax.lax.psum(
+                jnp.any(new != labels).astype(jnp.int32), axis_name)
+            return new, changed > 0, it + 1
+
+        labels0 = jnp.where(mask, gid, jnp.int32(n - 1))
+        roots, _, _ = jax.lax.while_loop(
+            cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))
+
+        # ranking: dense (N,) tables, scatter-add locally + psum
+        sizes_by_root = jax.lax.psum(
+            jnp.zeros((n,), jnp.int32).at[
+                jnp.where(mask, roots, n - 1)].add(
+                    mask.astype(jnp.int32)), axis_name)
+        size_of = sizes_by_root[roots]
+        keep = mask & (size_of >= min_sz) & (size_of <= max_sz)
+        is_root = (gid == roots) & keep
+        # root_size[r] = sizes_by_root[r] where r is a kept root else
+        # -1: mark kept roots with a psum'd indicator, then read the
+        # replicated size table locally
+        kept_root = jax.lax.psum(
+            jnp.zeros((n,), jnp.int32).at[
+                jnp.where(is_root, roots, n - 1)].add(
+                    is_root.astype(jnp.int32)), axis_name)
+        root_size = jnp.where(kept_root > 0, sizes_by_root, -1)
+        order = jnp.argsort(-root_size)
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        labels_out = jnp.where(keep, rank[roots], -1)
+        n_clusters = jnp.sum(root_size > 0).astype(jnp.int32)
+        sizes_ranked = jnp.where(root_size[order] > 0,
+                                 root_size[order], 0)
+        return labels_out, n_clusters, sizes_ranked
 
     return jax.jit(_run)
