@@ -94,6 +94,29 @@ def main():
     print(f"sharded NDT: recovered translation to {nerr:.2e} "
           f"in {int(it_n)} iters (score={float(score_n):.1f})")
 
+    # 4c. distributed segmentation: RANSAC plane + Euclidean clusters
+    from threecrate_tpu.ops.segmentation import EuclideanClusterConfig
+    from threecrate_tpu.parallel import (make_sharded_clusters,
+                                         make_sharded_plane_ransac)
+    plane_fn = make_sharded_plane_ransac(mesh, distance_threshold=0.25,
+                                         max_iterations=256)
+    pres = plane_fn(pts_s, mask_s)
+    print(f"sharded plane RANSAC: {int(pres.inlier_count)}/{n} inliers, "
+          f"normal {np.round(np.asarray(pres.model.normal), 2)}")
+
+    blob_pts = np.concatenate([
+        rng.normal(0, 0.1, (n // 2, 3)),
+        np.float32([4, 0, 0]) + rng.normal(0, 0.1, (n - n // 2, 3)),
+    ]).astype(np.float32)
+    rng.shuffle(blob_pts)
+    clu_fn = make_sharded_clusters(
+        mesh, EuclideanClusterConfig(tolerance=0.25, max_neighbors=16,
+                                     min_cluster_size=8))
+    _, n_clu, clu_sizes = clu_fn(
+        put_sharded(jnp.asarray(blob_pts), mesh), mask_s)
+    print(f"sharded clustering: {int(n_clu)} clusters, sizes "
+          f"{np.asarray(clu_sizes)[:int(n_clu)].tolist()}")
+
     # 5. sharded TSDF fusion: the virtual block grid split into
     #    x-slabs (one per device); fusion + extraction collective-free
     from threecrate_tpu.parallel import make_sharded_tsdf

@@ -355,10 +355,12 @@ class TestLrfWeightedVote:
                                          pc.mask, radius, 64,
                                          exclude_self=True)
         idx, ok, dist = res.indices, res.mask, res.distances
-        x0, y0, z0 = features._shot_lrf(pc.points, idx, ok, dist, radius)
+        x0, y0, z0 = features._shot_lrf(pc.points[idx], ok, dist, radius,
+                                        pc.points)
         # drop candidates in the outer 10% shell
         ok2 = ok & (np.asarray(dist) < 0.9 * radius)
-        x1, y1, z1 = features._shot_lrf(pc.points, idx, ok2, dist, radius)
+        x1, y1, z1 = features._shot_lrf(pc.points[idx], ok2, dist, radius,
+                                        pc.points)
         n = pc.size()
         zdot = np.sum(np.asarray(z0)[:n] * np.asarray(z1)[:n], axis=1)
         cnt = np.asarray(ok.sum(axis=1))[:n]
@@ -384,11 +386,13 @@ class TestLrfWeightedVote:
                                          exclude_self=True)
         idx, ok, dist = res.indices, res.mask, res.distances
         nrm = pc.normals
-        x0, y0, z0 = features._shot_lrf(pc.points, idx, ok, dist,
-                                        radius, own_normals=nrm)
+        x0, y0, z0 = features._shot_lrf(pc.points[idx], ok, dist,
+                                        radius, pc.points,
+                                        own_normals=nrm)
         ok2 = ok & (np.asarray(dist) < 0.9 * radius)
-        x1, y1, z1 = features._shot_lrf(pc.points, idx, ok2, dist,
-                                        radius, own_normals=nrm)
+        x1, y1, z1 = features._shot_lrf(pc.points[idx], ok2, dist,
+                                        radius, pc.points,
+                                        own_normals=nrm)
         n = pc.size()
         zdot = np.sum(np.asarray(z0)[:n] * np.asarray(z1)[:n], axis=1)
         cnt = np.asarray(ok.sum(axis=1))[:n]
@@ -457,8 +461,8 @@ class TestShotRepeatability:
                 pc.points, pc.mask, pc.points, pc.mask, rad, 128,
                 exclude_self=True)
             x, y, z = features._shot_lrf(
-                pc.points, res.indices, res.mask, res.distances,
-                jnp.float32(rad), own_normals=pc.normals)
+                pc.points[res.indices], res.mask, res.distances,
+                jnp.float32(rad), pc.points, own_normals=pc.normals)
             return np.asarray(x)[:n], np.asarray(z)[:n]
 
         xa, za = lrf(ca)

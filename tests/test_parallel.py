@@ -867,3 +867,119 @@ class TestShardedClusters:
         assert (labels[512:515] == -1).all()
         sz = np.asarray(sizes)
         assert sz[0] == 512 and sz[1] == 509 and sz[2] == 0
+
+
+class TestShardedPlaneRansac:
+    def test_recovers_dominant_plane(self):
+        from threecrate_tpu.parallel import (make_mesh,
+                                             make_sharded_plane_ransac)
+        rng = np.random.default_rng(7)
+        n_plane, n_noise = 3000, 1096
+        uv = rng.uniform(-2, 2, (n_plane, 2)).astype(np.float32)
+        # plane z = 0.3x - 0.2y + 0.5 with small jitter
+        z = 0.3 * uv[:, 0] - 0.2 * uv[:, 1] + 0.5
+        plane = np.stack([uv[:, 0], uv[:, 1],
+                          z + rng.normal(0, 0.002, n_plane)], -1)
+        noise = rng.uniform(-3, 3, (n_noise, 3))
+        pts = np.concatenate([plane, noise]).astype(np.float32)
+        order = rng.permutation(len(pts))
+        pts = pts[order]
+        on_plane = order < n_plane
+        mask = np.ones(len(pts), bool)
+
+        mesh = make_mesh(8)
+        fn = make_sharded_plane_ransac(mesh, distance_threshold=0.01,
+                                       max_iterations=512)
+        res = fn(put_sharded(jnp.asarray(pts), mesh),
+                 put_sharded(jnp.asarray(mask), mesh), seed=1)
+
+        nrm = np.asarray(res.model.normal)
+        expect = np.array([-0.3, 0.2, 1.0])
+        expect /= np.linalg.norm(expect)
+        cos = abs(float(nrm @ expect))
+        assert cos > 0.9999, (nrm, cos)
+        inl = np.asarray(res.inlier_mask)
+        # nearly all plane points in, nearly all noise out
+        assert inl[on_plane].mean() > 0.98
+        assert inl[~on_plane].mean() < 0.02
+        assert int(res.inlier_count) == inl.sum()
+
+    def test_masked_and_degenerate_shards(self):
+        from threecrate_tpu.parallel import (make_mesh,
+                                             make_sharded_plane_ransac)
+        rng = np.random.default_rng(11)
+        # shard-contiguous layout: first shard entirely masked out
+        n = 2048
+        pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+        pts[:, 2] = 0.25 + rng.normal(0, 0.001, n).astype(np.float32)
+        mask = np.ones(n, bool)
+        mask[: n // 8] = False          # device 0 has no valid points
+        mesh = make_mesh(8)
+        fn = make_sharded_plane_ransac(mesh, distance_threshold=0.01,
+                                       max_iterations=256)
+        res = fn(put_sharded(jnp.asarray(pts), mesh),
+                 put_sharded(jnp.asarray(mask), mesh))
+        nrm = np.asarray(res.model.normal)
+        assert abs(nrm[2]) > 0.99999
+        inl = np.asarray(res.inlier_mask)
+        assert not inl[: n // 8].any()          # masked rows excluded
+        assert inl[n // 8:].mean() > 0.99
+
+
+class TestShardedShot:
+    def _surface(self, n=2048, seed=9):
+        rng = np.random.default_rng(seed)
+        xy = rng.uniform(-2, 2, (n, 2)).astype(np.float32)
+        z = 0.5 * np.sin(xy[:, 0] * 2.0) + 0.3 * np.cos(xy[:, 1] * 1.7)
+        return np.stack([xy[:, 0], xy[:, 1], z], -1).astype(np.float32)
+
+    def test_matches_staged_single_device(self):
+        from threecrate_tpu.ops.features import (ShotConfig,
+                                                 extract_shot_features)
+        from threecrate_tpu.ops.normals import estimate_normals
+        from threecrate_tpu.parallel import make_mesh, make_sharded_shot
+
+        pts = self._surface()
+        cloud = PointCloud(points=jnp.asarray(pts),
+                           mask=jnp.ones(len(pts), bool))
+        cloud = estimate_normals(cloud, k=10, viewpoint=(0.0, 0.0, 10.0))
+        cfg = ShotConfig(radius=0.35, max_neighbors=48, method="exact")
+        ref = extract_shot_features(cloud, cfg)
+
+        mesh = make_mesh(8)
+        fn = make_sharded_shot(mesh, cfg)
+        desc, valid = fn(put_sharded(cloud.points, mesh),
+                         put_sharded(cloud.mask, mesh),
+                         put_sharded(cloud.normals, mesh))
+        desc, valid = np.asarray(desc), np.asarray(valid)
+        rdesc, rvalid = np.asarray(ref.descriptors), np.asarray(ref.valid)
+        np.testing.assert_array_equal(valid, rvalid)
+        cos = np.sum(desc[valid] * rdesc[valid], -1)
+        # identical up to distance ties in the neighbor sets
+        assert np.median(cos) > 0.99999, np.median(cos)
+        assert (cos > 0.99).mean() > 0.98, (cos > 0.99).mean()
+
+    def test_usc_variant(self):
+        from threecrate_tpu.ops.features import (ShotConfig,
+                                                 extract_usc_features)
+        from threecrate_tpu.ops.normals import estimate_normals
+        from threecrate_tpu.parallel import make_mesh, make_sharded_shot
+
+        pts = self._surface(n=1024, seed=4)
+        cloud = PointCloud(points=jnp.asarray(pts),
+                           mask=jnp.ones(len(pts), bool))
+        cloud = estimate_normals(cloud, k=10, viewpoint=(0.0, 0.0, 10.0))
+        cfg = ShotConfig(radius=0.4, max_neighbors=32, method="exact")
+        ref = extract_usc_features(cloud, cfg)
+
+        mesh = make_mesh(8)
+        fn = make_sharded_shot(mesh, cfg, variant="usc")
+        desc, valid = fn(put_sharded(cloud.points, mesh),
+                         put_sharded(cloud.mask, mesh),
+                         put_sharded(cloud.normals, mesh))
+        desc, valid = np.asarray(desc), np.asarray(valid)
+        rdesc, rvalid = np.asarray(ref.descriptors), np.asarray(ref.valid)
+        np.testing.assert_array_equal(valid, rvalid)
+        cos = np.sum(desc[valid] * rdesc[valid], -1)
+        assert np.median(cos) > 0.99999, np.median(cos)
+        assert desc.shape[1] == 128

@@ -377,20 +377,17 @@ def _lrf_signs(sd, td, wsum, radius, z, x, nq):
     return z, x
 
 
-def _shot_lrf(points, nbr_idx, nbr_ok, nbr_dist, radius, own=None,
-              own_normals=None):
+def _shot_lrf(nbr, nbr_ok, nbr_dist, radius, own, own_normals=None):
     """Sign-disambiguated local reference frame (features.rs:294-420):
     eigenvectors of the (R − d)-weighted neighborhood covariance, x/z
     signs flipped toward the majority of neighbors (ambiguous votes
-    tie-broken; see _lrf_signs). ``own`` — the query rows themselves
-    (defaults to ``points``; passed explicitly when the caller
-    processes a row block while ``points`` stays the full set);
-    ``own_normals`` — the queries' estimated normals for the z
-    tie-break (None → far-amplified-moment tie-break for z too).
+    tie-broken; see _lrf_signs). ``nbr`` — gathered neighbor
+    coordinates (N, k, 3) (the caller gathers, so sharded callers can
+    pass ring-carried rows without a global table); ``own`` — the
+    query rows themselves; ``own_normals`` — the queries' estimated
+    normals for the z tie-break (None → far-amplified-moment tie-break
+    for z too).
     """
-    if own is None:
-        own = points
-    nbr = points[nbr_idx]                          # (N, k, 3)
     w = jnp.where(nbr_ok, jnp.maximum(radius - nbr_dist, 0.0), 0.0)
     mean, cov = linalg.weighted_covariance(nbr, w)
     _, vecs = linalg.eigh3x3(cov)
@@ -538,6 +535,58 @@ def _shot_fused(points, mask, normals_arr, radius: float,
     return desc[inv_a][:n], (valid_s[inv_a][:n]) & mask
 
 
+def _shot_descriptor_block(nbr, nbr_nrm, ok, dist, own, own_nrm,
+                           radius, n_cos_bins, variant):
+    """SHOT/USC descriptors for one row block from pre-gathered
+    neighborhoods (features.rs:294-420): LRF, then the soft-binned
+    352-d (or 128-d USC) spatial histogram. All inputs are gathered
+    (B, k, ...) arrays so the same math serves the staged path (table
+    gathers) and the sharded path (ring-carried rows)."""
+    x, y, z = _shot_lrf(nbr, ok, dist, radius, own,
+                        own_nrm if variant == "shot" else None)
+
+    d = nbr - own[:, None, :]                     # (B, k, 3)
+    lx = jnp.einsum("nkj,nj->nk", d, x)
+    ly = jnp.einsum("nkj,nj->nk", d, y)
+    lz = jnp.einsum("nkj,nj->nk", d, z)
+    r = jnp.sqrt(lx * lx + ly * ly + lz * lz)
+    az = jnp.arctan2(ly, lx)                      # [-π, π]
+    el = lz / jnp.maximum(r, 1e-12)               # cos-elevation
+    az_bin = jnp.clip(((az + jnp.pi) / (2 * jnp.pi) * 8
+                       ).astype(jnp.int32), 0, 7)
+    el_bin = (el >= 0).astype(jnp.int32)          # 2 elevation shells
+    w = ok.astype(jnp.float32) * (r > 1e-9)
+
+    if variant == "shot":
+        rad_bin = (r >= 0.5 * radius).astype(jnp.int32)  # 2 shells
+        vol = (az_bin * 2 + el_bin) * 2 + rad_bin        # ∈ [0, 32)
+        cosn = jnp.einsum("nkj,nj->nk", nbr_nrm, z)
+        # soft (linear) binning along the cosine dimension,
+        # PCL-style: each neighbor votes into the two adjacent bins
+        # weighted by its fractional position
+        pos = jnp.clip((cosn + 1.0) / 2.0 * n_cos_bins - 0.5,
+                       0.0, n_cos_bins - 1.0)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n_cos_bins - 1)
+        frac = pos - lo
+        dim = 32 * n_cos_bins
+        oh_lo = jax.nn.one_hot(vol * n_cos_bins + lo, dim,
+                               dtype=jnp.float32)
+        oh_hi = jax.nn.one_hot(vol * n_cos_bins + hi, dim,
+                               dtype=jnp.float32)
+        desc = jnp.einsum("nk,nkb->nb", w * (1 - frac), oh_lo) \
+            + jnp.einsum("nk,nkb->nb", w * frac, oh_hi)
+    else:  # usc: 8 radial shells, pure density
+        rad_bin = jnp.clip((r / radius * 8).astype(jnp.int32), 0, 7)
+        flat = (az_bin * 2 + el_bin) * 8 + rad_bin       # ∈ [0, 128)
+        desc = jnp.einsum("nk,nkb->nb", w,
+                          jax.nn.one_hot(flat, USC_DIM,
+                                         dtype=jnp.float32))
+    norm = jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True),
+                       1e-12)
+    return desc / norm
+
+
 @functools.partial(jax.jit, static_argnames=("max_neighbors", "n_cos_bins",
                                              "variant", "window"))
 def _shot(points, mask, normals_arr, radius, max_neighbors, n_cos_bins,
@@ -566,49 +615,9 @@ def _shot(points, mask, normals_arr, radius, max_neighbors, n_cos_bins,
 
     def shot_block(args):
         idx, ok, dist, own, own_nrm = args
-        x, y, z = _shot_lrf(points, idx, ok, dist, radius, own,
-                            own_nrm if variant == "shot" else None)
-
-        d = points[idx] - own[:, None, :]             # (B, k, 3)
-        lx = jnp.einsum("nkj,nj->nk", d, x)
-        ly = jnp.einsum("nkj,nj->nk", d, y)
-        lz = jnp.einsum("nkj,nj->nk", d, z)
-        r = jnp.sqrt(lx * lx + ly * ly + lz * lz)
-        az = jnp.arctan2(ly, lx)                      # [-π, π]
-        el = lz / jnp.maximum(r, 1e-12)               # cos-elevation
-        az_bin = jnp.clip(((az + jnp.pi) / (2 * jnp.pi) * 8
-                           ).astype(jnp.int32), 0, 7)
-        el_bin = (el >= 0).astype(jnp.int32)          # 2 elevation shells
-        w = ok.astype(jnp.float32) * (r > 1e-9)
-
-        if variant == "shot":
-            rad_bin = (r >= 0.5 * radius).astype(jnp.int32)  # 2 shells
-            vol = (az_bin * 2 + el_bin) * 2 + rad_bin        # ∈ [0, 32)
-            cosn = jnp.einsum("nkj,nj->nk", normals_arr[idx], z)
-            # soft (linear) binning along the cosine dimension,
-            # PCL-style: each neighbor votes into the two adjacent bins
-            # weighted by its fractional position
-            pos = jnp.clip((cosn + 1.0) / 2.0 * n_cos_bins - 0.5,
-                           0.0, n_cos_bins - 1.0)
-            lo = jnp.floor(pos).astype(jnp.int32)
-            hi = jnp.minimum(lo + 1, n_cos_bins - 1)
-            frac = pos - lo
-            dim = 32 * n_cos_bins
-            oh_lo = jax.nn.one_hot(vol * n_cos_bins + lo, dim,
-                                   dtype=jnp.float32)
-            oh_hi = jax.nn.one_hot(vol * n_cos_bins + hi, dim,
-                                   dtype=jnp.float32)
-            desc = jnp.einsum("nk,nkb->nb", w * (1 - frac), oh_lo) \
-                + jnp.einsum("nk,nkb->nb", w * frac, oh_hi)
-        else:  # usc: 8 radial shells, pure density
-            rad_bin = jnp.clip((r / radius * 8).astype(jnp.int32), 0, 7)
-            flat = (az_bin * 2 + el_bin) * 8 + rad_bin       # ∈ [0, 128)
-            desc = jnp.einsum("nk,nkb->nb", w,
-                              jax.nn.one_hot(flat, USC_DIM,
-                                             dtype=jnp.float32))
-        norm = jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True),
-                           1e-12)
-        return desc / norm
+        return _shot_descriptor_block(
+            points[idx], normals_arr[idx], ok, dist, own, own_nrm,
+            radius, n_cos_bins, variant)
 
     dim = 32 * n_cos_bins if variant == "shot" else USC_DIM
     desc = jax.lax.map(

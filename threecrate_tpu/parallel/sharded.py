@@ -1948,3 +1948,189 @@ def make_sharded_clusters(mesh: Mesh, config=None,
         return labels_out, n_clusters, sizes_ranked
 
     return jax.jit(_run)
+
+
+def make_sharded_shot(mesh: Mesh, config=None, variant: str = "shot",
+                      axis_name: str = POINTS_AXIS):
+    """Distributed SHOT/USC descriptors over a points-sharded cloud
+    (features.rs:294-420 at multi-chip scale; the sharded analog of
+    ``ops.features.extract_shot_features`` / ``extract_usc_features``
+    staged path).
+
+    One ring kNN pass (``ring_knn_payload_local`` with the normals as
+    payload) carries each query's ``max_neighbors`` nearest GLOBAL
+    neighbor coordinates + normals around the ring — the descriptor
+    math then runs fully locally on the gathered (S, k, ·) blocks via
+    the shared ``_shot_descriptor_block`` core (same LRF, same
+    soft-binned histogram as the staged single-device path). Memory is
+    bounded exactly like the staged path: the (B, k, 352) one-hot
+    intermediates are mapped over fixed row blocks.
+
+    Inputs: points (N, 3), mask (N,), normals (N, 3), all sharded on
+    axis 0. Returns (descriptors (N, 352|128) sharded, valid (N,)
+    sharded). Matches the staged path descriptor-for-descriptor when
+    neighbor sets agree (both take the nearest ``max_neighbors`` within
+    the radius, self excluded; distance ties can differ).
+    """
+    from ..ops.features import (ShotConfig, USC_DIM,
+                                _shot_descriptor_block)
+
+    if config is None:
+        config = ShotConfig()
+    if variant not in ("shot", "usc"):
+        raise ValueError(f"variant must be 'shot' or 'usc', got {variant}")
+    spec = P(axis_name)
+    radius = jnp.float32(config.radius)
+    k = config.max_neighbors
+    n_cos = config.n_cos_bins
+    dim = 32 * n_cos if variant == "shot" else USC_DIM
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec, spec, spec), out_specs=(spec, spec),
+        check_vma=False)
+    def _run(pts, mask, normals):
+        s = pts.shape[0]
+        if mask.shape[0] != s or normals.shape[0] != s:
+            raise ValueError(
+                "points/mask/normals leading dims differ "
+                f"({s}/{mask.shape[0]}/{normals.shape[0]}); note "
+                "PointCloud buckets capacity — shard cloud.points/"
+                "cloud.mask/cloud.normals, not the raw input array")
+        me = jax.lax.axis_index(axis_name)
+        gid = me.astype(jnp.int32) * s + jnp.arange(s, dtype=jnp.int32)
+
+        # self rides along as the guaranteed nearest row; ask for one
+        # extra and mask it out by global id
+        neg, rows, pay, ids = ring_knn_payload_local(
+            pts, pts, mask, normals, k + 1, axis_name)
+        ok = ((neg > -jnp.inf) & (-neg <= radius * radius)
+              & (ids != gid[:, None]) & mask[:, None])
+        dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
+        dist = jnp.where(ok, dist, radius)      # keep inf out of the core
+
+        block = min(16384, s)
+        n_blk = -(-s // block)
+        pad = n_blk * block - s
+
+        def blocked(a, fill=0):
+            a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
+                        constant_values=fill)
+            return a.reshape((n_blk, block) + a.shape[1:])
+
+        def body(args):
+            rows_b, pay_b, ok_b, dist_b, own_b, nrm_b = args
+            return _shot_descriptor_block(rows_b, pay_b, ok_b, dist_b,
+                                          own_b, nrm_b, radius, n_cos,
+                                          variant)
+
+        desc = jax.lax.map(
+            body, (blocked(rows), blocked(pay), blocked(ok),
+                   blocked(dist, fill=1.0), blocked(pts),
+                   blocked(normals))
+        ).reshape(n_blk * block, dim)[:s]
+        valid = mask & (jnp.sum(ok, axis=1) >= 5)
+        return jnp.where(valid[:, None], desc, 0.0), valid
+
+    return jax.jit(_run)
+
+
+def make_sharded_plane_ransac(mesh: Mesh,
+                              distance_threshold: float = 0.01,
+                              max_iterations: int = 1000,
+                              refine: bool = True,
+                              axis_name: str = POINTS_AXIS):
+    """Distributed RANSAC plane segmentation over a points-sharded
+    cloud (segmentation.rs:117-180 at multi-chip scale; the sharded
+    analog of ``ops.segmentation.segment_plane``).
+
+    Each device fits ``ceil(max_iterations / n_dev)`` hypotheses from
+    random triples of its LOCAL shard, then one tiny ``all_gather``
+    replicates the (H, 4) plane-coefficient table. Scoring is fully
+    local — every device counts its own shard's inliers for ALL
+    hypotheses in one (S, H) broadcasted distance sweep — and a single
+    ``psum`` produces global counts. The winning plane's refinement is
+    two moment ``psum``s (mean, then centered covariance) + a
+    replicated 3x3 eigensolve; the f32 expansion stays safe because
+    the second moment is taken about the psum'd global centroid.
+
+    Hypothesis sampling differs from the single-device path (local
+    triples, per-device fold_in streams), so the winning plane can be
+    a different — equally valid — RANSAC draw; tests assert plane
+    recovery, not draw-for-draw parity. Devices whose shard holds < 3
+    valid points contribute no hypotheses.
+
+    Returns a callable ``fn(points, mask, seed=0) ->
+    PlaneSegmentationResult`` with the inlier mask sharded like the
+    input and the model/count replicated.
+    """
+    from ..ops.segmentation import PlaneModel, PlaneSegmentationResult
+
+    spec = P(axis_name)
+    rep = P()
+    n_dev = mesh.shape[axis_name]
+    h_local = -(-max_iterations // n_dev)
+    thr = jnp.float32(distance_threshold)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec, spec, rep), out_specs=(rep, rep, spec, rep),
+        check_vma=False)
+    def _run(pts, mask, key):
+        s = pts.shape[0]
+        me = jax.lax.axis_index(axis_name)
+        k_local = jax.random.fold_in(key, me)
+
+        # local hypothesis batch from local triples
+        w = mask.astype(jnp.float32)
+        n_valid = jnp.sum(w)
+        enough = n_valid >= 3
+        p = jnp.where(enough, w / jnp.maximum(n_valid, 1.0),
+                      jnp.full((s,), 1.0 / s, jnp.float32))
+        idx = jax.random.choice(k_local, s, shape=(h_local, 3), p=p)
+        tri = pts[idx]                                  # (h, 3, 3)
+        nrm = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        nn = jnp.linalg.norm(nrm, axis=1, keepdims=True)
+        ok_h = (nn[:, 0] > 1e-12) & enough
+        nrm = nrm / jnp.maximum(nn, 1e-30)
+        d = -jnp.sum(nrm * tri[:, 0], axis=1)
+        coef = jnp.concatenate(
+            [nrm, d[:, None], ok_h[:, None].astype(jnp.float32)], 1)
+
+        # replicate all hypotheses, score locally, psum the counts
+        all_coef = jax.lax.all_gather(coef, axis_name, tiled=True)
+        nrm_h, d_h = all_coef[:, :3], all_coef[:, 3]
+        ok_all = all_coef[:, 4] > 0.5
+        dist = jnp.abs(pts @ nrm_h.T + d_h[None, :])    # (S, H)
+        counts = jax.lax.psum(
+            jnp.sum((dist <= thr) & mask[:, None], axis=0), axis_name)
+        counts = jnp.where(ok_all, counts, -1)
+        best = jnp.argmax(counts)
+        nb, db = nrm_h[best], d_h[best]
+        inl = mask & (jnp.abs(pts @ nb + db) <= thr)
+
+        if refine:
+            wi = inl.astype(jnp.float32)
+            sw = jnp.maximum(jax.lax.psum(jnp.sum(wi), axis_name), 1.0)
+            mean = jax.lax.psum(wi @ pts, axis_name) / sw
+            c = pts - mean
+            cov = jax.lax.psum(
+                jax.lax.dot_general(
+                    c * wi[:, None], c, (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST),
+                axis_name) / sw
+            nb, _ = linalg.smallest_eigenvector_sym3x3(cov)
+            db = -jnp.dot(nb, mean)
+            inl = mask & (jnp.abs(pts @ nb + db) <= thr)
+
+        count = jax.lax.psum(jnp.sum(inl), axis_name).astype(jnp.int32)
+        return nb, db, inl, count
+
+    run = jax.jit(_run)
+
+    def call(points, mask, seed: int = 0) -> PlaneSegmentationResult:
+        nb, db, inl, count = run(points, mask,
+                                 jax.random.PRNGKey(seed))
+        return PlaneSegmentationResult(PlaneModel(nb, db), inl, count)
+
+    return call
