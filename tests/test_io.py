@@ -53,6 +53,20 @@ class TestPly:
         np.testing.assert_allclose(v1, v0, atol=1e-5)
         np.testing.assert_array_equal(f1, f0)
 
+    def test_reference_argument_order(self, cloud, mesh, tmp_path):
+        # the reference python API writes (cloud, path) / (mesh, path)
+        # (threecrate-python/src/lib.rs:1695,1713); both orders accepted
+        pc = tmp_path / "ref_order_c.ply"
+        pm = tmp_path / "ref_order_m.ply"
+        tcio.write_point_cloud(cloud, pc)
+        tcio.write_mesh(mesh, pm)
+        np.testing.assert_allclose(tcio.read_point_cloud(pc).to_numpy(),
+                                   cloud.to_numpy(), atol=1e-5)
+        v0, f0 = mesh.to_numpy()
+        v1, f1 = tcio.read_mesh(pm).to_numpy()
+        np.testing.assert_allclose(v1, v0, atol=1e-5)
+        np.testing.assert_array_equal(f1, f0)
+
     def test_big_endian_read(self, tmp_path):
         pts = np.array([[1, 2, 3], [4, 5, 6]], ">f4")
         header = (b"ply\nformat binary_big_endian 1.0\n"

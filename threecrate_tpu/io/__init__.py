@@ -63,7 +63,21 @@ def read_point_cloud(path, **kw) -> PointCloud:
     return REGISTRY.read_point_cloud(path, **kw)
 
 
-def write_point_cloud(path, cloud: PointCloud, **kw) -> None:
+def _path_first(a, b):
+    """Accept both argument orders: the reference python API writes
+    ``write_point_cloud(cloud, path)`` / ``write_mesh(mesh, path)``
+    (threecrate-python/src/lib.rs:1695,1713 and threecrate.pyi:571,579)
+    while this package historically took ``(path, obj)``. The two are
+    type-disjoint (path: str/PathLike, payload: PointCloud/TriangleMesh),
+    so dispatch on the first argument."""
+    return (a, b) if isinstance(a, (str, bytes)) or hasattr(a, "__fspath__") \
+        else (b, a)
+
+
+def write_point_cloud(path, cloud: PointCloud = None, **kw) -> None:
+    """Write a point cloud; accepts ``(path, cloud)`` or the reference
+    order ``(cloud, path)`` (lib.rs:1695)."""
+    path, cloud = _path_first(path, cloud)
     REGISTRY.write_point_cloud(path, cloud, **kw)
 
 
@@ -71,7 +85,10 @@ def read_mesh(path, **kw) -> TriangleMesh:
     return REGISTRY.read_mesh(path, **kw)
 
 
-def write_mesh(path, mesh: TriangleMesh, **kw) -> None:
+def write_mesh(path, mesh: TriangleMesh = None, **kw) -> None:
+    """Write a mesh; accepts ``(path, mesh)`` or the reference order
+    ``(mesh, path)`` (lib.rs:1713)."""
+    path, mesh = _path_first(path, mesh)
     REGISTRY.write_mesh(path, mesh, **kw)
 
 
