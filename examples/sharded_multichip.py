@@ -117,6 +117,28 @@ def main():
     print(f"sharded clustering: {int(n_clu)} clusters, sizes "
           f"{np.asarray(clu_sizes)[:int(n_clu)].tolist()}")
 
+    # 4d. distributed MLS smoothing + colorization
+    from threecrate_tpu.parallel import (make_sharded_colorize,
+                                         make_sharded_mls)
+    from threecrate_tpu.reconstruction.moving_least_squares import \
+        MlsConfig
+    mls_fn = make_sharded_mls(mesh, MlsConfig(search_radius=0.5,
+                                              max_neighbors=24))
+    proj, _, mls_valid = mls_fn(pts_s, mask_s)
+    print(f"sharded MLS: projected {int(jnp.sum(mls_valid))}/{n} points")
+
+    himg, wimg = 48, 64
+    img = np.linspace(0, 1, himg * wimg * 3,
+                      dtype=np.float32).reshape(1, himg, wimg, 3)
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[2, 3] = 6.0
+    col_fn = make_sharded_colorize(mesh, himg, wimg, bilinear=True)
+    colors, assigned = col_fn(pts_s, mask_s, jnp.asarray(img),
+                              jnp.asarray([[30.0, 30.0, wimg / 2,
+                                            himg / 2]], jnp.float32),
+                              jnp.asarray(w2c)[None])
+    print(f"sharded colorize: {int(jnp.sum(assigned))}/{n} points hit")
+
     # 5. sharded TSDF fusion: the virtual block grid split into
     #    x-slabs (one per device); fusion + extraction collective-free
     from threecrate_tpu.parallel import make_sharded_tsdf

@@ -983,3 +983,97 @@ class TestShardedShot:
         cos = np.sum(desc[valid] * rdesc[valid], -1)
         assert np.median(cos) > 0.99999, np.median(cos)
         assert desc.shape[1] == 128
+
+
+class TestShardedMls:
+    def test_matches_single_device(self):
+        from threecrate_tpu.parallel import make_mesh, make_sharded_mls
+        from threecrate_tpu.reconstruction.moving_least_squares import (
+            MlsConfig, mls_smooth)
+
+        rng = np.random.default_rng(3)
+        pts = surface_cloud(n=2048, seed=3)
+        pts += rng.normal(0, 0.01, pts.shape).astype(np.float32)
+        cloud = PointCloud(points=jnp.asarray(pts),
+                           mask=jnp.ones(len(pts), bool))
+        cfg = MlsConfig(search_radius=0.35, max_neighbors=24)
+        ref = mls_smooth(cloud, cfg)
+
+        mesh = make_mesh(8)
+        fn = make_sharded_mls(mesh, cfg)
+        proj, nrm, valid = fn(put_sharded(cloud.points, mesh),
+                              put_sharded(cloud.mask, mesh))
+        proj, valid = np.asarray(proj), np.asarray(valid)
+        rproj = np.asarray(ref.points)
+        # identical up to distance ties in the neighbor sets
+        close = np.abs(proj - rproj).max(axis=1) < 1e-4
+        assert close.mean() > 0.98, close.mean()
+        assert valid.sum() > 0.95 * len(pts)
+        nn = np.linalg.norm(np.asarray(nrm)[valid], axis=1)
+        np.testing.assert_allclose(nn, 1.0, atol=1e-3)
+
+    def test_scale_invariance(self):
+        # conditioning regression (CLAUDE.md r3c MLS lesson) must hold
+        # through the sharded path too
+        from threecrate_tpu.parallel import make_mesh, make_sharded_mls
+        from threecrate_tpu.reconstruction.moving_least_squares import (
+            MlsConfig)
+
+        pts = surface_cloud(n=1024, seed=7)
+        mesh = make_mesh(8)
+        msk = jnp.ones(len(pts), bool)
+        for scale in (1e-3, 1.0, 1e3):
+            cfg = MlsConfig(search_radius=0.35 * scale, max_neighbors=24)
+            fn = make_sharded_mls(mesh, cfg)
+            proj, _, valid = fn(put_sharded(jnp.asarray(pts * scale), mesh),
+                                put_sharded(msk, mesh))
+            err = np.abs(np.asarray(proj) / scale - pts).max()
+            assert err < 0.2, (scale, err)
+
+
+class TestShardedColorize:
+    def test_matches_single_device(self):
+        from threecrate_tpu.ops.colorization import (CameraIntrinsics,
+                                                     InterpolationMode,
+                                                     RgbImageView,
+                                                     colorize_from_images)
+        from threecrate_tpu.parallel import (make_mesh,
+                                             make_sharded_colorize)
+
+        rng = np.random.default_rng(5)
+        n = 1024
+        pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+        pts[:, 2] += 3.0                       # in front of the cameras
+        cloud = PointCloud(points=jnp.asarray(pts),
+                           mask=jnp.ones(n, bool))
+
+        h, w = 48, 64
+        views, imgs, intrs, w2cs = [], [], [], []
+        for i in range(3):
+            img = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+            intr = CameraIntrinsics(fx=40.0, fy=40.0,
+                                    cx=w / 2 + 4 * i, cy=h / 2)
+            w2c = np.eye(4, dtype=np.float32)
+            w2c[0, 3] = 0.3 * i               # sliding camera
+            views.append(RgbImageView(jnp.asarray(img), intr,
+                                      jnp.asarray(w2c)))
+            imgs.append(img)
+            intrs.append([intr.fx, intr.fy, intr.cx, intr.cy])
+            w2cs.append(w2c)
+        ref = colorize_from_images(cloud, views,
+                                   mode=InterpolationMode.BILINEAR)
+
+        mesh = make_mesh(8)
+        fn = make_sharded_colorize(mesh, h, w, bilinear=True)
+        colors, assigned = fn(
+            put_sharded(cloud.points, mesh), put_sharded(cloud.mask, mesh),
+            jnp.asarray(np.stack(imgs)),
+            jnp.asarray(np.asarray(intrs, np.float32)),
+            jnp.asarray(np.stack(w2cs)))
+        colors, assigned = np.asarray(colors), np.asarray(assigned)
+        rcol = np.asarray(ref.colors)
+        assert assigned.sum() > 0.5 * n        # scene actually covered
+        np.testing.assert_allclose(colors[assigned], rcol[assigned],
+                                   atol=1e-6)
+        # unassigned points keep the default (zero) color in both paths
+        np.testing.assert_allclose(colors[~assigned], 0.0, atol=0)

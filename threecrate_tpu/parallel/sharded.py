@@ -2134,3 +2134,91 @@ def make_sharded_plane_ransac(mesh: Mesh,
         return PlaneSegmentationResult(PlaneModel(nb, db), inl, count)
 
     return call
+
+
+def make_sharded_mls(mesh: Mesh, config=None,
+                     axis_name: str = POINTS_AXIS):
+    """Distributed MLS projection over a points-sharded cloud
+    (moving_least_squares.rs:13-74 at multi-chip scale; the sharded
+    analog of ``reconstruction.mls_smooth``).
+
+    One ring kNN pass collects each point's ``max_neighbors`` nearest
+    GLOBAL neighbors (coords ride the merge — no cross-shard gather),
+    then the weighted polynomial fit runs fully locally via the shared
+    ``_mls_project_rows`` core (same local frame, same dimensionless
+    basis and scale-relative Tikhonov as the single-device path).
+
+    Inputs: points (N, 3) and mask (N,), sharded on axis 0. Returns
+    (projected (N, 3), fitted normals (N, 3), valid (N,)) with the
+    input sharding. Matches the single-device path point-for-point when
+    neighbor sets agree (both take the k nearest within the radius;
+    distance ties can differ).
+    """
+    from ..reconstruction.moving_least_squares import (MlsConfig,
+                                                       _mls_project_rows)
+
+    if config is None:
+        config = MlsConfig()
+    spec = P(axis_name)
+    radius = jnp.float32(config.search_radius)
+    reg = jnp.float32(config.regularization)
+    k = config.max_neighbors
+    kernel, order = config.kernel, config.basis.value
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec, spec), out_specs=(spec, spec, spec),
+        check_vma=False)
+    def _run(pts, mask):
+        neg, rows, _ = ring_knn_local(pts, pts, mask, k, axis_name)
+        ok = (neg > -jnp.inf) & (-neg <= radius * radius) & mask[:, None]
+        dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
+        dist = jnp.where(ok, dist, radius)     # keep inf out of the fit
+        return _mls_project_rows(rows, ok, dist, pts, mask, radius,
+                                 kernel, order, reg)
+
+    return jax.jit(_run)
+
+
+def make_sharded_colorize(mesh: Mesh, height: int, width: int,
+                          bilinear: bool = False,
+                          axis_name: str = POINTS_AXIS):
+    """Distributed multi-image colorization over a points-sharded
+    cloud (colorization.rs:261 at multi-chip scale; the sharded analog
+    of ``ops.colorization.colorize_from_images``).
+
+    Projection + sampling are pointwise, so the factory is pure data
+    parallelism: the view stack (images, intrinsics, extrinsics) is
+    replicated, each device colors its own point shard, and first-hit
+    priority across views is a ``lax.scan`` — zero collectives.
+
+    Returns ``fn(points, mask, images (V,H,W,3) f32, intrs (V,4),
+    w2cs (V,4,4)) -> (colors (N,3), assigned (N,))`` with the input
+    sharding; unassigned points keep color 0 (apply a default on the
+    caller side, as ``colorize_from_images`` does).
+    """
+    from ..ops.colorization import _project_sample
+
+    spec = P(axis_name)
+    rep = P()
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec, spec, rep, rep, rep),
+        out_specs=(spec, spec), check_vma=False)
+    def _run(pts, mask, images, intrs, w2cs):
+        def body(carry, view):
+            colors, assigned = carry
+            img, intr, w2c = view
+            c, inside = _project_sample(pts, mask, img, intr, w2c,
+                                        height, width, bilinear)
+            take = inside & ~assigned
+            return (jnp.where(take[:, None], c, colors),
+                    assigned | take), 0.0
+        init = (jnp.zeros((pts.shape[0], 3), jnp.float32),
+                jnp.zeros((pts.shape[0],), bool))
+        (colors, assigned), _ = jax.lax.scan(
+            body, init, (images, intrs, w2cs))
+        return colors, assigned
+
+    return jax.jit(_run)

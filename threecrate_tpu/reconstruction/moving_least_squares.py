@@ -86,7 +86,17 @@ def _mls_project(points, mask, radius, max_neighbors, kernel, order, reg):
     res = neighbors.radius_neighbors(points, mask, points, mask,
                                      radius, max_neighbors)
     nbr = points[res.indices]                      # (N, k, 3)
-    w = jnp.where(res.mask, _weights(res.distances, radius, kernel), 0.0)
+    return _mls_project_rows(nbr, res.mask, res.distances, points, mask,
+                             radius, kernel, order, reg)
+
+
+def _mls_project_rows(nbr, nbr_ok, nbr_dist, points, mask, radius,
+                      kernel, order, reg):
+    """MLS projection core over pre-gathered neighborhoods: all inputs
+    are (N, k, ·) arrays so the same math serves the single-device path
+    (table gather above) and the sharded path (ring-carried rows in
+    ``parallel.sharded.make_sharded_mls``)."""
+    w = jnp.where(nbr_ok, _weights(nbr_dist, radius, kernel), 0.0)
 
     # local frame from the weighted covariance (plane fit)
     mean, cov = linalg.weighted_covariance(nbr, w)
@@ -153,7 +163,7 @@ def _mls_project(points, mask, radius, max_neighbors, kernel, order, reg):
     n_fit = n_fit / jnp.maximum(
         jnp.linalg.norm(n_fit, axis=-1, keepdims=True), 1e-12)
 
-    valid = mask & (jnp.sum(res.mask, axis=1) >= 3)
+    valid = mask & (jnp.sum(nbr_ok, axis=1) >= 3)
     projected = jnp.where(valid[:, None], projected, points)
     return projected, jnp.where(valid[:, None], n_fit, 0.0), valid
 
