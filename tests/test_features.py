@@ -173,6 +173,51 @@ class TestFusedFpfh:
         # vs capped-k differences stay at noise level on this density
         assert np.percentile(l1, 95) < 1.0, np.percentile(l1, 95)
 
+    def test_banded_matches_exact_fused(self):
+        """The ±band SPFH fast tier must match the exact full-window
+        fused path when neighborhoods fit the band (FpfhConfig.band)."""
+        import jax.numpy as jnp
+        from threecrate_tpu.ops import features
+        rng = np.random.default_rng(3)
+        n = 4096
+        xy = rng.uniform(-2, 2, (n, 2)).astype(np.float32)
+        z = 0.4 * np.sin(xy[:, 0] * 2) + 0.3 * np.cos(xy[:, 1] * 1.7)
+        pts = np.stack([xy[:, 0], xy[:, 1], z], -1).astype(np.float32)
+        pj, mj = jnp.asarray(pts), jnp.ones(n, bool)
+        from threecrate_tpu.ops.normals import (NormalEstimationConfig,
+                                                estimate_normals_detailed)
+        from threecrate_tpu.core.point_cloud import PointCloud
+        nr = estimate_normals_detailed(
+            PointCloud(points=pj, mask=mj),
+            NormalEstimationConfig(k_neighbors=10))
+        d_ex, v_ex = features._fpfh_fused(pj, mj, nr.normals, 0.12)
+        d_b, v_b = features._fpfh_fused(pj, mj, nr.normals, 0.12,
+                                        band=48)
+        v = np.asarray(v_ex) & np.asarray(v_b)
+        assert v.mean() > 0.9
+        de, db = np.asarray(d_ex)[v], np.asarray(d_b)[v]
+        cos = np.sum(de * db, 1) / np.maximum(
+            np.linalg.norm(de, axis=1) * np.linalg.norm(db, axis=1),
+            1e-12)
+        # ~10 in-radius neighbors vs a 2*(2*48+1) candidate union:
+        # the band covers every neighborhood -> identical descriptors
+        assert np.median(cos) > 0.9999, np.median(cos)
+        assert (cos > 0.99).mean() > 0.99, (cos > 0.99).mean()
+
+    def test_banded_config_routes(self):
+        from threecrate_tpu.ops import features
+        rng = np.random.default_rng(4)
+        pts = rng.uniform(-1, 1, (600, 3)).astype(np.float32)
+        import jax.numpy as jnp
+        from threecrate_tpu.core.point_cloud import PointCloud
+        cloud = PointCloud(points=jnp.asarray(pts),
+                           mask=jnp.ones(600, bool))
+        res = features.extract_fpfh_features(
+            cloud, features.FpfhConfig(radius=0.3, method="window",
+                                       band=32))
+        assert res.descriptors.shape == (600, 33)
+        assert bool(jnp.any(res.valid))
+
     def test_atan2_approx_accuracy(self):
         from threecrate_tpu.kernels.fpfh_pallas import _atan2_approx
         import jax.numpy as jnp

@@ -329,3 +329,160 @@ def fpfh_weight_b_tiles(packed, pos_a, r2: float, tile: int = 256,
         interpret=interpret,
     )(packed, packed, packed, pos_a, pos_a, pos_a)
     return out
+
+
+# ---------------------------------------------------------------------------
+# band-limited SPFH (stage-1 fast tier)
+# ---------------------------------------------------------------------------
+
+def _spfh_band_body(pack, self_ref, out_ref, *, r2: float, band: int,
+                    excl: bool):
+    """Banded SPFH: Darboux features + 3×11 bins against a ±``band``
+    POSITIONAL window of the Morton order (2·band+1 candidates) instead
+    of the 3-tile window (3·tile candidates) — the same candidate-count
+    lever as kernels/shot_pallas.py (the histogram stage is O(Q·C·33)
+    compare/select sweeps with no matmul structure, so cutting C ~6x is
+    the only thing that moves it). Candidate matrices are (2·band+1,
+    tile); the reduction axis is the offset (sublane) axis."""
+    from .shot_pallas import _band_mats
+
+    tile = self_ref.shape[1]
+    rows = [0, 1, 2, 3, 4, 5, 6] + ([7] if excl else [])
+    mats = _band_mats(pack, band, tile, rows)
+    cx, cy, cz, vm = mats[0], mats[1], mats[2], mats[3]
+    c0, c1, c2 = mats[4], mats[5], mats[6]
+
+    qx = self_ref[0:1, :]
+    qy = self_ref[1:2, :]
+    qz = self_ref[2:3, :]
+    q0 = self_ref[4:5, :]
+    q1 = self_ref[5:6, :]
+    q2 = self_ref[6:7, :]
+
+    dx = cx - qx
+    dy = cy - qy
+    dz = cz - qz
+    d2 = dx * dx + dy * dy + dz * dz
+    sel = (vm > 0.5) & (d2 <= r2) & (d2 > 1e-12)
+    if excl:
+        pa = mats[7]
+        qpa = self_ref[7:8, :]
+        sel = sel & (jnp.abs(pa - qpa) > float(band))
+    wf = sel.astype(jnp.float32)
+
+    inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
+    ux = dx * inv_d
+    uy = dy * inv_d
+    uz = dz * inv_d
+
+    a1 = q0 * ux + q1 * uy + q2 * uz
+    a2 = c0 * ux + c1 * uy + c2 * uz
+    swap = jnp.abs(a1) < jnp.abs(a2)
+
+    nsx = jnp.where(swap, c0, q0)
+    nsy = jnp.where(swap, c1, q1)
+    nsz = jnp.where(swap, c2, q2)
+    ntx = jnp.where(swap, q0, c0)
+    nty = jnp.where(swap, q1, c1)
+    ntz = jnp.where(swap, q2, c2)
+    sgn = jnp.where(swap, -1.0, 1.0)
+    ux = ux * sgn
+    uy = uy * sgn
+    uz = uz * sgn
+
+    f3 = nsx * ux + nsy * uy + nsz * uz
+    vx = uy * nsz - uz * nsy
+    vy = uz * nsx - ux * nsz
+    vz = ux * nsy - uy * nsx
+    inv_v = jax.lax.rsqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-24))
+    vx = vx * inv_v
+    vy = vy * inv_v
+    vz = vz * inv_v
+    wx = nsy * vz - nsz * vy
+    wy = nsz * vx - nsx * vz
+    wz = nsx * vy - nsy * vx
+    f2 = vx * ntx + vy * nty + vz * ntz
+    f1 = _atan2_approx(wx * ntx + wy * nty + wz * ntz,
+                       nsx * ntx + nsy * nty + nsz * ntz)
+
+    nb = jnp.float32(N_BINS)
+    b1 = jnp.clip(((f1 + jnp.float32(jnp.pi))
+                   * (nb / jnp.float32(2 * jnp.pi))).astype(jnp.int32),
+                  0, N_BINS - 1)
+    b2 = jnp.clip(((f2 + 1.0) * (nb / 2.0)).astype(jnp.int32),
+                  0, N_BINS - 1)
+    b3 = jnp.clip(((f3 + 1.0) * (nb / 2.0)).astype(jnp.int32),
+                  0, N_BINS - 1)
+
+    row = 0
+    for bins in (b1, b2, b3):
+        for b in range(N_BINS):
+            out_ref[row, :] = jnp.sum(
+                jnp.where(bins == b, wf, 0.0), axis=0)
+            row += 1
+    out_ref[row, :] = jnp.sum(wf, axis=0)
+
+
+def _spfh_band_a_kernel(prev_ref, self_ref, next_ref, out_ref, *,
+                        r2: float, band: int):
+    from .shot_pallas import _window_pack
+    pack = _window_pack(prev_ref, self_ref, next_ref, 7)
+    _spfh_band_body(pack, self_ref, out_ref, r2=r2, band=band,
+                    excl=False)
+
+
+def _spfh_band_b_kernel(prev_ref, self_ref, next_ref, out_ref, *,
+                        r2: float, band: int):
+    from .shot_pallas import _window_pack
+    pack = _window_pack(prev_ref, self_ref, next_ref, 8)
+    _spfh_band_body(pack, self_ref, out_ref, r2=r2, band=band,
+                    excl=True)
+
+
+@functools.partial(jax.jit, static_argnames=("r2", "band", "tile",
+                                             "interpret"))
+def spfh_band_a_tiles(packed, r2: float, band: int, tile: int = 256,
+                      interpret: bool = False):
+    """packed: (7, N) [x,y,z,valid,nx,ny,nz] pass-A order →
+    (34, N) banded SPFH sums + counts."""
+    n = packed.shape[1]
+    assert n % tile == 0 and band <= tile
+    n_tiles = n // tile
+    (out,) = pl.pallas_call(
+        functools.partial(_spfh_band_a_kernel, r2=float(r2),
+                          band=int(band)),
+        out_shape=[jax.ShapeDtypeStruct((34, n), jnp.float32)],
+        grid=(n_tiles,),
+        in_specs=_win_specs(7, tile, n_tiles),
+        out_specs=[pl.BlockSpec((34, tile), lambda t: (0, t),
+                                memory_space=pltpu.VMEM)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(packed, packed, packed)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("r2", "band", "tile",
+                                             "interpret"))
+def spfh_band_b_tiles(packed, r2: float, band: int, tile: int = 256,
+                      interpret: bool = False):
+    """packed: (8, N) [x,y,z,valid,nx,ny,nz,posA] pass-B order; the
+    pass-A position rides as an f32 row (exact below 2^24 points, the
+    same contract as the SHOT kernels) → (34, N) B-exclusive sums."""
+    n = packed.shape[1]
+    assert n % tile == 0 and tile & (tile - 1) == 0 and band <= tile
+    n_tiles = n // tile
+    (out,) = pl.pallas_call(
+        functools.partial(_spfh_band_b_kernel, r2=float(r2),
+                          band=int(band)),
+        out_shape=[jax.ShapeDtypeStruct((34, n), jnp.float32)],
+        grid=(n_tiles,),
+        in_specs=_win_specs(8, tile, n_tiles),
+        out_specs=[pl.BlockSpec((34, tile), lambda t: (0, t),
+                                memory_space=pltpu.VMEM)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(packed, packed, packed)
+    return out

@@ -56,6 +56,15 @@ class FpfhConfig:
     # reference hard-bins (features.rs:109-113), so this is OFF by
     # default; turning it on routes through the staged path.
     soft_binning: bool = False
+    # Opt-in fast tier for the fused window path: restrict the SPFH
+    # stage to ±band sorted-order positions per Morton pass (the SHOT
+    # kernels' candidate-count lever). None (default) sweeps the full
+    # 3-tile window — every in-radius candidate, exact. Same coverage
+    # caveat as ShotConfig.band: when the in-radius neighborhood
+    # outgrows ~2·(2·band+1) candidates, WHICH neighbors are covered
+    # is Morton-order- hence rotation-dependent; keep the radius
+    # density-matched to the band for cross-view matching.
+    band: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,8 +143,9 @@ class FpfhResult(NamedTuple):
     valid: jnp.ndarray        # (N,)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "tile"))
-def _fpfh_fused(points, mask, normals_arr, radius: float, tile=256):
+@functools.partial(jax.jit, static_argnames=("radius", "tile", "band"))
+def _fpfh_fused(points, mask, normals_arr, radius: float, tile=256,
+                band=None):
     """Fully-fused window FPFH: no neighbor ids, no gathers of point
     data — the pallas kernels (kernels/fpfh_pallas.py) bin the Darboux
     features and weight neighbor SPFHs directly from the Morton-window
@@ -146,10 +156,20 @@ def _fpfh_fused(points, mask, normals_arr, radius: float, tile=256):
     Uses every in-radius window candidate (the staged path capped at
     max_neighbors — PCL semantics use all in-radius neighbors, so this
     is closer, and histograms are count-normalised either way).
+
+    ``band`` (opt-in fast tier): restrict the SPFH stage to a ±band
+    POSITIONAL window of each Morton pass (2·(2·band+1) candidates over
+    the union) — the same candidate-count lever as the SHOT kernels,
+    with the same coverage caveat (see FpfhConfig.band). The stage-2
+    neighbor-SPFH weighting keeps the full 3-tile window either way
+    (its heavy lifting is one MXU matmul, which banding would break
+    back into per-offset VPU sweeps).
     """
     from ..kernels.fpfh_pallas import (fpfh_weight_a_tiles,
                                        fpfh_weight_b_tiles,
-                                       spfh_a_tiles, spfh_b_tiles)
+                                       spfh_a_tiles, spfh_b_tiles,
+                                       spfh_band_a_tiles,
+                                       spfh_band_b_tiles)
     from . import morton
     from ..utils import padding as _pad
 
@@ -173,15 +193,26 @@ def _fpfh_fused(points, mask, normals_arr, radius: float, tile=256):
          mask_p.astype(jnp.float32), nrm[:, 0], nrm[:, 1], nrm[:, 2],
          iota), num_keys=1)
     packed_a = jnp.stack([ax, ay, az, am, anx, any_, anz], axis=0)
-    spfh_a = spfh_a_tiles(packed_a, r2, tile, interpret=interp)  # (34,N)
+    if band is None:
+        spfh_a = spfh_a_tiles(packed_a, r2, tile,
+                              interpret=interp)                # (34,N)
+    else:
+        spfh_a = spfh_band_a_tiles(packed_a, r2, int(band), tile,
+                                   interpret=interp)
 
     pts_a_rows = jnp.stack([ax, ay, az], axis=1)
     keys_b = morton.morton_keys(pts_a_rows, am > 0.5, pass_index=1)
     _, bx, by, bz, bm, bnx, bny, bnz, row_a = jax.lax.sort(
         (keys_b, ax, ay, az, am, anx, any_, anz, iota), num_keys=1)
     packed_b = jnp.stack([bx, by, bz, bm, bnx, bny, bnz], axis=0)
-    spfh_b = spfh_b_tiles(packed_b, row_a[None, :], r2, tile,
-                          interpret=interp)
+    if band is None:
+        spfh_b = spfh_b_tiles(packed_b, row_a[None, :], r2, tile,
+                              interpret=interp)
+    else:
+        packed_b8 = jnp.concatenate(
+            [packed_b, row_a[None, :].astype(jnp.float32)], axis=0)
+        spfh_b = spfh_band_b_tiles(packed_b8, r2, int(band), tile,
+                                   interpret=interp)
 
     _, inv_b = jax.lax.sort((row_a, iota), num_keys=1)
     spfh_raw = spfh_a.T + spfh_b.T[inv_b]                # (N, 34) A-order
@@ -303,7 +334,8 @@ def extract_fpfh_features_with_normals(cloud: PointCloud,
               or (config.method == "auto" and cloud.capacity > 262144))
     if window and config.n_bins == 11 and not config.soft_binning:
         desc, valid = _fpfh_fused(cloud.points, cloud.mask, cloud.normals,
-                                  float(config.radius))
+                                  float(config.radius),
+                                  band=config.band)
     else:
         desc, valid = _fpfh(cloud.points, cloud.mask, cloud.normals,
                             jnp.float32(config.radius),

@@ -47,6 +47,13 @@ class GlobalRegistrationConfig:
     # pairs on CPU threads — global_registration.rs:93-111 — which is
     # exactly what does not scale).
     max_query_descriptors: int = 16384
+    # Opt-in FPFH fast tier (FpfhConfig.band): ±band Morton-window SPFH
+    # candidates instead of the exact 3-tile sweep. Because global
+    # registration matches descriptors ACROSS two differently-oriented
+    # clouds, only use this with a band density-matched to fpfh_radius
+    # (coverage is Morton-order-dependent once neighborhoods outgrow
+    # ~2·(2·band+1) candidates — see FpfhConfig.band).
+    fpfh_band: Optional[int] = None
     refine_with_icp: bool = True
     icp_max_iterations: int = 30
     k_normals: int = 10
@@ -166,7 +173,8 @@ def global_registration_with_normals(source: PointCloud, target: PointCloud,
                                      GlobalRegistrationConfig()
                                      ) -> GlobalRegistrationResult:
     """global_registration_with_normals (global_registration.rs:213-280)."""
-    fcfg = features.FpfhConfig(radius=config.fpfh_radius)
+    fcfg = features.FpfhConfig(radius=config.fpfh_radius,
+                               band=config.fpfh_band)
     sf = features.extract_fpfh_features_with_normals(source, fcfg)
     tf = features.extract_fpfh_features_with_normals(target, fcfg)
     return global_registration_with_features(
