@@ -74,6 +74,28 @@ def _laplacian(x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _shift_clip(a: jnp.ndarray, d: int, axis: int) -> jnp.ndarray:
+    idx = jnp.clip(jnp.arange(a.shape[axis]) + d, 0, a.shape[axis] - 1)
+    return jnp.take(a, idx, axis=axis)
+
+
+def _divergence(vfield: jnp.ndarray) -> jnp.ndarray:
+    """∇·V by central differences with replicate boundaries."""
+    def ddx(a, axis):
+        return (_shift_clip(a, 1, axis) - _shift_clip(a, -1, axis)) * 0.5
+    return (ddx(vfield[..., 0], 0) + ddx(vfield[..., 1], 1)
+            + ddx(vfield[..., 2], 2))
+
+
+def _box3(a: jnp.ndarray) -> jnp.ndarray:
+    """3³ box sum (density-trim support field: leaks each splat one
+    cell outward so every voxel the surface passes through sees
+    nonzero support)."""
+    for axis in range(3):
+        a = _shift_clip(a, -1, axis) + a + _shift_clip(a, 1, axis)
+    return a
+
+
 @functools.partial(jax.jit, static_argnames=("res", "iters", "solver",
                                               "mg_cycles"))
 def _solve(points, normals, mask, origin, spacing, res, iters, screening,
@@ -104,14 +126,7 @@ def _solve(points, normals, mask, origin, spacing, res, iters, screening,
     vfield = vfield / jnp.maximum(wfield, 1e-6)[..., None]
 
     # --- divergence -----------------------------------------------------
-    def ddx(a, axis):
-        def sh(d):
-            idx = jnp.clip(jnp.arange(a.shape[axis]) + d, 0,
-                           a.shape[axis] - 1)
-            return jnp.take(a, idx, axis=axis)
-        return (sh(1) - sh(-1)) * 0.5
-    b = ddx(vfield[..., 0], 0) + ddx(vfield[..., 1], 1) \
-        + ddx(vfield[..., 2], 2)
+    b = _divergence(vfield)
 
     # --- CG: solve the positive-definite form (εI − ∇²) χ = −b ----------
     # (the raw ∇²−ε system is negative definite, which breaks the
@@ -159,17 +174,9 @@ def _solve(points, normals, mask, origin, spacing, res, iters, screening,
                 acc = acc + w * x[ix, iy, iz]
     iso = jnp.sum(jnp.where(mask, acc, 0.0)) / jnp.maximum(jnp.sum(m), 1.0)
 
-    # support field for density trimming: one 3³ box-sum pass leaks
-    # each splat one cell outward, so every voxel the true surface
-    # passes through sees nonzero support while far-field spurious
+    # support field for density trimming: far-field spurious
     # iso-crossings (χ is unconstrained away from the data) stay at 0
-    def box(a, axis):
-        def sh(d):
-            idx = jnp.clip(jnp.arange(a.shape[axis]) + d, 0,
-                           a.shape[axis] - 1)
-            return jnp.take(a, idx, axis=axis)
-        return sh(-1) + a + sh(1)
-    support = box(box(box(wfield, 0), 1), 2)
+    support = _box3(wfield)
     return x, iso, support
 
 
@@ -227,6 +234,14 @@ def poisson_reconstruct(cloud: PointCloud,
                                origin, spacing, res, config.cg_iterations,
                                jnp.float32(config.screening), solver=solver,
                                mg_cycles=config.mg_cycles)
+    return _mesh_from_fields(chi, iso, support, origin, spacing, config)
+
+
+def _mesh_from_fields(chi, iso, support, origin, spacing,
+                      config: PoissonConfig) -> TriangleMesh:
+    """Iso-extract + density-trim the solved χ field (the tail of
+    ``poisson_reconstruct``, shared with the distributed pipeline in
+    parallel/poisson_mg.py)."""
     grid = VolumetricGrid(chi, origin, spacing)
     level = iso if config.iso_from_points else jnp.float32(0.0)
     mesh = _extract_mesh(grid, level)
