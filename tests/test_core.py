@@ -344,3 +344,26 @@ class TestShapeBucketing:
             assert ra.normals.shape == rb.normals.shape
         finally:
             monitoring.unregister_event_duration_listener(listener)
+
+
+class TestWithAttrPadding:
+    def test_short_attr_zero_padded_to_capacity(self):
+        import jax.numpy as jnp
+        pts = np.random.default_rng(0).normal(
+            size=(100, 3)).astype(np.float32)
+        cloud = PointCloud.from_numpy(pts)          # capacity > 100
+        cap = cloud.points.shape[0]
+        assert cap > 100
+        nrm = jnp.ones((100, 3), jnp.float32)
+        c2 = cloud.with_normals(nrm)
+        assert c2.normals.shape == (cap, 3)
+        np.testing.assert_allclose(np.asarray(c2.normals[:100]), 1.0)
+        np.testing.assert_allclose(np.asarray(c2.normals[100:]), 0.0)
+
+    def test_oversize_attr_rejected(self):
+        from threecrate_tpu.core.errors import InvalidDataError
+        import jax.numpy as jnp
+        pts = np.zeros((10, 3), np.float32)
+        cloud = PointCloud.from_numpy(pts)
+        with pytest.raises(InvalidDataError):
+            cloud.with_normals(jnp.zeros((4096, 3), jnp.float32))

@@ -128,6 +128,21 @@ class PointCloud:
 
     # -- functional updates -------------------------------------------------
     def with_attr(self, key: str, value: jnp.ndarray) -> "PointCloud":
+        """Attach a per-point attribute. Rows align with array SLOTS
+        (not compact valid order); a value shorter than the padded
+        capacity is zero-padded — the natural fit for clouds built by
+        ``from_numpy``, whose valid points occupy the leading slots.
+        A value longer than the capacity is an error (it cannot
+        correspond to this cloud)."""
+        value = jnp.asarray(value)
+        cap = self.points.shape[0]
+        if value.shape[0] > cap:
+            raise InvalidDataError(
+                f"attribute {key!r} has {value.shape[0]} rows but the "
+                f"cloud capacity is {cap}")
+        if value.shape[0] < cap:
+            pad = [(0, cap - value.shape[0])] + [(0, 0)] * (value.ndim - 1)
+            value = jnp.pad(value, pad)
         new = dict(self.attrs)
         new[key] = value
         return PointCloud(self.points, self.mask, new)
