@@ -30,12 +30,15 @@ from .io.compression import (
     compress_draco, decompress_draco,
 )
 from .io.ros2 import (
-    PointField, make_pointcloud2, from_pointcloud2,
+    PointField, PointCloud2Data, make_pointcloud2, from_pointcloud2,
     make_pointcloud2_organized, from_pointcloud2_organized,
     pointcloud2_to_xyz, pointcloud2_to_normals, pointcloud2_to_colored,
     pointcloud2_to_colored_normals, xyz_to_pointcloud2,
     normals_to_pointcloud2, colored_to_pointcloud2,
     colored_normals_to_pointcloud2,
+)
+from .core.typed_clouds import (
+    NormalPointCloud, ColoredPointCloud, ColoredNormalPointCloud,
 )
 
 # -- ops ----------------------------------------------------------------------
@@ -138,9 +141,28 @@ from .simplification import (
     QuadricErrorSimplifier, simplify_mesh,
 )
 
+# -- reference-python drop-in surface -----------------------------------------
+# (compat.py) — MUST come after the native imports: these names adapt
+# the reference module's exact calling conventions (lib.rs:2504-2591)
+# on top of the native entry points, dispatching to both styles.
+from .compat import (
+    IcpResult,
+    remove_statistical_outliers, remove_radius_outliers, extract_clusters,
+    smooth_mesh_laplacian, smooth_mesh_taubin, smooth_mesh_hc,
+    reconstruct, ball_pivoting_reconstruct, alpha_shape_reconstruct,
+    delaunay_triangulate, moving_least_squares_reconstruct,
+    compress, decompress,
+    icp, icp_point_to_plane, gicp, kiss_icp, ndt_registration,
+    global_registration, global_registration_with_normals,
+    estimate_normals, segment_plane, extract_fpfh_features,
+    simplify_mesh, colorize_point_cloud, poisson_reconstruct,
+)
+
 
 def as_point_cloud(x: Union[PointCloud, np.ndarray], **attrs) -> PointCloud:
-    """Coerce an (N, 3) array (or PointCloud) to a PointCloud."""
+    """Coerce an (N, 3) array, typed view, or PointCloud to a PointCloud."""
+    from .core.typed_clouds import unwrap
+    x = unwrap(x)
     if isinstance(x, PointCloud):
         return x
     return PointCloud.from_numpy(np.asarray(x), **attrs)

@@ -17,6 +17,8 @@ import numpy as np
 from ..core.errors import InvalidDataError
 from ..core.organized import OrganizedPointCloud
 from ..core.point_cloud import PointCloud
+from ..core.typed_clouds import (ColoredNormalPointCloud, ColoredPointCloud,
+                                 NormalPointCloud, unwrap)
 
 # PointField datatype constants (sensor_msgs/PointField)
 INT8, UINT8, INT16, UINT16, INT32, UINT32, FLOAT32, FLOAT64 = range(1, 9)
@@ -33,6 +35,82 @@ class PointField:
     offset: int
     datatype: int
     count: int = 1
+
+
+class PointCloud2Data:
+    """Serialized PointCloud2 container matching the reference's
+    ``PointCloud2Data`` class (threecrate-python/src/lib.rs:1991-2049):
+    ``data()`` / ``fields()`` methods plus ``point_step`` / ``row_step``
+    / ``width`` / ``height`` / ``is_bigendian`` / ``is_dense`` getters.
+
+    Wraps the plain message dict this module uses internally and stays
+    dict-compatible (``msg["fields"]`` etc.), so it interoperates with
+    ``from_pointcloud2`` and rosbag/MCAP encoders unchanged.
+    """
+
+    __slots__ = ("message",)
+
+    def __init__(self, message: Dict):
+        self.message = message
+
+    # -- reference surface ---------------------------------------------------
+    def data(self) -> bytes:
+        """Raw bytes of the point data."""
+        return bytes(self.message["data"])
+
+    def fields(self) -> List[tuple]:
+        """Field descriptors as ``(name, offset, datatype, count)``."""
+        return [(f["name"], f["offset"], f["datatype"], f.get("count", 1))
+                for f in self.message["fields"]]
+
+    @property
+    def point_step(self) -> int:
+        return self.message["point_step"]
+
+    @property
+    def row_step(self) -> int:
+        return self.message.get(
+            "row_step", self.message["point_step"] * self.message["width"])
+
+    @property
+    def width(self) -> int:
+        return self.message["width"]
+
+    @property
+    def height(self) -> int:
+        return self.message["height"]
+
+    @property
+    def is_bigendian(self) -> bool:
+        return bool(self.message.get("is_bigendian", False))
+
+    @property
+    def is_dense(self) -> bool:
+        return bool(self.message.get("is_dense", True))
+
+    def __repr__(self) -> str:
+        return (f"PointCloud2Data({self.width}×{self.height} points, "
+                f"point_step={self.point_step})")
+
+    # -- dict compatibility (native message form) ------------------------------
+    def __getitem__(self, key):
+        return self.message[key]
+
+    def get(self, key, default=None):
+        return self.message.get(key, default)
+
+    def __contains__(self, key) -> bool:
+        return key in self.message
+
+    def keys(self):
+        return self.message.keys()
+
+
+def _as_message(msg) -> Dict:
+    """Accept a message dict or a PointCloud2Data wrapper."""
+    if isinstance(msg, PointCloud2Data):
+        return msg.message
+    return msg
 
 
 def make_pointcloud2(cloud: PointCloud, frame_id: str = "map",
@@ -85,8 +163,10 @@ def from_pointcloud2(msg: Dict) -> PointCloud:
     """PointCloud2 message dict → PointCloud (ros2.rs from_* converters).
 
     Honors arbitrary field offsets/strides via a structured dtype with
-    itemsize = point_step.
+    itemsize = point_step. Accepts either the plain message dict or a
+    :class:`PointCloud2Data` wrapper.
     """
+    msg = _as_message(msg)
     fields = msg["fields"]
     names, formats, offsets = [], [], []
     for f in fields:
@@ -181,7 +261,7 @@ def pointcloud2_to_xyz(data: bytes, fields, point_step: int, width: int,
 def pointcloud2_to_normals(data: bytes, fields, point_step: int,
                            width: int, height: int,
                            is_bigendian: bool = False,
-                           is_dense: bool = True) -> PointCloud:
+                           is_dense: bool = True) -> NormalPointCloud:
     """Raw PointCloud2 → cloud with normals; requires normal_x/y/z
     (ros2.rs:292-345)."""
     c = from_pointcloud2(_msg_from_raw(data, fields, point_step, width,
@@ -189,13 +269,14 @@ def pointcloud2_to_normals(data: bytes, fields, point_step: int,
     if "normals" not in c.attrs:
         raise InvalidDataError(
             "PointCloud2 missing field 'normal_x'/'normal_y'/'normal_z'")
-    return PointCloud(c.points, c.mask, {"normals": c.attrs["normals"]})
+    return NormalPointCloud(
+        PointCloud(c.points, c.mask, {"normals": c.attrs["normals"]}))
 
 
 def pointcloud2_to_colored(data: bytes, fields, point_step: int,
                            width: int, height: int,
                            is_bigendian: bool = False,
-                           is_dense: bool = True) -> PointCloud:
+                           is_dense: bool = True) -> ColoredPointCloud:
     """Raw PointCloud2 → cloud with colors; requires rgb or rgba
     (alpha discarded; ros2.rs:245-290)."""
     c = from_pointcloud2(_msg_from_raw(data, fields, point_step, width,
@@ -203,13 +284,15 @@ def pointcloud2_to_colored(data: bytes, fields, point_step: int,
     if "colors" not in c.attrs:
         raise InvalidDataError(
             "PointCloud2 missing 'rgb' or 'rgba' field")
-    return PointCloud(c.points, c.mask, {"colors": c.attrs["colors"]})
+    return ColoredPointCloud(
+        PointCloud(c.points, c.mask, {"colors": c.attrs["colors"]}))
 
 
 def pointcloud2_to_colored_normals(data: bytes, fields, point_step: int,
                                    width: int, height: int,
                                    is_bigendian: bool = False,
-                                   is_dense: bool = True) -> PointCloud:
+                                   is_dense: bool = True
+                                   ) -> ColoredNormalPointCloud:
     """Raw PointCloud2 → cloud with colors AND normals
     (ros2.rs:347-420)."""
     c = from_pointcloud2(_msg_from_raw(data, fields, point_step, width,
@@ -220,9 +303,10 @@ def pointcloud2_to_colored_normals(data: bytes, fields, point_step: int,
     if "colors" not in c.attrs:
         raise InvalidDataError(
             "PointCloud2 missing 'rgb' or 'rgba' field")
-    return PointCloud(c.points, c.mask,
-                      {"normals": c.attrs["normals"],
-                       "colors": c.attrs["colors"]})
+    return ColoredNormalPointCloud(
+        PointCloud(c.points, c.mask,
+                   {"normals": c.attrs["normals"],
+                    "colors": c.attrs["colors"]}))
 
 
 def _require_attr(cloud: PointCloud, key: str, fn: str) -> None:
@@ -230,45 +314,50 @@ def _require_attr(cloud: PointCloud, key: str, fn: str) -> None:
         raise InvalidDataError(f"{fn} requires the {key!r} attribute")
 
 
-def xyz_to_pointcloud2(cloud: PointCloud, frame_id: str = "map") -> Dict:
+def xyz_to_pointcloud2(cloud: PointCloud,
+                       frame_id: str = "map") -> PointCloud2Data:
     """Serialize positions only: x/y/z f32, point_step 12
-    (ros2.rs:506-523)."""
-    return make_pointcloud2(PointCloud(cloud.points, cloud.mask, {}),
-                            frame_id)
+    (ros2.rs:506-523; returns PointCloud2Data per lib.rs:2160)."""
+    cloud = unwrap(cloud)
+    return PointCloud2Data(make_pointcloud2(
+        PointCloud(cloud.points, cloud.mask, {}), frame_id))
 
 
 def normals_to_pointcloud2(cloud: PointCloud,
                            frame_id: str = "map") -> Dict:
     """x/y/z + normal_x/y/z, point_step 24 (ros2.rs:562-593)."""
+    cloud = unwrap(cloud)
     _require_attr(cloud, "normals", "normals_to_pointcloud2")
-    return make_pointcloud2(
+    return PointCloud2Data(make_pointcloud2(
         PointCloud(cloud.points, cloud.mask,
-                   {"normals": cloud.attrs["normals"]}), frame_id)
+                   {"normals": cloud.attrs["normals"]}), frame_id))
 
 
 def colored_to_pointcloud2(cloud: PointCloud,
                            frame_id: str = "map") -> Dict:
     """x/y/z + packed rgb f32, point_step 16 (ros2.rs:529-560)."""
+    cloud = unwrap(cloud)
     _require_attr(cloud, "colors", "colored_to_pointcloud2")
-    return make_pointcloud2(
+    return PointCloud2Data(make_pointcloud2(
         PointCloud(cloud.points, cloud.mask,
-                   {"colors": cloud.attrs["colors"]}), frame_id)
+                   {"colors": cloud.attrs["colors"]}), frame_id))
 
 
 def colored_normals_to_pointcloud2(cloud: PointCloud,
                                    frame_id: str = "map") -> Dict:
     """x/y/z + normals + rgb, point_step 28 (ros2.rs:595-637)."""
+    cloud = unwrap(cloud)
     _require_attr(cloud, "normals", "colored_normals_to_pointcloud2")
     _require_attr(cloud, "colors", "colored_normals_to_pointcloud2")
-    return make_pointcloud2(
+    return PointCloud2Data(make_pointcloud2(
         PointCloud(cloud.points, cloud.mask,
                    {"normals": cloud.attrs["normals"],
-                    "colors": cloud.attrs["colors"]}), frame_id)
+                    "colors": cloud.attrs["colors"]}), frame_id))
 
 
 def from_pointcloud2_organized(msg: Dict) -> OrganizedPointCloud:
     """Keep the H×W structure (ros2.rs organized converter)."""
-    cloud = _raw_grid(msg)
+    cloud = _raw_grid(_as_message(msg))
     return cloud
 
 

@@ -49,9 +49,31 @@ class PlaneModel(NamedTuple):
 
 
 class PlaneSegmentationResult(NamedTuple):
+    """Native fields plus the reference class surface
+    (threecrate-python/src/lib.rs:643-693: ``plane_coefficients()``,
+    ``inlier_indices()``, ``num_inliers``, ``inlier_cloud()``)."""
+
     model: PlaneModel
     inlier_mask: jnp.ndarray   # (N,) bool
     inlier_count: jnp.ndarray  # scalar int32
+
+    def plane_coefficients(self):
+        """[a, b, c, d] as a host (4,) float32 array (lib.rs:655)."""
+        import numpy as np
+        return np.asarray(self.model.coefficients, dtype=np.float32)
+
+    def inlier_indices(self):
+        """Sorted indices of inlier rows (lib.rs:661)."""
+        import numpy as np
+        return np.flatnonzero(np.asarray(self.inlier_mask))
+
+    @property
+    def num_inliers(self) -> int:
+        return int(jnp.sum(self.inlier_mask))
+
+    def inlier_cloud(self, cloud: PointCloud) -> PointCloud:
+        """Compacted cloud of just the inliers (lib.rs:672)."""
+        return cloud.select(self.inlier_mask).compact()
 
 
 @functools.partial(jax.jit, static_argnames=("n_hyp",))
