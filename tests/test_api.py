@@ -272,6 +272,36 @@ class TestStreaming:
         assert rt.metrics.processed == 50
         assert rt.metrics.dropped == 0
 
+    def test_realtime_processed_counts_flushed_only(self):
+        """`processed` moves when the PIPELINE consumes a flush, not on
+        dequeue (streaming.rs:470-472): messages sitting in the pending
+        flush buffer still count toward depth()."""
+        import time as _t
+
+        class Gate:
+            def process_chunk(self, c):
+                pass
+
+            def finalize(self):
+                return None
+
+            def memory_bytes(self):
+                return 0
+        cfg = streaming.BackpressureConfig(
+            max_queue_depth=64, chunk_size=10**9, flush_timeout_s=60.0)
+        rt = streaming.RealtimePipeline(Gate(), cfg)
+        for _ in range(5):
+            rt.send(np.zeros((4, 3), np.float32))
+        deadline = _t.time() + 5.0
+        while rt._queue.qsize() > 0 and _t.time() < deadline:
+            _t.sleep(0.01)  # worker buffers the messages without flushing
+        assert rt.metrics.queued == 5
+        assert rt.metrics.processed == 0
+        assert rt.metrics.depth() == 5
+        rt.finish()
+        assert rt.metrics.processed == 5
+        assert rt.metrics.depth() == 0
+
     def test_realtime_try_send_drops(self):
         import time as _t
 

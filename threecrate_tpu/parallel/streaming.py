@@ -283,6 +283,12 @@ class RealtimePipeline:
             if buf:
                 batch = np.concatenate(buf)
                 self.pipeline.process_chunk(batch)
+                # `processed` counts messages the PIPELINE has consumed
+                # (streaming.rs:470-472 items_processed), so it moves at
+                # flush time — messages sitting in the pending flush
+                # buffer still count toward depth().
+                with self._lock:
+                    self.metrics.processed += len(buf)
             buf, buffered = [], 0
             last_flush = time.perf_counter()
 
@@ -300,8 +306,6 @@ class RealtimePipeline:
                 return
             buf.append(item)
             buffered += len(item)
-            with self._lock:
-                self.metrics.processed += 1
             if buffered >= self.config.chunk_size:
                 flush()
 
