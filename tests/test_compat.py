@@ -324,3 +324,24 @@ class TestPointCloud2Data:
         out = tc.pointcloud2_to_colored_normals(
             m.data(), m.fields(), m.point_step, m.width, m.height)
         assert isinstance(out, tc.ColoredNormalPointCloud)
+
+
+class TestDracoHonesty:
+    """compress_draco emits tcz1, NOT a Draco bitstream; a real .drc
+    payload must be detected and rejected with a conversion hint, never
+    misparsed (VERDICT r4 item 5; compression.rs:36-187)."""
+
+    def test_real_draco_header_rejected(self):
+        # a real Draco point-cloud stream header: magic, version 1.3,
+        # encoder type 0 (POINT_CLOUD), kd-tree method, flags
+        fake_drc = b"DRACO" + bytes([1, 3, 0, 1, 0, 0]) + b"\x00" * 64
+        with pytest.raises(tc.UnsupportedFormatError, match="draco_decoder"):
+            tc.decompress(fake_drc)
+        with pytest.raises(tc.UnsupportedFormatError):
+            tc.decompress_draco(fake_drc)
+        with pytest.raises(tc.UnsupportedFormatError):
+            tc.decompress_point_cloud(fake_drc)
+
+    def test_garbage_still_invalid_data(self):
+        with pytest.raises(tc.InvalidDataError):
+            tc.decompress(b"XXXXnot-a-container")

@@ -19,7 +19,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..core.errors import InvalidDataError
+from ..core.errors import InvalidDataError, UnsupportedFormatError
 from ..core.point_cloud import PointCloud
 
 _MAGIC = b"tcz1"
@@ -87,7 +87,20 @@ def compress_point_cloud(cloud: PointCloud,
 
 
 def decompress_point_cloud(data: bytes) -> PointCloud:
-    """Decode a tcz1 container (compression.rs decompress role)."""
+    """Decode a tcz1 container (compression.rs decompress role).
+
+    A real Google Draco bitstream (magic ``DRACO``) is detected and
+    rejected with a conversion hint rather than misparsed — see
+    :data:`compress_draco` for why this build does not decode it.
+    """
+    if data[:5] == b"DRACO":
+        raise UnsupportedFormatError(
+            "this is a Google Draco bitstream; this build's codec is the "
+            "self-contained tcz1 container, not Draco (the draco library "
+            "and its bitstream spec are unavailable in this environment, "
+            "and a guessed rANS decoder would silently corrupt data). "
+            "Convert externally first, e.g. "
+            "`draco_decoder -i cloud.drc -o cloud.ply`, then read the PLY.")
     if not data.startswith(_MAGIC):
         raise InvalidDataError("not a tcz1 compressed cloud")
     off = len(_MAGIC)
@@ -121,12 +134,29 @@ def decompress_point_cloud(data: bytes) -> PointCloud:
     return PointCloud.from_numpy(pts, **attrs)
 
 
-# API-compat aliases for the reference's Draco entry points: same
-# signatures, tcz1 container (Draco bitstream support would need the
-# draco library, absent here — compression.rs:36-187 parity is the
-# encode/decode/pipeline surface, not the bitstream).
-compress_draco = compress_point_cloud
-decompress_draco = decompress_point_cloud
+def compress_draco(cloud: PointCloud,
+                   config: CompressionConfig = CompressionConfig()) -> bytes:
+    """API-compat stand-in for the reference's ``draco_encode``
+    (compression.rs:36-187): same signature and role, but the payload
+    is the self-contained **tcz1 container, NOT a Draco bitstream**.
+
+    Google Draco and its bitstream spec are unavailable in this
+    offline environment; an unverifiable from-memory rANS
+    implementation would silently corrupt data while claiming interop
+    (the same rationale as the documented LAZ point-format >= 6
+    rejection, MAPPING §io). Round-trips only through
+    :func:`decompress_draco` / :func:`decompress_point_cloud`; real
+    ``.drc`` consumers cannot read it. For Draco interop convert
+    externally (``draco_encoder``/``draco_decoder``).
+    """
+    return compress_point_cloud(cloud, config)
+
+
+def decompress_draco(data: bytes) -> PointCloud:
+    """Counterpart of :func:`compress_draco`: decodes tcz1, and raises
+    ``UnsupportedFormatError`` with a conversion hint when handed a
+    real Draco bitstream (``DRACO`` magic)."""
+    return decompress_point_cloud(data)
 
 
 def read_point_cloud(path, **_) -> PointCloud:
