@@ -204,6 +204,88 @@ class TestFusedFpfh:
         assert np.median(cos) > 0.9999, np.median(cos)
         assert (cos > 0.99).mean() > 0.99, (cos > 0.99).mean()
 
+    def test_auto_band_resolution(self):
+        """band="auto" (the default) picks the smallest ladder rung
+        whose candidate capacity covers the measured in-radius count
+        with a 2x margin, and stays exact (None) past the ladder or
+        under jit."""
+        import jax
+        import jax.numpy as jnp
+        from threecrate_tpu.ops import features
+        rng = np.random.default_rng(7)
+        n = 4096
+        pts = np.stack([rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
+                        rng.normal(0, 0.01, n)], -1).astype(np.float32)
+        pj, mj = jnp.asarray(pts), jnp.ones(n, bool)
+        # density 4096/16 = 256 pts/unit² -> pi*r²*256 in-radius
+        est = features.expected_in_radius_count(pj, mj, 0.12)
+        expect = np.pi * 0.12 ** 2 * 256
+        assert 0.5 * expect < est < 2.0 * expect, (est, expect)
+        b = features._resolve_fpfh_band("auto", pj, mj, 0.12)
+        assert b == 16, b          # est ~11.6 -> rung 16 (capacity 66)
+        # a radius whose neighborhood outgrows every rung -> exact
+        assert features._resolve_fpfh_band("auto", pj, mj, 1.0) is None
+        # explicit values pass through untouched
+        assert features._resolve_fpfh_band(None, pj, mj, 0.12) is None
+        assert features._resolve_fpfh_band(48, pj, mj, 0.12) == 48
+        # under jit nothing is measurable -> exact
+
+        def probe(p):
+            return features._resolve_fpfh_band("auto", p, mj, 0.12)
+        got = []
+        jax.make_jaxpr(lambda p: (got.append(probe(p)), p * 0)[1])(pj)
+        assert got == [None]
+
+    def test_auto_band_cross_view_matching(self):
+        """Density-matched auto band must keep descriptors matchable
+        ACROSS a rotated view (the r4 caveat: banding is Morton-order-
+        dependent once neighborhoods outgrow the band — the auto
+        margin is what rules that regime out)."""
+        import jax.numpy as jnp
+        from threecrate_tpu.ops import features
+        rng = np.random.default_rng(11)
+        n = 4096
+        xy = rng.uniform(-2, 2, (n, 2)).astype(np.float32)
+        z = 0.4 * np.sin(xy[:, 0] * 2) + 0.3 * np.cos(xy[:, 1] * 1.7)
+        pts = np.stack([xy[:, 0], xy[:, 1], z], -1).astype(np.float32)
+        pc_a = with_normals(pts)
+        # rigidly rotated view: same points + normals in a frame that
+        # scrambles the Morton order (the banding failure mode)
+        c, s = np.cos(0.7), np.sin(0.7)
+        rot = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]],
+                         np.float32) @ \
+            np.asarray([[1, 0, 0],
+                        [0, np.cos(0.4), -np.sin(0.4)],
+                        [0, np.sin(0.4), np.cos(0.4)]], np.float32)
+        pc_b = PointCloud.from_numpy(pts @ rot.T).with_normals(
+            jnp.asarray(np.asarray(pc_a.normals) @ rot.T))
+        cfg = features.FpfhConfig(radius=0.2, method="window")
+        # the default auto band must actually engage at this density
+        assert features._resolve_fpfh_band(
+            cfg.band, pc_a.points, pc_a.mask, cfg.radius) is not None
+        res_a = features.extract_fpfh_features_with_normals(pc_a, cfg)
+        res_b = features.extract_fpfh_features_with_normals(pc_b, cfg)
+        cfg_ex = features.FpfhConfig(radius=0.2, method="window",
+                                     band=None)
+        ex_a = features.extract_fpfh_features_with_normals(pc_a, cfg_ex)
+        ex_b = features.extract_fpfh_features_with_normals(pc_b, cfg_ex)
+
+        def med_cos(ra, rb):
+            v = np.asarray(ra.valid) & np.asarray(rb.valid)
+            da, db = np.asarray(ra.descriptors)[v], \
+                np.asarray(rb.descriptors)[v]
+            cos = np.sum(da * db, 1) / np.maximum(
+                np.linalg.norm(da, axis=1) * np.linalg.norm(db, axis=1),
+                1e-12)
+            return np.median(cos)
+
+        m_band, m_exact = med_cos(res_a, res_b), med_cos(ex_a, ex_b)
+        # corresponding points keep near-identical descriptors across
+        # the rotation, and banding at the auto margin costs nothing
+        # measurable vs the exact full window
+        assert m_band > 0.97, (m_band, m_exact)
+        assert m_band > m_exact - 0.02, (m_band, m_exact)
+
     def test_banded_config_routes(self):
         from threecrate_tpu.ops import features
         rng = np.random.default_rng(4)

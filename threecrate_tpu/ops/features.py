@@ -56,15 +56,22 @@ class FpfhConfig:
     # reference hard-bins (features.rs:109-113), so this is OFF by
     # default; turning it on routes through the staged path.
     soft_binning: bool = False
-    # Opt-in fast tier for the fused window path: restrict the SPFH
-    # stage to ±band sorted-order positions per Morton pass (the SHOT
-    # kernels' candidate-count lever). None (default) sweeps the full
-    # 3-tile window — every in-radius candidate, exact. Same coverage
-    # caveat as ShotConfig.band: when the in-radius neighborhood
-    # outgrows ~2·(2·band+1) candidates, WHICH neighbors are covered
-    # is Morton-order- hence rotation-dependent; keep the radius
+    # Fast tier for the fused window path: restrict the SPFH stage to
+    # ±band sorted-order positions per Morton pass (the SHOT kernels'
+    # candidate-count lever). None sweeps the full 3-tile window —
+    # every in-radius candidate, exact. Same coverage caveat as
+    # ShotConfig.band: when the in-radius neighborhood outgrows
+    # ~2·(2·band+1) candidates, WHICH neighbors are covered is
+    # Morton-order- hence rotation-dependent; keep the radius
     # density-matched to the band for cross-view matching.
-    band: Optional[int] = None
+    #
+    # "auto" (default) measures the cloud's in-radius neighbor count
+    # on a host-side subsample and picks the smallest band whose
+    # candidate capacity covers it with a 2x margin (the auto_w_tiles
+    # capacity-ratio discipline); when no ladder rung has that margin
+    # — or under jit, where nothing can be measured — it resolves to
+    # None, i.e. the exact full window remains the quality default.
+    band: Optional[object] = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -323,6 +330,60 @@ def _fpfh(points, mask, normals_arr, radius, max_neighbors, n_bins,
     return jnp.where(valid[:, None], desc, 0.0), valid
 
 
+# Band rungs for FpfhConfig(band="auto"): candidate capacity of rung b
+# is ~2·(2·b+1) over the two-pass union; a rung qualifies when that
+# capacity covers the measured mean in-radius neighbor count with a 2x
+# margin (the same capacity-ratio discipline as registration's
+# auto_w_tiles). r4 measured band=32 at 326 ms vs 484 ms full-window
+# at 1M (quality: tests/test_features.py banded parity + the
+# cross-view matching test below the ladder's margin).
+_FPFH_BAND_LADDER = (16, 32, 48, 64)
+
+
+def expected_in_radius_count(points, mask, radius: float,
+                             n_query: int = 1024,
+                             n_ref: int = 16384) -> float:
+    """Host-side estimate of the mean in-radius neighbor count.
+
+    Deterministic strided subsample of up to ``n_query`` queries
+    against up to ``n_ref`` reference points, counts rescaled by the
+    subsampling ratio. NumPy on host (chunked) — never call under jit.
+    """
+    import numpy as np
+    pts = np.asarray(points, dtype=np.float32)
+    m = np.asarray(mask, dtype=bool)
+    pts = pts[m]
+    n = pts.shape[0]
+    if n < 16:
+        return 0.0
+    q = pts[::max(1, n // n_query)][:n_query]
+    ref = pts[::max(1, n // n_ref)][:n_ref]
+    scale = n / ref.shape[0]
+    r2 = float(radius) * float(radius)
+    total = 0.0
+    for s in range(0, q.shape[0], 128):
+        blk = q[s:s + 128]
+        d2 = ((blk[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+        total += float((d2 <= r2).sum())
+    # rescaled count minus self (each query finds itself in ref when
+    # the strides align; subtracting 1 post-scale is the right order
+    # of magnitude either way and keeps the estimate conservative)
+    return max(total / q.shape[0] * scale - 1.0, 0.0)
+
+
+def _resolve_fpfh_band(band, points, mask, radius: float):
+    """Resolve FpfhConfig.band="auto" to a ladder rung or None."""
+    if band != "auto":
+        return band
+    if isinstance(points, jax.core.Tracer):
+        return None           # nothing measurable under jit: stay exact
+    est = expected_in_radius_count(points, mask, radius)
+    for b in _FPFH_BAND_LADDER:
+        if 2 * (2 * b + 1) >= 2.0 * est:
+            return b
+    return None
+
+
 def extract_fpfh_features_with_normals(cloud: PointCloud,
                                        config: FpfhConfig = FpfhConfig()
                                        ) -> FpfhResult:
@@ -333,9 +394,11 @@ def extract_fpfh_features_with_normals(cloud: PointCloud,
     window = (config.method == "window"
               or (config.method == "auto" and cloud.capacity > 262144))
     if window and config.n_bins == 11 and not config.soft_binning:
+        band = _resolve_fpfh_band(config.band, cloud.points, cloud.mask,
+                                  float(config.radius))
         desc, valid = _fpfh_fused(cloud.points, cloud.mask, cloud.normals,
                                   float(config.radius),
-                                  band=config.band)
+                                  band=band)
     else:
         desc, valid = _fpfh(cloud.points, cloud.mask, cloud.normals,
                             jnp.float32(config.radius),
