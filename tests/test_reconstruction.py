@@ -285,6 +285,67 @@ class TestBallPivoting:
         radii = recon.estimate_radii(pc, recon.BallPivotingConfig())
         assert len(radii) == 2 and radii[0] < radii[1]
 
+    @staticmethod
+    def _boundary_edge_count(mesh):
+        _, f = mesh.to_numpy()
+        edges = {}
+        for (i, j, k) in f:
+            for e in ((i, j), (j, k), (k, i)):
+                ek = (min(e), max(e))
+                edges[ek] = edges.get(ek, 0) + 1
+        return sum(1 for c in edges.values() if c == 1)
+
+    def test_fill_boundary_holes_closes_small_loop(self):
+        """An octahedron with one face removed has a 3-edge boundary
+        loop; the fill pass restores watertightness with a correctly
+        oriented face (fill_holes promise, ball_pivoting.rs:34-35)."""
+        from threecrate_tpu.core.mesh import TriangleMesh
+        v = np.asarray([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                        [0, 0, 1], [0, 0, -1]], np.float32)
+        f = np.asarray([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                        [2, 0, 5], [1, 2, 5], [3, 1, 5]], np.int32)
+        mesh = TriangleMesh.from_numpy(v, f)       # [0,3,5] missing
+        assert self._boundary_edge_count(mesh) == 3
+        filled = recon.fill_boundary_holes(mesh)
+        assert self._boundary_edge_count(filled) == 0
+        vol = signed_volume(filled)                # consistent winding
+        np.testing.assert_allclose(vol, 4.0 / 3.0, rtol=1e-5)
+
+    def test_fill_boundary_holes_keeps_large_boundaries_open(self):
+        """A fan disk's 8-edge silhouette stays open below the cap."""
+        from threecrate_tpu.core.mesh import TriangleMesh
+        ang = np.linspace(0, 2 * np.pi, 9)[:-1]
+        rim = np.stack([np.cos(ang), np.sin(ang), 0 * ang], -1)
+        v = np.concatenate([[[0, 0, 0]], rim]).astype(np.float32)
+        f = np.asarray([[0, 1 + i, 1 + (i + 1) % 8] for i in range(8)],
+                       np.int32)
+        mesh = TriangleMesh.from_numpy(v, f)
+        out = recon.fill_boundary_holes(mesh, max_hole_edges=6)
+        assert self._boundary_edge_count(out) == 8
+        # raising the cap closes it
+        closed = recon.fill_boundary_holes(mesh, max_hole_edges=8)
+        assert self._boundary_edge_count(closed) == 0
+
+    def test_fill_holes_improves_bpa_watertightness(self):
+        """BPA with fill_holes=True (the default) leaves no more open
+        boundary edges than with it off on a holey sampling."""
+        rng = np.random.default_rng(3)
+        pts = make_sphere_points(400)
+        # thin out a cap to provoke undersampled open fans
+        keep = ~((pts[:, 2] > 0.92) & (rng.uniform(size=len(pts)) < 0.5))
+        pc = PointCloud.from_numpy(pts[keep])
+        cfg_off = recon.BallPivotingConfig(fill_holes=False)
+        cfg_on = recon.BallPivotingConfig(fill_holes=True)
+        m_off = recon.ball_pivoting_reconstruction(pc, cfg_off)
+        m_on = recon.ball_pivoting_reconstruction(pc, cfg_on)
+        b_off = self._boundary_edge_count(m_off)
+        b_on = self._boundary_edge_count(m_on)
+        assert b_on <= b_off
+        # and the pass is not a no-op on this fixture
+        _, f_off = m_off.to_numpy()
+        _, f_on = m_on.to_numpy()
+        assert len(f_on) >= len(f_off)
+
 
 class TestPipeline:
     def test_analyze_sphere(self):

@@ -121,7 +121,7 @@ from .ops.frame_to_model import (
 # -- reconstruction ------------------------------------------------------------
 from .reconstruction import (
     PoissonConfig, poisson_reconstruct,
-    BallPivotingConfig, ball_pivoting_reconstruction,
+    BallPivotingConfig, ball_pivoting_reconstruction, fill_boundary_holes,
     AlphaShapeConfig, alpha_shape_reconstruction, estimate_optimal_alpha,
     DelaunayConfig, delaunay_reconstruction,
     MlsConfig, mls_reconstruct, mls_smooth,

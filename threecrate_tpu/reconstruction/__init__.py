@@ -16,6 +16,7 @@ from .ball_pivoting import (
     BallPivotingConfig,
     ball_pivoting_reconstruction,
     estimate_radii,
+    fill_boundary_holes,
 )
 from .delaunay import DelaunayConfig, ProjectionPlane, delaunay_reconstruction
 from .marching_cubes import (
@@ -50,6 +51,7 @@ __all__ = [
     "AlphaMode", "AlphaShapeConfig", "alpha_shape_reconstruction",
     "estimate_optimal_alpha",
     "BallPivotingConfig", "ball_pivoting_reconstruction", "estimate_radii",
+    "fill_boundary_holes",
     "DelaunayConfig", "ProjectionPlane", "delaunay_reconstruction",
     "VolumetricGrid", "create_cube_volume", "create_sphere_volume",
     "marching_cubes", "reconstruct_marching_cubes",

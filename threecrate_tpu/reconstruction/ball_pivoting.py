@@ -36,6 +36,15 @@ class BallPivotingConfig:
     adaptive_factor: float = 1.3
     min_triangle_quality: float = 0.05        # area / (longest edge)²
     max_triangles: int = 500_000
+    # Post-pass hole filling (ball_pivoting.rs:34-35 declares
+    # fill_holes and defaults it true — though the reference never
+    # actually consumes the flag, we implement the promised behavior):
+    # boundary-edge loops of at most max_hole_edges edges are closed
+    # by quality-greedy ear clipping. Loops larger than the cap are
+    # treated as the real surface boundary (an open scan's silhouette
+    # must stay open) and left alone.
+    fill_holes: bool = True
+    max_hole_edges: int = 12
 
 
 def estimate_radii(cloud: PointCloud, config: BallPivotingConfig
@@ -75,6 +84,114 @@ def _quality(a, b, c) -> float:
             float(((c - a) ** 2).sum()))
     area = 0.5 * np.linalg.norm(np.cross(b - a, c - a))
     return area / e if e > 0 else 0.0
+
+
+def _boundary_loops(faces: List[Tuple[int, int, int]],
+                    edge_count: Dict[Tuple[int, int], int]
+                    ) -> List[List[int]]:
+    """Closed loops of directed boundary edges (count==1), in the
+    orientation they appear on their faces. Vertices where the
+    boundary branches (non-manifold rims) poison their loops, which
+    are then skipped rather than mis-stitched."""
+    nxt: Dict[int, Optional[int]] = {}
+    for (i, j, k) in faces:
+        for u, v in ((i, j), (j, k), (k, i)):
+            if edge_count.get((u, v) if u < v else (v, u), 0) == 1:
+                nxt[u] = None if u in nxt else v
+    loops: List[List[int]] = []
+    visited: Set[int] = set()
+    for start, v in nxt.items():
+        if start in visited or v is None:
+            continue
+        loop, cur, ok = [start], v, True
+        while cur != start:
+            if cur in visited or nxt.get(cur) is None \
+                    or len(loop) > 100_000:
+                ok = False
+                break
+            loop.append(cur)
+            cur = nxt[cur]
+        visited.update(loop)
+        if ok and len(loop) >= 3:
+            loops.append(loop)
+    return loops
+
+
+def fill_boundary_holes(mesh: TriangleMesh,
+                        max_hole_edges: int = 12) -> TriangleMesh:
+    """Close boundary-edge loops of at most ``max_hole_edges`` edges by
+    quality-greedy ear clipping (the behavior ball_pivoting.rs:34-35
+    promises with its ``fill_holes: true`` default).
+
+    Loops longer than the cap are kept open — an open scan's
+    silhouette is a real boundary, not a hole. New faces take the
+    orientation consistent with their ring neighbors (the loop is
+    traversed opposite to the face-directed boundary edges).
+    """
+    verts, face_arr = mesh.to_numpy()
+    pts = verts.astype(np.float64)
+    faces = [tuple(int(x) for x in f) for f in face_arr]
+    edge_count: Dict[Tuple[int, int], int] = {}
+    used: Set[Tuple[int, int, int]] = set()
+    for (i, j, k) in faces:
+        used.add(tuple(sorted((i, j, k))))
+        for e in ((i, j), (j, k), (k, i)):
+            ek = (e[0], e[1]) if e[0] < e[1] else (e[1], e[0])
+            edge_count[ek] = edge_count.get(ek, 0) + 1
+    new_faces = _fill_holes_inplace(pts, faces, edge_count, used,
+                                    max_hole_edges)
+    if not new_faces:
+        return mesh
+    return TriangleMesh.from_numpy(verts.astype(np.float32),
+                                   np.asarray(faces, np.int32))
+
+
+def _fill_holes_inplace(pts, faces, edge_count, used, max_hole_edges
+                        ) -> List[Tuple[int, int, int]]:
+    """Shared fill core: appends ear faces to ``faces`` (and updates
+    ``edge_count``/``used``), returns just the added faces."""
+
+    def add_face(i, j, k):
+        key = tuple(sorted((i, j, k)))
+        if key in used:
+            return False
+        for e in ((i, j), (j, k), (k, i)):
+            ek = (e[0], e[1]) if e[0] < e[1] else (e[1], e[0])
+            if edge_count.get(ek, 0) >= 2:
+                return False
+        used.add(key)
+        faces.append((i, j, k))
+        for e in ((i, j), (j, k), (k, i)):
+            ek = (e[0], e[1]) if e[0] < e[1] else (e[1], e[0])
+            edge_count[ek] = edge_count.get(ek, 0) + 1
+        return True
+
+    added: List[Tuple[int, int, int]] = []
+    for loop in _boundary_loops(faces, edge_count):
+        if len(loop) > max_hole_edges:
+            continue
+        # Faces carry directed edges (v_i, v_{i+1}); the closing fan
+        # must carry the reverses, i.e. triangulate the reversed loop.
+        poly = loop[::-1]
+        while len(poly) >= 3:
+            m = len(poly)
+            ears = sorted(
+                range(m),
+                key=lambda i: -_quality(pts[poly[i - 1]], pts[poly[i]],
+                                        pts[poly[(i + 1) % m]]))
+            placed = False
+            for i in ears:
+                a, b, c = poly[i - 1], poly[i], poly[(i + 1) % m]
+                if _quality(pts[a], pts[b], pts[c]) <= 1e-12:
+                    break                      # only degenerates left
+                if add_face(a, b, c):
+                    added.append((a, b, c))
+                    poly.pop(i)
+                    placed = True
+                    break
+            if not placed:
+                break                 # edge budget / degenerate: stop
+    return added
 
 
 def ball_pivoting_reconstruction(cloud: PointCloud,
@@ -185,5 +302,8 @@ def ball_pivoting_reconstruction(cloud: PointCloud,
 
     if not faces:
         return TriangleMesh.empty()
+    if config.fill_holes:
+        _fill_holes_inplace(pts, faces, edge_count, used,
+                            config.max_hole_edges)
     return TriangleMesh.from_numpy(pts.astype(np.float32),
                                    np.asarray(faces, np.int32))
