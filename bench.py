@@ -177,6 +177,46 @@ def main() -> None:
         "vs_baseline": round(10.0e-3 / per_eq, 2),
     }))
 
+    # ---- ICP point-to-plane at 1M with the same coarse-stride ladder
+    # (auto 8 at 1M; r4 measured 12.80 -> 5.89 ms/iter at S4 with
+    # recovery unchanged). Target normals ride the static sort as
+    # payload rows; vs_baseline is the same pt-iter/s convention as
+    # the p2p line (Open3D's published ~10 ms/iter at 121k).
+    from threecrate_tpu.ops.registration import _icp_p2plane
+
+    @jax.jit
+    def p2plane_normals(t, tm):
+        mn = jnp.min(jnp.where(tm[:, None], t, big), 0)
+        mx = jnp.max(jnp.where(tm[:, None], t, -big), 0)
+        vp = (mn + mx) * 0.5 + jnp.array([0.0, 0.0, 1.0]) * \
+            jnp.maximum(mx[2] - mn[2], 1.0)
+        nrm, curv, valid = _estimate(t, tm, 10, False, jnp.float32(0.0),
+                                     vp, True, moments=True,
+                                     window_merge="union")
+        return nrm
+
+    tgt_nrm = p2plane_normals(tgt, mask)
+    _ = float(jnp.sum(tgt_nrm))
+
+    @jax.jit
+    def icp_p2plane_scalar(s, sm, t, tm, tn):
+        T, mse, it, conv, n_corr = _icp_p2plane(
+            s, sm, t, tm, tn, init, icp_iters, jnp.float32(0.0),
+            jnp.float32(1e9), window=True, subsample=sub_n)
+        return jnp.sum(T) + mse
+
+    tpl = median_time(
+        lambda: icp_p2plane_scalar(src, mask, tgt, mask, tgt_nrm),
+        warmup=1, iters=3, sync_fn=float)
+    per_pl = tpl / icp_iters
+    print(json.dumps({
+        "metric": "icp_p2plane_1M_ms_per_iter",
+        "value": round(per_pl * 1e3, 2),
+        "unit": "ms/iter",
+        "vs_baseline": round(n / per_pl / 1e6 / OPEN3D_ICP_MPT_ITERS_S,
+                             2),
+    }))
+
     # ---- voxel grid filter at 1M (0.2 m) ----
     from threecrate_tpu.ops.filtering import _voxel_grid
 
@@ -284,6 +324,25 @@ def main() -> None:
         "value": round(tf * 1e3, 1),
         "unit": "ms",
         "vs_baseline": round(0.503 / tf, 2),
+    }))
+
+    # FPFH ±band fast tier (r4, FpfhConfig.band): band=32 pinned —
+    # the library's band="auto" density check correctly refuses to
+    # band THIS cloud (hundreds of in-radius neighbors at r=0.5 on
+    # the dense ground plane), so the fast-tier regression line pins
+    # the measured rung explicitly. Baseline = r4 measurement 326 ms.
+    @jax.jit
+    def fpfh_band_scalar(p, m, na):
+        desc, valid = _fpfh_fused(p, m, na, 0.5, band=32)
+        return jnp.sum(desc) + jnp.sum(valid)
+
+    tfb = median_time(lambda: fpfh_band_scalar(src, mask, nrm_arr),
+                      warmup=1, iters=3, sync_fn=float)
+    print(json.dumps({
+        "metric": "fpfh_band_1M_ms",
+        "value": round(tfb * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(0.326 / tfb, 2),
     }))
 
     # statistical outlier removal (k=8) at 1M
@@ -555,6 +614,58 @@ def main() -> None:
         "unit": "ms",
         "vs_baseline": round(0.0685 / tspc, 2),
     }))
+
+    # ---- I/O read lines (host paths; the reference's flagship
+    # published wins are reads — BASELINE.md rows 1-3). Baselines =
+    # this repo's r3 measurements (PLY binary 12.2 ms/1M = 82 Mpts/s,
+    # KITTI .bin 16.5 ms/1M; the reference's own KITTI .bin rate is
+    # ~118 Mpts/s at 121k points on Win11 CPU). Warm the file cache
+    # and jax init before timing (cold-init poisons host timings).
+    import tempfile
+
+    from threecrate_tpu.io import lidar as lidar_io
+    from threecrate_tpu.io import ply as ply_io
+    from threecrate_tpu.core.point_cloud import PointCloud as _PC
+
+    io_cloud = _PC(points=jnp.asarray(src), mask=mask)
+    with tempfile.TemporaryDirectory() as tdir:
+        ply_path = os.path.join(tdir, "bench.ply")
+        bin_path = os.path.join(tdir, "bench.bin")
+        ply_io.write_point_cloud(ply_path, io_cloud)
+        lidar_io.write_kitti_bin(bin_path, io_cloud)
+
+        # Timed layer = the host parse (read_ply_raw /
+        # read_kitti_bin_raw — everything read_point_cloud does except
+        # the final jnp.asarray device placement, which through THIS
+        # bench's tunneled TPU is a network transfer; a host-attached
+        # chip pays ~2 ms PCIe for 16 MB).
+        def ply_read_run():
+            raw = ply_io.read_ply_raw(ply_path)
+            return float(raw["vertex"]["x"][0])
+
+        _ = ply_read_run()
+        tpr = median_time(ply_read_run, warmup=2, iters=5,
+                          sync_fn=lambda x: x)
+        print(json.dumps({
+            "metric": "ply_read_1M_ms",
+            "value": round(tpr * 1e3, 1),
+            "unit": "ms",
+            "vs_baseline": round(0.0122 / tpr, 2),
+        }))
+
+        def bin_read_run():
+            table = lidar_io.read_kitti_bin_raw(bin_path)
+            return float(table[0, 0])
+
+        _ = bin_read_run()
+        tbr = median_time(bin_read_run, warmup=2, iters=5,
+                          sync_fn=lambda x: x)
+        print(json.dumps({
+            "metric": "kitti_bin_read_1M_ms",
+            "value": round(tbr * 1e3, 1),
+            "unit": "ms",
+            "vs_baseline": round(0.0165 / tbr, 2),
+        }))
 
     # ---- normals: library-default path (union merge) at 1M ----
     def normals_union_scalar(points, m):

@@ -23,12 +23,22 @@ from ..core.point_cloud import PointCloud
 # KITTI velodyne .bin  (x, y, z, intensity float32 quadruples)
 # ---------------------------------------------------------------------------
 
-def read_kitti_bin(path, **_) -> PointCloud:
-    """VelodyneKittiBinReader (lidar.rs:315)."""
+def read_kitti_bin_raw(path) -> np.ndarray:
+    """Host parse of a KITTI .bin: the (N, 4) float32 table.
+
+    Split out from :func:`read_kitti_bin` so the host I/O layer can be
+    benchmarked without the device placement (bench.py's read lines —
+    through a tunneled TPU the H2D transfer is infrastructure, not
+    parsing)."""
     data = np.fromfile(path, dtype="<f4")
     if data.size % 4:
         raise InvalidDataError(f"KITTI .bin length {data.size} not /4")
-    table = data.reshape(-1, 4)
+    return data.reshape(-1, 4)
+
+
+def read_kitti_bin(path, **_) -> PointCloud:
+    """VelodyneKittiBinReader (lidar.rs:315)."""
+    table = read_kitti_bin_raw(path)
     return PointCloud.from_numpy(table[:, :3], intensity=table[:, 3])
 
 
