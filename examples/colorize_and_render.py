@@ -52,6 +52,7 @@ def stripe_image(hue=0.0):
 
 def main():
     out = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("/tmp")
+    out.mkdir(parents=True, exist_ok=True)
 
     # ---- back-project a depth frame into a cloud ----
     depth = wavy_depth()
