@@ -191,29 +191,3 @@ def test_knn_window_cross_top1_matches_exact():
     got = np.asarray(res.distances[:, 0]) ** 2
     agree = np.isclose(got, ref, rtol=1e-4).mean()
     assert agree > 0.97, agree
-
-
-def test_knn_window_sorted_fast_matches_payload_path(monkeypatch):
-    """The gather-reordered knn_window_sorted (r5: 2-operand perm sorts
-    + packed row gathers) must agree exactly with the payload-sort
-    pipeline it replaces — identical kernels and merge, only the data
-    movement differs."""
-    import jax
-
-    rng = np.random.default_rng(17)
-    ang = rng.uniform(0, 2 * np.pi, 3000)
-    r = np.abs(rng.normal(0, 25, 3000)) + 2
-    pts = np.stack([r * np.cos(ang), r * np.sin(ang),
-                    rng.normal(0, 0.3, 3000)], -1).astype(np.float32)
-    p = jnp.asarray(pts)
-    m = jnp.ones(3000, bool)
-
-    fast = neighbors.knn_window_sorted(p, m, 8, tile=128)
-    monkeypatch.setattr(neighbors, "FAST_REORDER_LIMIT", 0)
-    jax.clear_caches()
-    slow = neighbors.knn_window_sorted(p, m, 8, tile=128)
-    jax.clear_caches()  # don't leak limit-0 traces to other tests
-    for f, s, name in zip(fast, slow,
-                          ("neg", "ids", "pts", "mask", "perm")):
-        np.testing.assert_array_equal(np.asarray(f), np.asarray(s),
-                                      err_msg=name)

@@ -194,16 +194,12 @@ def _fpfh_fused(points, mask, normals_arr, radius: float, tile=256,
     iota = jnp.arange(n_pad, dtype=jnp.int32)
     r2 = float(radius) * float(radius)
 
-    # (key, iota) 2-operand perm sorts + packed row gathers (round 5,
-    # the normals gather-reorder discipline) replace the former
-    # 9-operand payload sorts — ~1/3 the sorted bytes, same kernels.
     keys_a = morton.morton_keys(pts, mask_p, pass_index=0)
-    _, perm_a = jax.lax.sort((keys_a, iota), num_keys=1)
-    pack_a = jnp.concatenate(
-        [pts, mask_p.astype(jnp.float32)[:, None], nrm],
-        axis=1)[perm_a]                                  # (N, 7)
-    packed_a = pack_a.T
-    am = pack_a[:, 3]
+    _, ax, ay, az, am, anx, any_, anz, perm_a = jax.lax.sort(
+        (keys_a, pts[:, 0], pts[:, 1], pts[:, 2],
+         mask_p.astype(jnp.float32), nrm[:, 0], nrm[:, 1], nrm[:, 2],
+         iota), num_keys=1)
+    packed_a = jnp.stack([ax, ay, az, am, anx, any_, anz], axis=0)
     if band is None:
         spfh_a = spfh_a_tiles(packed_a, r2, tile,
                               interpret=interp)                # (34,N)
@@ -211,11 +207,11 @@ def _fpfh_fused(points, mask, normals_arr, radius: float, tile=256,
         spfh_a = spfh_band_a_tiles(packed_a, r2, int(band), tile,
                                    interpret=interp)
 
-    pts_a_rows = pack_a[:, 0:3]
+    pts_a_rows = jnp.stack([ax, ay, az], axis=1)
     keys_b = morton.morton_keys(pts_a_rows, am > 0.5, pass_index=1)
-    _, row_a = jax.lax.sort((keys_b, iota), num_keys=1)  # B-pos → A-pos
-    pack_b = pack_a[row_a]
-    packed_b = pack_b.T
+    _, bx, by, bz, bm, bnx, bny, bnz, row_a = jax.lax.sort(
+        (keys_b, ax, ay, az, am, anx, any_, anz, iota), num_keys=1)
+    packed_b = jnp.stack([bx, by, bz, bm, bnx, bny, bnz], axis=0)
     if band is None:
         spfh_b = spfh_b_tiles(packed_b, row_a[None, :], r2, tile,
                               interpret=interp)
@@ -554,26 +550,24 @@ def _shot_fused(points, mask, normals_arr, radius: float,
     iota = jnp.arange(n_pad, dtype=jnp.int32)
     r2 = float(radius) * float(radius)
 
-    # ---- pass-A perm sort + packed row gather (round 5: replaces the
-    # former 9-operand payload sort — ~1/3 the sorted bytes) ----
+    # ---- pass-A sort (key + xyz + valid + normals + perm = 9 ops) ----
     keys_a = morton.morton_keys(pts, mask_p, pass_index=0)
-    _, perm_a = jax.lax.sort((keys_a, iota), num_keys=1)
-    pack_a = jnp.concatenate(
-        [pts, mask_p.astype(jnp.float32)[:, None], nrm],
-        axis=1)[perm_a]                                      # (N, 7)
-    am = pack_a[:, 3]
-    packed4_a = pack_a[:, 0:4].T
+    _, ax, ay, az, am, anx, any_, anz, perm_a = jax.lax.sort(
+        (keys_a, pts[:, 0], pts[:, 1], pts[:, 2],
+         mask_p.astype(jnp.float32), nrm[:, 0], nrm[:, 1], nrm[:, 2],
+         iota), num_keys=1)
+    packed4_a = jnp.stack([ax, ay, az, am], axis=0)
     mom_a = shot_moments_a_tiles(packed4_a, r2, band, tile,
                                  interpret=interp)           # (14, N)
 
-    # ---- pass-B perm sort (shifted lattice) + packed gather ----
-    pts_a_rows = pack_a[:, 0:3]
+    # ---- pass-B sort (shifted lattice; posA rides as payload) ----
+    pts_a_rows = jnp.stack([ax, ay, az], axis=1)
     keys_b = morton.morton_keys(pts_a_rows, am > 0.5, pass_index=1)
-    _, row_a = jax.lax.sort((keys_b, iota), num_keys=1)  # B-pos → A-pos
-    pack_b = pack_a[row_a]
-    row_a_f = row_a.astype(jnp.float32)  # exact in f32 below 2^24 rows
-    packed5_b = jnp.concatenate(
-        [pack_b[:, 0:4], row_a_f[:, None]], axis=1).T
+    pos_a = iota.astype(jnp.float32)   # exact in f32 below 2^24 rows
+    _, bx, by, bz, bm, bnx, bny, bnz, row_a = jax.lax.sort(
+        (keys_b, ax, ay, az, am, anx, any_, anz, iota), num_keys=1)
+    row_a_f = row_a.astype(jnp.float32)
+    packed5_b = jnp.stack([bx, by, bz, bm, row_a_f], axis=0)
     mom_b = shot_moments_b_tiles(packed5_b, r2, band, tile,
                                  interpret=interp)
 
@@ -604,7 +598,8 @@ def _shot_fused(points, mask, normals_arr, radius: float,
     td = m[:, 11:14]
     # normals in pass-A order for the z tie-break (USC passes zeros —
     # use the far-moment tie-break there instead)
-    nq = pack_a[:, 4:7] if variant == "shot" else None
+    nq = jnp.stack([anx, any_, anz], axis=1) if variant == "shot" \
+        else None
     r1 = jnp.float32(radius)
     z, x = _lrf_signs(sd, td, wsum, r1, z, x, nq)
     x = x - jnp.sum(x * z, -1, keepdims=True) * z
@@ -613,10 +608,11 @@ def _shot_fused(points, mask, normals_arr, radius: float,
     lrf = jnp.concatenate([x, y, z], axis=1)                 # (N, 9)
 
     # ---- histogram passes ----
-    packed7_a = pack_a.T
+    packed7_a = jnp.stack([ax, ay, az, am, anx, any_, anz], axis=0)
     h_a = shot_hist_a_tiles(packed7_a, lrf.T, r2, band, tile,
                             interpret=interp, variant=variant)
-    packed8_b = jnp.concatenate([pack_b, row_a_f[:, None]], axis=1).T
+    packed8_b = jnp.stack([bx, by, bz, bm, bnx, bny, bnz, row_a_f],
+                          axis=0)
     lrf_b = lrf[row_a]
     h_b = shot_hist_b_tiles(packed8_b, lrf_b.T, r2, band, tile,
                             interpret=interp, variant=variant)

@@ -51,15 +51,12 @@ def _voxel_grid(points, mask, attrs_list, voxel_size, want_inverse=True):
 
     idx = jnp.arange(n, dtype=jnp.int32)
     # lexicographic (z, y, x) device sort; invalid rows sink to the end.
-    # The RELATIVE coordinates follow by one packed row gather off the
-    # iota payload (round 5; sorting them as 3 payload operands cost
-    # ~3x the sorted bytes). Relative — not absolute georeferenced —
-    # coords keep the f32 centroid accumulation within the voxel
-    # fraction promised in the docstring.
-    sz, sy, sx, perm = jax.lax.sort(
-        (coords[:, 2], coords[:, 1], coords[:, 0], idx), num_keys=3)
-    rel_s = rel[perm]
-    rx, ry, rz = rel_s[:, 0], rel_s[:, 1], rel_s[:, 2]
+    # The RELATIVE coordinates ride the sort as payloads (accumulating
+    # absolute georeferenced coords in f32 loses more than the voxel
+    # fraction promised in the docstring).
+    sz, sy, sx, rx, ry, rz, perm = jax.lax.sort(
+        (coords[:, 2], coords[:, 1], coords[:, 0],
+         rel[:, 0], rel[:, 1], rel[:, 2], idx), num_keys=3)
     sorted_coords = jnp.stack([sx, sy, sz], axis=1)
     sorted_valid = sz != _SENTINEL
 

@@ -88,17 +88,9 @@ def point_covariances(points, mask, k, epsilon, window=False):
     gathers exist — ~2x the generic id-producing knn_window path this
     replaces (which cost ~264 ms per 1M cloud)."""
     if window:
-        from .normals import (_FAST_REORDER_LIMIT, _cov_from_sums,
-                              _union_window_sums, _union_window_sums_fast)
-        from ..utils import padding as _pad
+        from .normals import _cov_from_sums, _union_window_sums
         n = points.shape[0]
-        if _pad.round_up(n, 256) < _FAST_REORDER_LIMIT:
-            # gather-reordered union pipeline (round 5); the 4th output
-            # is the original row of each (B-order) row — the same
-            # restore key as the payload-sort path's perm_a
-            s, _, am, perm_a = _union_window_sums_fast(points, mask, k)
-        else:
-            s, _, am, perm_a = _union_window_sums(points, mask, k)
+        s, _, am, perm_a = _union_window_sums(points, mask, k)
         cov_s, cnt = _cov_from_sums(s)
         # restore original row order with an inverse-permutation row
         # gather of the 6 unique covariance columns + count

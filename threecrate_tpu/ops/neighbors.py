@@ -31,14 +31,6 @@ import jax.numpy as jnp
 from ..core.point_cloud import PointCloud
 from ..utils import padding
 
-# Permutation-gather reordering (round 5): below this many rows the
-# window pipelines replace multi-operand payload lax.sorts with a
-# (key, iota) 2-operand sort + one packed row gather; original row ids
-# ride packed gathers as exact f32 columns, which bounds the capacity
-# to 2^24 rows — far above the 8M maximum the kernels have been
-# validated at. Larger clouds keep the payload-sort pipelines.
-FAST_REORDER_LIMIT = 1 << 24
-
 
 @jax.jit
 def batch_distances_squared(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -599,49 +591,10 @@ def knn_window_sorted(points: jnp.ndarray, mask: jnp.ndarray, k: int, *,
         pts = jnp.pad(pts, ((0, n_pad - n), (0, 0)))
         mask = jnp.pad(mask, (0, n_pad - n))
     interp = jax.default_backend() != "tpu"
-    iota = jnp.arange(n_pad, dtype=jnp.int32)
-
-    if n_pad < FAST_REORDER_LIMIT:
-        # ---- gather-reordered variant (round 5): each multi-operand
-        # payload sort becomes a (key, iota) 2-operand sort + one packed
-        # row gather (~1/3 the sorted bytes; row gathers of small f32
-        # rows measured ~5 ms at 1M). Original row ids ride the pass-B
-        # gather as an exact f32 column (capacity < 2^24); larger
-        # clouds keep the payload-sort pipeline below. Kernels and
-        # merge math identical — a parity test forces both paths.
-        keys_a = morton.morton_keys(pts, mask, pass_index=0)
-        _, perm_a = jax.lax.sort((keys_a, iota), num_keys=1)
-        pack_a = jnp.concatenate(
-            [pts, mask.astype(jnp.float32)[:, None]], axis=1)[perm_a]
-        pts_a_rows = pack_a[:, 0:3]                   # (n_pad, 3)
-        am = pack_a[:, 3]
-        neg, ids = knn_window_tiles(pts_a_rows.T, am[None, :],
-                                    perm_a[None, :], k, tile,
-                                    interpret=interp)
-        best_neg = neg.T                              # pass-A order
-        best_idx = ids.T                              # original-space ids
-
-        for p in range(1, n_passes):
-            keys_b = morton.morton_keys(pts_a_rows, am > 0.5, pass_index=p)
-            _, perm_b = jax.lax.sort((keys_b, iota), num_keys=1)
-            pack_b = jnp.concatenate(
-                [pack_a, perm_a.astype(jnp.float32)[:, None]],
-                axis=1)[perm_b]                       # (n_pad, 5)
-            bm = pack_b[:, 3]
-            bid = pack_b[:, 4].astype(jnp.int32)      # original ids
-            neg_b, ids_b = knn_window_tiles(pack_b[:, 0:3].T, bm[None, :],
-                                            bid[None, :], k, tile,
-                                            interpret=interp)
-            # inverse of perm_b (pass-A row → pass-B row): one 2-op sort
-            _, inv_b = jax.lax.sort((perm_b, iota), num_keys=1)
-            best_neg, best_idx = _merge_topk(best_neg, best_idx,
-                                             neg_b.T[inv_b], ids_b.T[inv_b],
-                                             k)
-
-        return best_neg, best_idx, pts_a_rows, am > 0.5, perm_a
 
     # ---- pass A: sort with coordinate payloads --------------------------
     keys_a = morton.morton_keys(pts, mask, pass_index=0)
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
     _, ax, ay, az, am, perm_a = jax.lax.sort(
         (keys_a, pts[:, 0], pts[:, 1], pts[:, 2],
          mask.astype(jnp.float32), iota), num_keys=1)

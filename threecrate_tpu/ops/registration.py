@@ -153,22 +153,15 @@ def _static_corr_setup(src, src_mask, tgt, tgt_mask, init, max_corr_dist,
 
     mn_t, scale_t = morton.frame(tgt_p, tm_p)
     keys_t = morton.keys_in_frame(tgt_p, tm_p, mn_t, scale_t)
-    # Both setup sorts are (key, iota) 2-operand sorts + one packed row
-    # gather each (round 5, the normals gather-reorder discipline):
-    # the former 5+E-operand payload sorts cost ~3x the sorted bytes,
-    # and the permutations here are direct int32 sort payloads — no
-    # f32 id columns, so no capacity bound.
-    keys_t_sorted, perm_t = jax.lax.sort(
-        (keys_t, jnp.arange(nt_pad, dtype=jnp.int32)), num_keys=1)
+    ops = [keys_t, tgt_p[:, 0], tgt_p[:, 1], tgt_p[:, 2],
+           tm_p.astype(jnp.float32)]
     n_extra = 0 if tgt_extra is None else tgt_extra.shape[1]
-    cols_t = [tgt_p, tm_p.astype(jnp.float32)[:, None]]
     if n_extra:
         ex_p = jnp.pad(tgt_extra.astype(jnp.float32),
                        ((0, nt_pad - tgt_extra.shape[0]), (0, 0)))
-        cols_t.append(ex_p)
-    pack_t = jnp.concatenate(cols_t, axis=1)[perm_t]  # (Nt, 4+E)
-    tx, ty, tz, tvf = (pack_t[:, 0], pack_t[:, 1], pack_t[:, 2],
-                       pack_t[:, 3])
+        ops += [ex_p[:, j] for j in range(n_extra)]
+    sorted_ops = jax.lax.sort(tuple(ops), num_keys=1)
+    keys_t_sorted, tx, ty, tz, tvf = sorted_ops[:5]
     # packed target rows [x, y, z, valid, extra...] — one DMA per
     # window tile inside the kernel. Invalid targets get SENTINEL
     # coordinates whose d² overflows to +inf, so the kernel never
@@ -177,23 +170,25 @@ def _static_corr_setup(src, src_mask, tgt, tgt_mask, init, max_corr_dist,
     sent = jnp.float32(2e19)
     tgt_packed = jnp.stack(
         [jnp.where(bad, sent, tx), jnp.where(bad, sent, ty),
-         jnp.where(bad, sent, tz), tvf]
-        + [pack_t[:, 4 + j] for j in range(n_extra)], axis=0)
+         jnp.where(bad, sent, tz), tvf] + list(sorted_ops[5:]), axis=0)
     # source sorted ONCE at its init pose, in the TARGET's lattice
-    # (aligned lattices keep src tiles contiguous in target order)
+    # (aligned lattices keep src tiles contiguous in target order);
+    # the iota payload is only carried when a src_extra needs the
+    # permutation (extra sort operands cost real time at 1M)
     src_init = linalg.transform_points(init, src_p)
     keys_s = morton.keys_in_frame(src_init, sm_p, mn_t, scale_t)
-    _, perm_s = jax.lax.sort(
-        (keys_s, jnp.arange(ns_pad, dtype=jnp.int32)), num_keys=1)
-    pack_s = jnp.concatenate(
-        [src_p, sm_p.astype(jnp.float32)[:, None]], axis=1)[perm_s]
-    src_sorted = pack_s[:, 0:3]                       # (Ns, 3)
-    svf = pack_s[:, 3]
+    src_ops = [keys_s, src_p[:, 0], src_p[:, 1], src_p[:, 2],
+               sm_p.astype(jnp.float32)]
+    if src_extra is not None:
+        src_ops.append(jnp.arange(ns_pad, dtype=jnp.int32))
+    sorted_s = jax.lax.sort(tuple(src_ops), num_keys=1)
+    _, sx, sy, sz, svf = sorted_s[:5]
+    src_sorted = jnp.stack([sx, sy, sz], axis=1)      # (Ns, 3)
     src_extra_sorted = None
     if src_extra is not None:
         sx_p = jnp.pad(src_extra.astype(jnp.float32),
                        ((0, ns_pad - src_extra.shape[0]), (0, 0)))
-        src_extra_sorted = sx_p[perm_s]               # one-time row gather
+        src_extra_sorted = sx_p[sorted_s[5]]          # one-time row gather
     n_src_tiles = ns_pad // tile
     if tile_stride > 1:
         tile_stride = min(tile_stride, n_src_tiles)
