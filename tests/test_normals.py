@@ -314,38 +314,3 @@ class TestWindowUnion:
             normals.estimate_normals_detailed(
                 pc, normals.NormalEstimationConfig(
                     method="window_fast", window_merge="nope"))
-
-
-class TestFastReorderParity:
-    """The gather-reordered pipelines (r5: 2-operand perm sorts + packed
-    row gathers) must produce the same results as the payload-sort
-    pipelines they replace — identical kernels and merge math, only
-    the data movement differs."""
-
-    def _cloud(self, n=3000, seed=11):
-        rng = np.random.default_rng(seed)
-        ang = rng.uniform(0, 2 * np.pi, n)
-        r = np.abs(rng.normal(0, 25, n)) + 2
-        pts = np.stack([r * np.cos(ang), r * np.sin(ang),
-                        rng.normal(0, 0.3, n)], -1).astype(np.float32)
-        return PointCloud.from_numpy(pts)
-
-    @pytest.mark.parametrize("merge", ["tighter", "union"])
-    def test_matches_payload_sort_path(self, merge, monkeypatch):
-        import jax
-        pc = self._cloud()
-        cfg = normals.NormalEstimationConfig(
-            k_neighbors=10, method="window_fast", window_merge=merge)
-        fast = normals.estimate_normals_detailed(pc, cfg)
-        # force the payload-sort pipeline; clear jit caches so the
-        # trace-time dispatch on _FAST_REORDER_LIMIT re-evaluates
-        monkeypatch.setattr(normals, "_FAST_REORDER_LIMIT", 0)
-        jax.clear_caches()
-        slow = normals.estimate_normals_detailed(pc, cfg)
-        jax.clear_caches()  # don't leak limit-0 traces to other tests
-        np.testing.assert_array_equal(np.asarray(fast.valid),
-                                      np.asarray(slow.valid))
-        np.testing.assert_allclose(np.asarray(fast.normals),
-                                   np.asarray(slow.normals), atol=1e-6)
-        np.testing.assert_allclose(np.asarray(fast.curvature),
-                                   np.asarray(slow.curvature), atol=1e-6)

@@ -140,74 +140,6 @@ def _estimate_window_fused(points, mask, k, viewpoint, orient):
 
 @functools.partial(jax.jit, static_argnames=("k", "orient", "tile",
                                              "n_passes", "band"))
-def _estimate_window_moments_fast(points, mask, k, viewpoint, orient,
-                                  tile=256, n_passes=2, band=16):
-    """Gather-reordered variant of :func:`_estimate_window_moments`
-    (same kernels and pick-tighter merge; see _FAST_REORDER_LIMIT).
-
-    Each pass chains from the previous pass's order: one 2-operand
-    sort + two row gathers (the packed coordinates and the running
-    best outputs) move the state into the new order, and the merge
-    happens there — no per-pass inverse realign. A final 2-operand
-    sort + one (N, 5) row gather restores input order.
-    """
-    from ..kernels.knn_pallas import window_normals_tiles
-    from . import morton
-
-    n = points.shape[0]
-    n_pad = padding.round_up(n, tile)
-    pts = points.astype(jnp.float32)
-    if n_pad != n:
-        pts = jnp.pad(pts, ((0, n_pad - n), (0, 0)))
-        mask_p = jnp.pad(mask, (0, n_pad - n))
-    else:
-        mask_p = mask
-    interp = jax.default_backend() != "tpu"
-    iota = jnp.arange(n_pad, dtype=jnp.int32)
-
-    keys = morton.morton_keys(pts, mask_p, pass_index=0)
-    perm = _perm_sort(keys, n_pad)
-    cur = jnp.concatenate(
-        [pts, mask_p.astype(jnp.float32)[:, None],
-         iota.astype(jnp.float32)[:, None]], axis=1)[perm]    # (N, 5)
-    out = window_normals_tiles(
-        cur[:, 0:3].T, cur[:, 3][None, :], k, tile,
-        interpret=interp, band=band)                          # (6, N)
-
-    for p in range(1, n_passes):
-        keys_p = morton.morton_keys(cur[:, 0:3], cur[:, 3] > 0.5,
-                                    pass_index=p)
-        perm_p = _perm_sort(keys_p, n_pad)
-        prev = out.T[perm_p]                                  # (N, 6)
-        cur = cur[perm_p]                                     # (N, 5)
-        out_p = window_normals_tiles(
-            cur[:, 0:3].T, cur[:, 3][None, :], k, tile,
-            interpret=interp, band=band)
-        # pick-tighter (same tie semantics as the payload-sort path:
-        # the NEW pass wins only when strictly better)
-        c_prev = jnp.minimum(prev[:, 4], float(k))
-        c_new = jnp.minimum(out_p[4], float(k))
-        better = (c_new > c_prev) | ((c_new == c_prev)
-                                     & (out_p[5] > prev[:, 5]))
-        out = jnp.where(better[None, :], out_p, prev.T)
-
-    normal_s = jnp.stack([out[0], out[1], out[2]], axis=1)
-    curv_s = out[3]
-    valid_s = (cur[:, 3] > 0.5) & (out[4] >= 3)
-    if orient:
-        to_vp = viewpoint[None, :] - cur[:, 0:3]
-        flip = jnp.sum(normal_s * to_vp, axis=-1) < 0
-        normal_s = jnp.where(flip[:, None], -normal_s, normal_s)
-    normal_s = jnp.where(valid_s[:, None], normal_s, 0.0)
-    curv_s = jnp.where(valid_s, curv_s, 0.0)
-
-    pos = _inverse_perm(cur[:, 4].astype(jnp.int32), n_pad)
-    rows = jnp.concatenate(
-        [normal_s, curv_s[:, None],
-         valid_s.astype(jnp.float32)[:, None]], axis=1)[pos]  # (N, 5)
-    return rows[:n, 0:3], rows[:n, 3], (rows[:n, 4] > 0.5) & mask
-
-
 def _estimate_window_moments(points, mask, k, viewpoint, orient,
                              tile=256, n_passes=2, band=16):
     """Fully-fused, fully sort-resident window normals.
@@ -228,19 +160,11 @@ def _estimate_window_moments(points, mask, k, viewpoint, orient,
       (more neighbors, then smaller k-th distance) — outputs of
       different passes cannot be union-merged;
     * one final sort (key = original row id) restores input order.
-
-    Clouds under _FAST_REORDER_LIMIT rows take the gather-reordered
-    variant (:func:`_estimate_window_moments_fast`, identical kernels
-    and merge); this payload-sort pipeline remains the >16M-row path.
     """
     from ..kernels.knn_pallas import window_normals_tiles
     from . import morton
 
     n = points.shape[0]
-    if padding.round_up(n, tile) < _FAST_REORDER_LIMIT:
-        return _estimate_window_moments_fast(points, mask, k, viewpoint,
-                                             orient, tile=tile,
-                                             n_passes=n_passes, band=band)
     n_pad = padding.round_up(n, tile)
     pts = points.astype(jnp.float32)
     if n_pad != n:
@@ -295,91 +219,6 @@ def _estimate_window_moments(points, mask, k, viewpoint, orient,
          valid_s.astype(jnp.float32)), num_keys=1)
     normal = jnp.stack([nx, ny, nz], axis=1)[:n]
     return normal, curv[:n], (vf[:n] > 0.5) & mask
-
-
-# Permutation-gather reordering (round 5): the window pipelines spend
-# most of their non-kernel time in multi-payload lax.sort reorders
-# (~34-38 ms each at 1M for 6-7 operands). A (key, iota) 2-operand sort
-# plus ONE packed row gather moves the same data with ~1/3 the sorted
-# bytes; row gathers of small packed f32 rows are cheap (measured ~5 ms
-# at (1M, 4..11)). Original row ids ride the packed gather as an exact
-# f32 column, which bounds the capacity to 2^24 rows — far above the 8M
-# maximum the kernels have been validated at; larger clouds fall back
-# to the payload-sort pipeline.
-_FAST_REORDER_LIMIT = 1 << 24
-
-
-def _perm_sort(keys, n_pad):
-    """(keys, iota) sort → permutation (sorted position → source row)."""
-    iota = jnp.arange(n_pad, dtype=jnp.int32)
-    _, perm = jax.lax.sort((keys, iota), num_keys=1)
-    return perm
-
-
-def _inverse_perm(perm, n_pad):
-    """positions[j] = where row j landed (one 2-operand sort)."""
-    iota = jnp.arange(n_pad, dtype=jnp.int32)
-    _, pos = jax.lax.sort((perm, iota), num_keys=1)
-    return pos
-
-
-@functools.partial(jax.jit, static_argnames=("k", "tile", "band"))
-def _union_window_sums_fast(points, mask, k, tile=256, band=16):
-    """Gather-reordered variant of :func:`_union_window_sums`.
-
-    Identical kernels and merge math; only the data movement differs:
-    three 2-operand sorts (pass A, pass B, restore) + packed row
-    gathers replace the 6/7-operand payload sorts AND the pass-B
-    inverse-realign sort — the merge happens in B-order (pass B's
-    output order) instead of realigning B to A-order first.
-
-    Returns ``(s, pts_rows, valid_f, orig)`` in PASS-B order: s (N, 10)
-    merged central sums, pts_rows (N, 3) coordinates, valid_f float
-    validity, orig the original row of each B-order row.
-    """
-    from ..kernels.knn_pallas import (window_union_a_tiles,
-                                      window_union_b_tiles)
-    from . import morton
-
-    n = points.shape[0]
-    n_pad = padding.round_up(n, tile)
-    pts = points.astype(jnp.float32)
-    if n_pad != n:
-        pts = jnp.pad(pts, ((0, n_pad - n), (0, 0)))
-        mask_p = jnp.pad(mask, (0, n_pad - n))
-    else:
-        mask_p = mask
-    interp = jax.default_backend() != "tpu"
-    iota = jnp.arange(n_pad, dtype=jnp.int32)
-
-    keys_a = morton.morton_keys(pts, mask_p, pass_index=0)
-    perm_a = _perm_sort(keys_a, n_pad)
-    pack_a = jnp.concatenate(
-        [pts, mask_p.astype(jnp.float32)[:, None],
-         iota.astype(jnp.float32)[:, None]], axis=1)[perm_a]   # (N, 5)
-    rows_a = pack_a[:, 0:3]
-    am = pack_a[:, 3]
-    out_a = window_union_a_tiles(
-        rows_a.T, am[None, :], k, tile, interpret=interp,
-        band=band)                                             # (11, N)
-
-    keys_b = morton.morton_keys(rows_a, am > 0.5, pass_index=1)
-    perm_b = _perm_sort(keys_b, n_pad)                 # B-pos → A-pos
-    pack_b = jnp.concatenate(
-        [pack_a, out_a[10][:, None]], axis=1)[perm_b]          # (N, 6)
-    rows_b = pack_b[:, 0:3]
-    bm = pack_b[:, 3]
-    orig_b = pack_b[:, 4].astype(jnp.int32)
-    hia_b = pack_b[:, 5]
-    out_b = window_union_b_tiles(
-        rows_b.T, bm[None, :], perm_b[None, :], hia_b[None, :],
-        k, tile, interpret=interp, band=band)                  # (11, N)
-
-    # merge IN B-ORDER: pass-A sums ride one (N, 11) row gather
-    sa_b = out_a.T[perm_b]
-    use_b = out_b[10] > 0.5
-    s = out_b[0:10].T + jnp.where(use_b[:, None], 0.0, sa_b[:, 0:10])
-    return s, rows_b, bm, orig_b
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile", "band"))
@@ -475,13 +314,7 @@ def _estimate_window_union(points, mask, k, viewpoint, orient,
     happens once, XLA-side, on the merged sums.
     """
     n = points.shape[0]
-    n_pad = padding.round_up(n, tile)
-    fast = n_pad < _FAST_REORDER_LIMIT
-    if fast:
-        s, pts_rows, vm, orig = _union_window_sums_fast(
-            points, mask, k, tile=tile, band=band)
-    else:
-        s, pts_rows, vm, orig = _union_window_sums(points, mask, k,
+    s, pts_a_rows, am, perm_a = _union_window_sums(points, mask, k,
                                                    tile=tile, band=band)
     cov, cnt = _cov_from_sums(s)
     normal_s, _ = linalg.smallest_eigenvector_sym3x3(cov)
@@ -489,24 +322,16 @@ def _estimate_window_union(points, mask, k, viewpoint, orient,
     tot = jnp.maximum(jnp.sum(vals, axis=-1), 1e-12)
     curv_s = jnp.maximum(vals[..., 0], 0.0) / tot
 
-    valid_s = (vm > 0.5) & (cnt >= 3)
+    valid_s = (am > 0.5) & (cnt >= 3)
     if orient:
-        to_vp = viewpoint[None, :] - pts_rows
+        to_vp = viewpoint[None, :] - pts_a_rows
         flip = jnp.sum(normal_s * to_vp, axis=-1) < 0
         normal_s = jnp.where(flip[:, None], -normal_s, normal_s)
     normal_s = jnp.where(valid_s[:, None], normal_s, 0.0)
     curv_s = jnp.where(valid_s, curv_s, 0.0)
 
-    if fast:
-        # restore original order: one 2-operand sort + one row gather
-        pos = _inverse_perm(orig, n_pad)
-        rows = jnp.concatenate(
-            [normal_s, curv_s[:, None],
-             valid_s.astype(jnp.float32)[:, None]], axis=1)[pos]  # (N, 5)
-        normal = rows[:n, 0:3]
-        return normal, rows[:n, 3], (rows[:n, 4] > 0.5) & mask
     _, nx, ny, nz, curv, vf = jax.lax.sort(
-        (orig, normal_s[:, 0], normal_s[:, 1], normal_s[:, 2], curv_s,
+        (perm_a, normal_s[:, 0], normal_s[:, 1], normal_s[:, 2], curv_s,
          valid_s.astype(jnp.float32)), num_keys=1)
     normal = jnp.stack([nx, ny, nz], axis=1)[:n]
     return normal, curv[:n], (vf[:n] > 0.5) & mask
